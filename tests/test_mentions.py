@@ -1,0 +1,75 @@
+"""Mention-detection unit tests — positive/negative strings matched to the
+reference's extraction rules (citations in functions/mentions.py), plus
+whole-corpus parity against the analytic golden mentions."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web3_knowledge_graph_spark.fixtures import corpus
+from web3_knowledge_graph_spark.fixtures.corpus import pages_df
+from web3_knowledge_graph_spark.functions import mentions as M
+from web3_knowledge_graph_spark.functions.extraction import with_extracted_text
+from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+
+WALLET = "0x" + "a1" * 20
+
+
+def _one(spark, text, extractor):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(extractor(F.col("text")).alias("v")).first()["v"]
+
+
+def test_wallet_regex(spark):
+    f = M.extract_wallets
+    assert _one(spark, f"send to {WALLET} now", f) == [WALLET]
+    assert _one(spark, f"MIXED 0x{'A1'*20}", f) == [WALLET]  # lowercased
+    assert _one(spark, "0x" + "a1" * 19 + "a", f) == []  # 39 chars
+    assert _one(spark, "0x" + "a1" * 20 + "b", f) == []  # 41 chars
+    assert _one(spark, "0x" + "g1" * 20, f) == []  # bad hex
+
+
+def test_ens_regex(spark):
+    f = M.extract_ens_names
+    assert _one(spark, "hi alice.eth!", f) == ["alice.eth"]
+    # reference regex is case-sensitive on the .eth suffix
+    # (twitterBiosENS/process.py:22) — mixed-case labels match, .ETH does not
+    assert _one(spark, "sub.Name.eth ok", f) == ["sub.name.eth"]
+    assert _one(spark, "sub.name.ETH ok", f) == []
+    assert _one(spark, "trap fake.ethereum.org here", f) == []
+    assert _one(spark, "a-b_c.eth and x.eth", f) == ["a-b_c.eth", "x.eth"]
+
+
+def test_handle_regex(spark):
+    f = M.extract_handles
+    assert _one(spark, "cc @Alice_9 ok", f) == ["alice_9"]
+    assert _one(spark, "@thishandleisdefinitelytoolong nope", f) == []
+    assert _one(spark, "mail a@b.com", f) == ["b"]  # reference @\w+ behavior
+
+
+def test_url_and_twitter(spark):
+    assert _one(spark, "see https://x.example/a and https://cdn.example/p.png", M.extract_urls) == [
+        "https://x.example/a"
+    ]
+    assert _one(spark, "https://twitter.com/Bob https://twitter.com/bob", M.extract_twitter_handles) == [
+        "bob",
+        "bob",
+    ]
+
+
+def test_corpus_mentions_parity(spark):
+    """Pipeline extract stage == analytic golden mentions, exactly."""
+    n = 400
+    pages = pages_df(spark, n, partitions=4)
+    alias_dict = spark.createDataFrame(corpus.alias_dict_pdf())
+    got = extract_stage(pages, alias_dict).toPandas()
+    want = corpus.golden_mentions(n)
+    key = ["url", "kind", "value"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    merged = g.merge(w, on=key, how="outer", suffixes=("_got", "_want"), indicator=True)
+    only_got = merged[merged._merge == "left_only"]
+    only_want = merged[merged._merge == "right_only"]
+    assert only_got.empty, f"unexpected mentions:\n{only_got.head(10)}"
+    assert only_want.empty, f"missed mentions:\n{only_want.head(10)}"
+    bad_n = merged[(merged._merge == "both") & (merged.n_got != merged.n_want)]
+    assert bad_n.empty, f"count mismatches:\n{bad_n.head(10)}"

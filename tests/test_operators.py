@@ -1,0 +1,110 @@
+"""Unit tests for linking rules, holdings rotation, WIC rules/scoring,
+and normalization scalars."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from web3_knowledge_graph_spark.functions import normalize as N
+from web3_knowledge_graph_spark.operators import linking
+from web3_knowledge_graph_spark.operators.holdings import rotate_holdings
+from web3_knowledge_graph_spark.operators.rules import apply_rules, reputation_scores
+
+
+def test_normalize_scalars(spark):
+    df = spark.createDataFrame(
+        [("0x" + "A" * 40, "0x0000", 'he said "hi"\n', "Sym$!", "ff", 1700000000, "fooBarBaz")],
+        "w string, z string, t string, s string, h string, e long, cc string",
+    )
+    row = df.select(
+        N.is_valid_wallet(F.col("w")).alias("vw"),
+        N.is_zero_address(F.col("z")).alias("vz"),
+        N.sanitize_text(F.col("t")).alias("st"),
+        N.clean_symbol(F.col("s")).alias("cs"),
+        N.hex_to_decimal(F.col("h")).cast("long").alias("hd"),
+        N.epoch_to_ts(F.col("e")).cast("string").alias("ts"),
+        N.split_camel_case(F.col("cc")).alias("sc"),
+    ).first()
+    assert row["vw"] and row["vz"]
+    assert row["st"] == "he said hi"
+    assert row["cs"] == "Sym"
+    assert row["hd"] == 255
+    assert row["ts"].startswith("2023-11-14")
+    assert row["sc"] == "foo Bar Baz"
+
+
+def test_hex_to_decimal_arbitrary_precision(spark):
+    big = 2**70 + 3  # beyond int64 — reference's set_int_max_str_digits path
+    df = spark.createDataFrame([(hex(big),)], "h string")
+    got = df.select(N.hex_to_decimal(F.col("h")).alias("d")).first()["d"]
+    assert int(got) == big
+
+
+def test_scored_reference_links(spark):
+    # wallet w1 authors 5 pages, 4 reference t1 (prop .8 NOT > .8? 4/5=0.8 -> excluded),
+    # 5 reference t2 via another wallet w2 with 5/5 pages (prop 1.0, refs 5 -> linked)
+    authors = spark.createDataFrame(
+        [(1, f"p{i}") for i in range(5)] + [(2, f"q{i}") for i in range(5)],
+        "wallet_id long, page_url string",
+    )
+    refs = spark.createDataFrame(
+        [(f"p{i}", 10) for i in range(4)] + [(f"q{i}", 20) for i in range(5)],
+        "page_url string, twitter_id long",
+    )
+    got = {(r["src"], r["dst"]) for r in linking.scored_reference_links(authors, refs).collect()}
+    assert got == {(2, 20)}  # 4/5 == 0.8 fails the strict > threshold
+
+
+def test_same_key_links_caps_hub_blocks(spark):
+    rows = [(i, "hub") for i in range(200)] + [(1000, "dup"), (1001, "dup")]
+    nodes = spark.createDataFrame(rows, "id long, key string")
+    got = [(r["src"], r["dst"]) for r in linking.same_key_links(nodes).collect()]
+    assert got == [(1000, 1001)]  # hub block (200 > max_block) dropped
+
+
+def test_anti_join_existing(spark):
+    cands = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    existing = spark.createDataFrame([(2, 1)], "src long, dst long")  # reversed
+    got = {(r["src"], r["dst"]) for r in linking.anti_join_existing(cands, existing).collect()}
+    assert got == {(3, 4)}
+
+
+def test_rotate_holdings(spark):
+    prev = spark.createDataFrame(
+        [(1, 100, "HOLDS", 1.0), (2, 100, "HOLDS", 2.0), (3, 100, "HELD", 1.0)],
+        "holder long, token long, pred string, weight double",
+    )
+    snap = spark.createDataFrame(
+        [(2, 100, 5.0), (4, 100, 1.0)], "holder long, token long, weight double"
+    )
+    got = {(r["holder"], r["pred"], r["weight"]) for r in rotate_holdings(prev, snap).collect()}
+    assert got == {
+        (1, "HELD", 1.0),  # dropped out -> retyped
+        (2, "HOLDS", 5.0),  # refreshed props win
+        (3, "HELD", 1.0),  # stays HELD
+        (4, "HOLDS", 1.0),  # new holder
+    }
+
+
+def test_wic_rules_and_score(spark):
+    base = spark.createDataFrame(
+        [(f"w{i}", float(i)) for i in range(1, 5)], "entity_id string, weight double"
+    )
+    rules = {
+        "trader": lambda: base.where(F.col("weight") >= 2),
+        "whale": lambda: base.where(F.col("weight") >= 4),
+    }
+    labels = apply_rules(rules)
+    scores = {r["entity_id"]: r["reputation_score"] for r in reputation_scores(labels).collect()}
+    # w4: 4(trader)+4(whale)=8 -> 100; w2: 2 -> 25
+    assert scores["w4"] == 100.0 and scores["w2"] == 25.0
+
+
+def test_minhash_blocking(spark):
+    rows = [
+        (1, "uniswap labs protocol"),
+        (2, "uniswap labs protocol inc"),
+        (3, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {(r["src"], r["dst"]) for r in linking.minhash_blocking(df, "id", "name").collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs

@@ -1,0 +1,117 @@
+"""End-to-end pipeline: per-predicate P/R ≥ 0.95 vs analytic golden triples
+(BASELINE.md target — in fact exact match is expected on the fixture corpus),
+plus partition-granular kill/resume equivalence (north rule)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web3_knowledge_graph_spark.fixtures import corpus
+from web3_knowledge_graph_spark.plans.pipeline import run_pipeline
+from web3_knowledge_graph_spark.sources.checkpoint import CheckpointLog
+from web3_knowledge_graph_spark.sources.warehouse import Warehouse
+
+N = 600
+BUCKETS = 4
+
+
+def _side(spark):
+    return {
+        "registrations": spark.createDataFrame(corpus.registrations_pdf()),
+        "profiles": spark.createDataFrame(corpus.profiles_pdf()),
+        "balances": spark.createDataFrame(corpus.balances_pdf()),
+        "alias_dict": spark.createDataFrame(corpus.alias_dict_pdf()),
+    }
+
+
+def _pr(got: set, want: set) -> dict:
+    preds = {p for _, p, _ in want} | {p for _, p, _ in got}
+    out = {}
+    for p in preds:
+        g = {t for t in got if t[1] == p}
+        w = {t for t in want if t[1] == p}
+        tp = len(g & w)
+        out[p] = (
+            tp / len(g) if g else 1.0,  # precision
+            tp / len(w) if w else 1.0,  # recall
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def triples_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh"))
+    pages = corpus.pages_df(spark, N, partitions=8)
+    trip = run_pipeline(spark, pages, _side(spark), root, buckets=BUCKETS)
+    return trip, root
+
+
+def test_triple_parity(triples_run):
+    trip, _ = triples_run
+    got = {(r["subj"], r["pred"], r["obj"]) for r in trip.collect()}
+    want = {tuple(r) for r in corpus.golden_triples(N).itertuples(index=False)}
+    pr = _pr(got, want)
+    bad = {p: v for p, v in pr.items() if v[0] < 0.95 or v[1] < 0.95}
+    if bad:
+        for p in bad:
+            g = sorted(t for t in got if t[1] == p)[:5]
+            w = sorted(t for t in want if t[1] == p)[:5]
+            print(f"pred {p}: P/R={bad[p]} got~{g} want~{w}")
+    assert not bad, f"predicates below 0.95 P/R: {bad}"
+    # and on the synthetic corpus we expect EXACT parity
+    assert got == want
+
+
+def test_lineage_rows_written(triples_run, spark):
+    _, root = triples_run
+    log = CheckpointLog(root).to_spark(spark).toPandas()
+    extract = log[log.stage == "extract"]
+    assert len(extract) == BUCKETS
+    assert (extract.status == "done").all()
+    assert (extract.rows_out > 0).all()
+    assert extract.watermark.notna().all()
+
+
+def test_resume_equals_fresh(spark, tmp_path):
+    """Kill after k extract partitions; resume must (a) skip completed
+    partitions and (b) produce byte-identical triples."""
+    pages = corpus.pages_df(spark, 200, partitions=4)
+    side = _side(spark)
+
+    fresh_root = str(tmp_path / "fresh")
+    fresh = run_pipeline(spark, pages, side, fresh_root, buckets=3)
+    fresh_set = {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+
+    killed_root = str(tmp_path / "killed")
+
+    class Boom(Exception):
+        pass
+
+    import web3_knowledge_graph_spark.plans.pipeline as P
+
+    real_extract = P.extract_stage
+    calls = {"n": 0}
+
+    def dying_extract(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:  # die during the 3rd partition
+            raise Boom()
+        return real_extract(*a, **kw)
+
+    P.extract_stage = dying_extract
+    try:
+        with pytest.raises(Boom):
+            run_pipeline(spark, pages, side, killed_root, buckets=3)
+    finally:
+        P.extract_stage = real_extract
+
+    done_before = CheckpointLog(killed_root).completed("extract")
+    assert len(done_before) == 2  # partitions 0,1 committed before the kill
+
+    resumed = run_pipeline(spark, pages, side, killed_root, buckets=3)
+    resumed_set = {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
+    assert resumed_set == fresh_set
+
+    # resume really skipped: only 1 new extract partition ran (3 total marks)
+    marks = CheckpointLog(killed_root).to_spark(spark).toPandas()
+    assert len(marks[marks.stage == "extract"]) == 3

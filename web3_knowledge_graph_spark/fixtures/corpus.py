@@ -1,0 +1,380 @@
+"""Deterministic synthetic page corpus + analytic goldens (FIXTURES.md F1-F8).
+
+Every page is a pure function of its index ``i`` (md5-keyed pseudo-randomness,
+no shared RNG state), so the corpus can be generated DISTRIBUTED — Spark
+``range(n)`` → ``mapInPandas`` — with zero driver materialization, and the
+golden outputs (mentions, triples) can be derived analytically on the driver
+at test scale by replaying the same manifest logic.
+
+The embedded mention mix matches the reference's extraction rules (citations
+in functions/mentions.py) including negatives: 39/41-hex near-miss wallets,
+``fake.ethereum.org`` ENS traps, >15-char handles, media URLs.
+Hub skew: 5 hub handles appear on ~20% of pages (FIXTURES.md F1) to exercise
+AQE/salting paths.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+
+import pandas as pd
+
+from . import dictionaries as D
+
+N_SITES = 20
+N_WALLETS = 200
+N_ENS = 150
+N_HANDLES = 100
+N_SCORED_AUTHORS = 20  # authors 0..19 consistently reference "their" handle
+N_HUBS = 5
+EPOCH = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+REF_COUNT_THRESHOLD = 3  # reference: count(refs) > 3   (accounts/cyphers.py:89)
+REF_PROPORTION = 0.8  # reference: refs/authored > 0.8  (accounts/cyphers.py:95)
+
+
+# ---------------------------------------------------------------------------
+# per-page manifest: everything embedded in page i, as structured data
+# ---------------------------------------------------------------------------
+
+def page_manifest(i: int) -> dict:
+    m: dict = {"i": i}
+    m["url"] = f"https://site-{i % N_SITES}.example/page/{D._md5(f'u{i}')[:12]}"
+    day, sec = i % 90, D.det_int("ts", i, 86400)
+    m["warc_ts"] = EPOCH + dt.timedelta(days=day, seconds=sec)
+    lang_roll = D.det_int("lang", i, 100)
+    m["lang"] = "en" if lang_roll < 90 else ("es", "zh", "de")[lang_roll % 3]
+    m["empty"] = D.det_int("empty", i, 10) == 0
+    m["malformed"] = not m["empty"] and D.det_int("mal", i, 100) < 5
+    m["pre_extracted"] = not m["empty"] and D.det_int("pre", i, 10) == 7
+
+    author = i % N_WALLETS
+    m["author_wallet"] = D.wallet_address(author)
+    # referenced twitter handle(s): scored authors always cite their handle
+    refs: dict[str, int] = {}
+    if author < N_SCORED_AUTHORS:
+        refs[D.twitter_handle(author)] = 2 + D.det_int("c", i, 3)
+    else:
+        refs[D.twitter_handle(D.det_int("r", i, N_HANDLES))] = 1 + D.det_int("c", i, 3)
+    if D.det_int("hub", i, 100) < 20:  # hub skew
+        hub = D.twitter_handle(D.det_int("hubpick", i, N_HUBS))
+        refs[hub] = refs.get(hub, 0) + 1 + D.det_int("hubc", i, 2)
+    m["twitter_refs"] = refs
+
+    m["ens"] = (
+        D.ens_name(D.det_int("e2", i, N_ENS)) if D.det_int("e", i, 3) == 0 else None
+    )
+    m["at_handle"] = (
+        D.twitter_handle(D.det_int("m2", i, N_HANDLES))
+        if D.det_int("m", i, 4) == 0
+        else None
+    )
+    m["dict_alias"] = (
+        f"token{D.det_int('d2', i, D.N_TOKEN_ENTITIES)}"
+        if D.det_int("d", i, 5) == 0
+        else None
+    )
+    m["negative"] = D.det_int("neg", i, 4)  # which negative trap to embed
+    return m
+
+
+_NEGATIVES = (
+    "near-miss 0x" + "ab12" * 9 + "abc",  # 39 hex chars -> not a wallet
+    "overrun 0x" + "ab12" * 10 + "f too long",  # 41 hex chars -> rejected
+    "trap fake.ethereum.org is not an ens name",
+    "ping @thishandleisdefinitelytoolong and media https://cdn.example/x.png",
+)
+
+
+def page_paragraphs(m: dict) -> list[str]:
+    """The plain-text paragraphs of page i — this IS the golden text
+    (byte-parity oracle): the HTML wrapper below is constructed so that
+    extraction provably recovers '\\n\\n'.join(paragraphs)."""
+    i = m["i"]
+    paras = [f"Page {i} from site-{i % N_SITES}"]
+    paras.append(f"Author wallet: {m['author_wallet']}")
+    ref_bits = []
+    for h in sorted(m["twitter_refs"]):
+        ref_bits.extend([f"https://twitter.com/{h}"] * m["twitter_refs"][h])
+    paras.append("Referenced profiles: " + " ".join(ref_bits))
+    if m["ens"]:
+        paras.append(f"Resolved via {m['ens']} on chain")
+    if m["at_handle"]:
+        paras.append(f"cc @{m['at_handle']} for review")
+    if m["dict_alias"]:
+        paras.append(f"Market notes on {m['dict_alias']} listings")
+    paras.append(_NEGATIVES[m["negative"]])
+    filler = [
+        D.FILLER_WORDS[D.det_int(f"f{j}", i, len(D.FILLER_WORDS))] for j in range(8)
+    ]
+    paras.append(" ".join(filler))
+    return paras
+
+
+def render_html(m: dict) -> bytes | None:
+    """Wrap paragraphs in a noisy-but-well-formed HTML template (script/style/
+    comments that extraction must drop); ~5% malformed, ~10% empty body."""
+    if m["pre_extracted"]:
+        return None
+    if m["empty"]:
+        return b"<html><head></head><body></body></html>"
+    paras = page_paragraphs(m)
+    body = "".join(f"<p>{p}</p>" for p in paras[1:])
+    doc = (
+        "<html><head>"
+        f"<title>{paras[0]}</title>"
+        "<style>body { color: #000; }</style>"
+        "<script>var tracker = 'noise 0xdeadbeefdeadbeefdeadbeefdeadbeefdeadbeef';</script>"
+        "</head><body>"
+        "<!-- comment noise @commentghost -->"
+        f"<div id=\"main\">{body}</div>"
+        "</body></html>"
+    )
+    if m["malformed"]:
+        doc = doc.replace("</body></html>", "<p>trailing unclosed", 1)
+    return doc.encode("utf-8")
+
+
+def expected_text(m: dict) -> str:
+    """Golden extracted text for page i (composed, NOT derived by running the
+    extractor — the parity test is therefore non-circular for clean pages).
+    Malformed pages append the unclosed trailing paragraph the template adds."""
+    if m["empty"]:
+        return ""
+    paras = page_paragraphs(m)
+    if m["malformed"]:
+        paras = paras + ["trailing unclosed"]
+    return "\n\n".join(paras)
+
+
+def page_record(i: int) -> dict:
+    m = page_manifest(i)
+    text = expected_text(m)
+    return {
+        "url": m["url"],
+        "warc_ts": m["warc_ts"],
+        "html": render_html(m),
+        "text": text if m["pre_extracted"] else None,
+        "lang": m["lang"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# distributed generation (Spark-side; no driver materialization)
+# ---------------------------------------------------------------------------
+
+def pages_df(spark, n: int, partitions: int | None = None):
+    """Generate the pages table distributed: range → mapInPandas."""
+    from ..schemas import PAGES
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([page_record(int(i)) for i in b["id"]])
+
+    rng = spark.range(n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=PAGES)
+
+
+# ---------------------------------------------------------------------------
+# side tables (pandas; all tiny / dimension-shaped)
+# ---------------------------------------------------------------------------
+
+def registrations_pdf() -> pd.DataFrame:
+    """FIXTURES.md F5 — ens(k) owned by wallet(k % N_WALLETS)
+    (drives Wallet-[HAS_ALIAS]->Ens; reference helpers/queries.py:79-92,127-139)."""
+    return pd.DataFrame(
+        [
+            {
+                "name": D.ens_name(k),
+                "owner": D.wallet_address(k % N_WALLETS),
+                "resolved_address": D.wallet_address(k % N_WALLETS),
+                "registrant": D.wallet_address(k % N_WALLETS),
+                "transaction_id": "0x" + D._md5(f"rtx{k}"),
+                "block_number": 17_000_000 + k,
+            }
+            for k in range(N_ENS)
+        ]
+    )
+
+
+def profiles_pdf() -> pd.DataFrame:
+    """FIXTURES.md F2 — twitter profiles; even-k bios carry ens(k)
+    (Twitter-[HAS_ALIAS]->Ens via bio extraction, twitterBiosENS), k%3==0 bios
+    mention @handle(k+1) (BIO_MENTIONED, twitterRelations/cyphers.py:73)."""
+    rows = []
+    for k in range(N_HANDLES):
+        bio = f"Building things. id {k}."
+        if k % 2 == 0:
+            bio += f" Find me at {D.ens_name(k)}"
+        if k % 3 == 0:
+            bio += f" friends with @{D.twitter_handle((k + 1) % N_HANDLES)}"
+        rows.append(
+            {
+                "handle": D.twitter_handle(k),
+                "name": f"User {k}",
+                "bio": bio,
+                "verified": k % 7 == 0,
+                "user_id": str(10_000 + k),
+                "follower_count": (k * 37) % 5000,
+                "website": f"https://user{k}.example" if k % 4 == 0 else None,
+                "language": "en",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def balances_pdf() -> pd.DataFrame:
+    """FIXTURES.md F4 — two snapshots for HOLDS→HELD rotation
+    (postProcessing/tokenHolders/cypher.py:104-148): snapshot 1 = wallets
+    0..49, snapshot 2 = wallets 25..74 (same token assignment k%30).
+    Includes >2^63 hex balances (arbitrary-precision path, ingest.py:7-10)."""
+    rows = []
+    for snap, wallets in ((1, range(0, 50)), (2, range(25, 75))):
+        ts = EPOCH + dt.timedelta(days=100 + snap)
+        for k in wallets:
+            big = k % 10 == 0
+            bal = (2**70 + k) if big else (k + 1) * 10**18
+            rows.append(
+                {
+                    "address": D.wallet_address(k),
+                    "contract_address": D.token_contract(k % D.N_TOKEN_ENTITIES),
+                    "balance_hex": hex(bal),
+                    "token_id": str(k) if k % 3 == 0 else None,
+                    "snapshot_ts": ts,
+                    "snapshot": snap,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def tokens_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "contract_address": D.token_contract(k),
+                "contract_type": ("erc20", "erc721", "erc1155")[k % 3],
+                "symbol": f"TK{k}$!",  # junk chars to clean (ingest.py:17-20)
+                "decimal": hex(18) if k % 2 == 0 else "18",
+                "twitter_username": D.twitter_handle(k + 50).upper(),
+            }
+            for k in range(D.N_TOKEN_ENTITIES)
+        ]
+    )
+
+
+def alias_dict_pdf() -> pd.DataFrame:
+    return pd.DataFrame(D.alias_dict_rows())
+
+
+# ---------------------------------------------------------------------------
+# analytic goldens (driver-side replay of the manifest; test scale only)
+# ---------------------------------------------------------------------------
+
+def golden_mentions(n: int) -> pd.DataFrame:
+    """Expected mentions(url, kind, value, n) for pages 0..n-1."""
+    out = []
+    for i in range(n):
+        m = page_manifest(i)
+        if m["empty"]:
+            continue
+        out.append((m["url"], "author", m["author_wallet"], 1))
+        out.append((m["url"], "wallet", m["author_wallet"], 1))
+        for h, c in m["twitter_refs"].items():
+            out.append((m["url"], "twitter", h, c))
+            out.append((m["url"], "url", f"https://twitter.com/{h}", c))
+        if m["ens"]:
+            out.append((m["url"], "ens", m["ens"], 1))
+        if m["at_handle"]:
+            out.append((m["url"], "handle", m["at_handle"], 1))
+        if m["dict_alias"]:
+            k = int(m["dict_alias"].removeprefix("token"))
+            out.append((m["url"], "dict:token", f"tok{k}", 1))
+    df = pd.DataFrame(out, columns=["url", "kind", "value", "n"])
+    return df.groupby(["url", "kind", "value"], as_index=False)["n"].sum()
+
+
+def golden_triples(n: int) -> pd.DataFrame:
+    """Expected (subj, pred, obj) with subj/obj as 'Label:key' strings —
+    the per-predicate P/R gate artifact (FIXTURES.md F8)."""
+    rows: set[tuple[str, str, str]] = set()
+    authored: dict[str, int] = {}
+    pair_refs: dict[tuple[str, str], int] = {}
+    for i in range(n):
+        m = page_manifest(i)
+        if m["empty"]:
+            continue
+        page, w = f"Page:{m['url']}", f"Wallet:{m['author_wallet']}"
+        rows.add((w, "AUTHOR", page))
+        authored[w] = authored.get(w, 0) + 1
+        for h in m["twitter_refs"]:
+            rows.add((page, "REFERENCES", f"Twitter:{h}"))
+            pair_refs[(w, h)] = pair_refs.get((w, h), 0) + 1
+        if m["ens"]:
+            rows.add((page, "MENTIONS_ENS", f"Ens:{m['ens']}"))
+        if m["at_handle"]:
+            rows.add((page, "BIO_MENTIONED", f"Twitter:{m['at_handle']}"))
+        if m["dict_alias"]:
+            k = int(m["dict_alias"].removeprefix("token"))
+            rows.add((page, "MENTIONS_ENTITY", f"Entity:tok{k}"))
+    # wallet HAS_ALIAS ens (registrations)
+    for k in range(N_ENS):
+        rows.add(
+            (f"Wallet:{D.wallet_address(k % N_WALLETS)}", "HAS_ALIAS", f"Ens:{D.ens_name(k)}")
+        )
+    # twitter HAS_ALIAS ens + BIO_MENTIONED (profiles)
+    for k in range(N_HANDLES):
+        if k % 2 == 0:
+            rows.add((f"Twitter:{D.twitter_handle(k)}", "HAS_ALIAS", f"Ens:{D.ens_name(k)}"))
+        if k % 3 == 0:
+            rows.add(
+                (
+                    f"Twitter:{D.twitter_handle(k)}",
+                    "BIO_MENTIONED",
+                    f"Twitter:{D.twitter_handle((k + 1) % N_HANDLES)}",
+                )
+            )
+    # HAS_ACCOUNT via 2-hop ens (wallet-ens + twitter-ens; k even, k < N_HANDLES)
+    for k in range(0, N_HANDLES, 2):
+        rows.add(
+            (
+                f"Wallet:{D.wallet_address(k % N_WALLETS)}",
+                "HAS_ACCOUNT",
+                f"Twitter:{D.twitter_handle(k)}",
+            )
+        )
+    # HAS_ACCOUNT via scored author→references rule (count>3 AND prop>0.8)
+    for (w, h), c in pair_refs.items():
+        if c > REF_COUNT_THRESHOLD and c / authored[w] > REF_PROPORTION:
+            rows.add((w, "HAS_ACCOUNT", f"Twitter:{h}"))
+    # HAS_ACCOUNT: token entity ↔ twitter via dictionary handle
+    # (accounts/cyphers.py:183-201)
+    for r in D.alias_dict_rows():
+        if r["handle"]:
+            rows.add((f"Entity:{r['entity_id']}", "HAS_ACCOUNT", f"Twitter:{r['handle']}"))
+    # HOLDS / HELD from the two balance snapshots
+    for k in range(25, 75):
+        rows.add(
+            (
+                f"Wallet:{D.wallet_address(k)}",
+                "HOLDS",
+                f"Token:{D.token_contract(k % D.N_TOKEN_ENTITIES)}",
+            )
+        )
+    for k in range(0, 25):
+        rows.add(
+            (
+                f"Wallet:{D.wallet_address(k)}",
+                "HELD",
+                f"Token:{D.token_contract(k % D.N_TOKEN_ENTITIES)}",
+            )
+        )
+    return pd.DataFrame(sorted(rows), columns=["subj", "pred", "obj"])
+
+
+def golden_text(n: int) -> pd.DataFrame:
+    recs = []
+    for i in range(n):
+        m = page_manifest(i)
+        recs.append({"url": m["url"], "text": expected_text(m)})
+    return pd.DataFrame(recs)

