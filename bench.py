@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across headline queries; per-query seconds under
+"queries". Also reports docs_per_sec for the flagship extraction pipeline
+(the BASELINE.md target denominator). Run with SPARK_GRAFT_CPUS=8 and =32 on
+the same input to measure the N→4N scaling efficiency (BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web3_knowledge_graph_spark.driver_queries import all_queries  # noqa: E402
+from web3_knowledge_graph_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per pillar — full KG pipeline, mention extraction,
+# linking, CC, dedup ladder, similarity, text analysis, windowed agg.
+HEADLINE = [
+    "flagship_triples",
+    "mention_wallets",
+    "dict_mentions",
+    "two_hop_links",
+    "scored_links",
+    "cc_components",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash",
+    "embed_knn",
+    "lang_id",
+    "quality",
+    "events_hourly",
+    "sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm the JVM/session so fixed startup cost doesn't pollute query times
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    docs_per_sec = n_docs / timings["flagship_triples"] if timings.get("flagship_triples") else None
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
+        "n_docs": n_docs,
+        "flagship_docs_per_sec": round(docs_per_sec, 2) if docs_per_sec else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

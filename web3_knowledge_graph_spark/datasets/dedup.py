@@ -1,0 +1,221 @@
+"""Deduplication operators for web-scale text corpora.
+
+The reference dedups only on exact natural keys (pandas ``drop_duplicates``
+— /root/reference/pipelines/ingestion/tokenHolders/ingest.py:31,
+snapshot/ingest.py:143) before Neo4j MERGE absorbs the rest. A 10^12-doc
+training corpus needs content-level dedup as well; this module supplies the
+standard ladder — exact hash, n-gram Jaccard, MinHash-LSH, SimHash — as
+native DataFrame ops (JVM-side codegen; engine-agnostic md5-derived hashes
+so a DuckDB oracle can replay every step bit-for-bit).
+
+Scale notes (100 TB):
+  * exact_dedup: one shuffle on a 128-bit fingerprint — uniform keys, no skew.
+  * shingle/jaccard: the shingle self-join explodes quadratically inside hot
+    shingle blocks, so hot shingles (df > max_doc_freq) are dropped — they
+    carry no discriminative signal (same motivation as stopword removal).
+  * minhash_lsh: cost is linear in docs × num_hashes; the band self-join
+    shuffles on the bucket key, AQE skew-split handles viral buckets.
+  * simhash: linear; one shuffle per doc for the bit-majority fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """Deterministic 60-bit int from a string: first 15 hex chars of md5.
+    Engine-agnostic (DuckDB: ('0x'||substr(md5(x),1,15))::ubigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: F.Column) -> F.Column:
+    """Lowercased word tokens (array<string>), empties removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: F.length(t) > 0
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content dedup: fingerprint = md5(lower(text)); canonical doc =
+    min(id) per fingerprint. Returns (doc_id, fingerprint, canonical_doc_id,
+    is_dup). One hash-partitioned shuffle on the fingerprint."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.lower(F.col(text_col))).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "canonical_doc_id",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_dup"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle). k=1 is the
+    unigram/bag-of-words case."""
+    toks = tokens_col(F.col(text_col))
+    if k == 1:
+        sh = F.array_distinct(toks)
+    else:
+        # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence,
+        # so short docs must produce an explicitly empty shingle set
+        sh = F.when(F.size(toks) >= k, F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 1,
+    threshold: float = 0.8,
+    max_doc_freq: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All near-duplicate pairs by word-k-shingle Jaccard ≥ threshold.
+
+    explode shingles → drop hot shingles (df > max_doc_freq, the quadratic-
+    blowup guard) → self-join on shingle (a<b) → |A∩B| per pair → join doc
+    sizes → J = inter/(|A|+|B|−inter). Returns (doc_a, doc_b, jaccard).
+    """
+    sh = shingles(docs, k, id_col, text_col)
+    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(
+        df_per_shingle.where(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 1,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: sig_i(doc) = min over shingles of h_i(shingle),
+    h_i(s) = 60-bit md5(i || ':' || s). Returns (doc_id, i, minhash) — long
+    form so the band join below and the DuckDB oracle share the shape.
+    Linear work; one groupBy shuffle on (doc_id, i)."""
+    sh = shingles(docs, k, id_col, text_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        F.col("shingle"),
+    )
+    return (
+        seeded.withColumn(
+            "h",
+            _hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = 1,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH blocking: band the signature (num_hashes/rows_per_band
+    bands), bucket key = md5(band || minhashes), self-join buckets with a<b.
+    Returns distinct candidate pairs (doc_a, doc_b). The classic
+    shingle→minhash→band→bucket-join pipeline; candidates are then verified
+    with jaccard_pairs semantics on the candidate subset."""
+    sig = minhash_signatures(docs, k, num_hashes, id_col, text_col)
+    banded = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "minhash"))).alias("sig"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col("band").cast("string"),
+                    F.concat_ws(
+                        ",", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash fingerprints: per token (with multiplicity) take a 60-bit md5
+    hash; for each bit j the doc accumulates +count if set else −count; the
+    fingerprint sets bit j where the sum is positive. Returns (doc_id,
+    simhash). Near-dups then differ in few bits (Hamming ball search).
+    Work = tokens × bits rows through one partial-aggregated shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counted.withColumn("h", _hash60(F.col("tok")))
+    per_bit = (
+        hashed.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+            F.when(
+                F.expr("(h >> j) & 1") == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt")).alias("v"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

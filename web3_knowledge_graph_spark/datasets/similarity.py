@@ -1,0 +1,229 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path buckets
+vectors with random-hyperplane LSH (sign bits of deterministic pseudo-random
+projections) so candidate generation is a bucket-local join instead of a
+full cross product. No reference analog (the reference has no vector ops);
+this is the training-data-pipeline surface of the engine.
+
+Numerical contract: all arithmetic in float64, accumulated left-to-right over
+the array (F.aggregate is a sequential fold), which matches DuckDB's
+list_* semantics — oracle results are bit-identical, not just close.
+
+Scale notes: queries are broadcast (top-k serves a small probe set against a
+huge corpus). For all-pairs near-dup at 10^9 vectors, only the LSH-bucketed
+variant survives; bucket skew (dense regions) is absorbed by AQE skew-join
+splitting plus the hot-bucket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def with_norm(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return vecs.withColumn("_norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query set,
+    score every corpus vector JVM-side, rank per query. Returns
+    (query_id, neighbor_id, rank, cosine). Self-matches excluded.
+
+    The corpus side never shuffles for scoring — only the final per-query
+    top-k ranks shuffle, and that is bounded by |queries| × |corpus| rows
+    pre-filtered per-partition via the window rank.
+    """
+    q = F.broadcast(
+        with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qn"),
+        )
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _projection(dim: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component c_j = ±1 by parity
+    of an md5-derived integer — reproducible in SQL for the oracle."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"proj:{bit}:{j}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+        for j in range(dim)
+    ]
+
+
+def lsh_buckets(
+    vecs: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per vector:
+    bit b = sign(v · p_b). Returns (vec_id, bucket). Cosine-similar vectors
+    collide with probability 1 − θ/π per bit."""
+    out = vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    bucket = F.lit(0).cast("long")
+    for b in range(n_bits):
+        proj = F.array(*[F.lit(x) for x in _projection(dim, b)])
+        bit = (_dot(F.col("_v"), proj) > 0).cast("long")
+        bucket = bucket + bit * (1 << b)
+    return out.select("vec_id", bucket.alias("bucket"))
+
+
+def cosine_neardup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_bits: int = 0,
+    max_bucket: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold.
+
+    n_bits=0 → exact all-pairs (correctness baseline; quadratic — small
+    inputs only). n_bits>0 → LSH-bucketed: join only within buckets (the
+    scale path; recall < 1 by design, tunable via n_bits/band OR-ing).
+    """
+    v = with_norm(vecs, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
+    )
+    if n_bits > 0:
+        assert dim is not None, "dim required for LSH bucketing"
+        bk = lsh_buckets(vecs, dim, n_bits, id_col, vec_col)
+        hot = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).where(
+            F.col("c") <= max_bucket
+        ).select("bucket")
+        v = v.join(bk.join(hot, "bucket"), "vec_id")
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+    else:
+        join_cond = F.col("a.vec_id") < F.col("b.vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: deterministic centroid set (every
+    corpus vector with id % ceil(N/n_centroids) == 0 at small scale; a
+    trained codebook in production), assign each corpus vector to its
+    nearest centroid (broadcast centroids), probe the n_probe nearest cells
+    per query. Returns (query_id, neighbor_id, rank, cosine) — approximate:
+    misses neighbors outside probed cells.
+    """
+    cents = F.broadcast(
+        with_norm(
+            corpus.orderBy(id_col).limit(n_centroids), vec_col
+        ).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("_pv"),
+            F.col("_norm").alias("_pn"),
+        )
+    )
+
+    def assign(df: DataFrame, out: str, n: int) -> DataFrame:
+        scored = df.crossJoin(cents).select(
+            df["*"],
+            F.col("cent_id"),
+            (_dot(F.col("_v"), F.col("_pv")) / (F.col("_n") * F.col("_pn"))).alias("_cs"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n)
+            .select(df["*"], F.col("cent_id").alias(out))
+        )
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
+    )
+    c_cells = assign(c, "cell", 1)
+    q_cells = assign(q, "cell", n_probe)
+    qq = q_cells.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        "cell",
+    )
+    cand = qq.join(c_cells, "cell").where(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,132 @@
+"""Text analysis for training-data curation: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+Reference analog: the WIC fulltext keyword rules (/root/reference/pipelines/
+analytics/wic/interests/cyphers.py:33-43 — dictionary containment over bios)
+are the same tokenize+dictionary-join shape as the stopword language-ID here;
+everything else is new training-pipeline surface. All operators are native
+column expressions / broadcast dictionary joins — zero Python in the row
+path, so plans stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..fixtures.dictionaries import LANGS, STOPWORDS
+from .dedup import tokens_col
+
+# BPE-ish lexer: letter runs | digit runs | any single non-space symbol.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def stopword_rows() -> list[tuple[str, str]]:
+    """(lang, word) rows of the frozen stopword dictionary — broadcast side."""
+    return [(lang, w) for lang in LANGS for w in STOPWORDS[lang]]
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-hit language ID: explode word tokens, broadcast-join the
+    per-language stopword dictionary, argmax hits per doc (ties broken by
+    lang ascending — deterministic). Docs with zero hits → 'und'.
+    Returns (doc_id, guessed_lang, hits)."""
+    spark = docs.sparkSession
+    dic = F.broadcast(
+        spark.createDataFrame(stopword_rows(), "lang string, word string")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("word")
+    )
+    hits = (
+        toks.join(dic, "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = (
+        hits.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("doc_id", F.col("lang").alias("guessed_lang"), "hits")
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    return all_ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("guessed_lang", F.lit("und")).alias("guessed_lang"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+    )
+
+
+def quality_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc quality features + a composite score, all closed-form:
+
+      n_chars, n_tokens, mean_token_len, stopword_ratio (any language),
+      punct_ratio, digit_ratio,
+      quality = 0.4·min(n_tokens/100,1) + 0.4·min(stopword_ratio·5,1)
+              + 0.2·(1 − min(punct_ratio·10,1))
+
+    Heuristic mirrors common CCNet/Gopher-style length+stopword+symbol
+    filters. Ratios are exact rational values of integer counts — oracle-
+    stable across engines.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(f"({PUNCT_RE})"), 1))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit("([0-9])"), 1))
+    n_chars = F.length(text)
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        0.4 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.4 * F.least(stopword_ratio * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish lexer token count per doc —
+    the cost denominators of a training-data pipeline.
+    Returns (doc_id, ws_tokens, bpe_tokens)."""
+    text = F.col(text_col)
+    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(f"({BPE_TOKEN_RE})"), 1))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def content_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (catches shuffled/reordered plagiarism that exact_dedup
+    misses) plus the exact md5. Returns (doc_id, exact_md5, bag_md5)."""
+    toks = tokens_col(F.col(text_col))
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.lower(F.col(text_col))).alias("exact_md5"),
+        F.md5(bag).alias("bag_md5"),
+    )

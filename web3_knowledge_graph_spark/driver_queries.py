@@ -1,0 +1,900 @@
+"""Driver contract surface: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus a matching DuckDB oracle SQL.
+
+Each query exercises one operator family from SURVEY.md §2 (citation in the
+callable's docstring) over the driver testdata tables. Web-page-shaped inputs
+come from sources.pages.PAGES_SQL — ONE SQL text evaluated by both engines,
+so Spark and DuckDB operate on identical corpora.
+
+Parity rules applied throughout (the driver hashes values after sorting
+columns by name):
+  * every computed column aliased identically on both sides
+  * counts cast to BIGINT on both sides (DuckDB len() → BIGINT, sum → HUGEINT)
+  * money sums as DECIMAL(38,2) (order-independent, unlike double sums)
+  * timestamps emitted as formatted strings (sidesteps tz/arrow-schema skew)
+  * doubles only from deterministic scalar arithmetic, never from
+    accumulation-order-dependent sums
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .datasets import dedup as D
+from .datasets import similarity as S
+from .datasets import textstats as TS
+from .fixtures.dictionaries import STOPWORDS
+from .functions import mentions as M
+from .functions import normalize as N
+from .operators import linking
+from .operators.canon import connected_components
+from .operators.holdings import rotate_holdings
+from .operators.projection import bipartite_project
+from .operators.rules import apply_rules, reputation_scores
+from .sources.pages import PAGES_SQL, synthesize_pages
+
+PAGES_WITH = f"WITH pages AS ({PAGES_SQL})"
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# Inline vocabulary dictionary for the dictionary-mention operator: aliases
+# drawn from the synthetic documents' vocabulary so matches are non-trivial.
+VOCAB_ENTITIES = [
+    ("eng:spark", "tech", ["spark"]),
+    ("db:table", "db", ["table", "tables"]),
+    ("op:merge", "op", ["merge", "join"]),
+    ("op:window", "op", ["window"]),
+    ("op:scan", "op", ["scan"]),
+]
+_DICT_VALUES = ", ".join(
+    f"('{a}', '{eid}', '{kind}')" for eid, kind, als in VOCAB_ENTITIES for a in als
+)
+
+AUTHOR_RE = r"Author wallet: (0x[a-fA-F0-9]+)"
+
+# Frozen token/shingle SQL fragments (DuckDB side) mirroring datasets.dedup
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+_SH3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),"
+    " i -> array_to_string(t[i:i+2], ' ')))"
+)
+_H60 = "CAST(CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return synthesize_pages(spark, sf_dir)
+
+
+def _vocab_dict(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(eid, kind, als) for eid, kind, als in VOCAB_ENTITIES],
+        "entity_id string, kind string, aliases array<string>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mention detection (SURVEY §2.4) over synthesized pages
+# ---------------------------------------------------------------------------
+
+def q_mention_wallets(spark, sf_dir):
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("wallet",))
+
+
+def q_mention_ens(spark, sf_dir):
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("ens",))
+
+
+def q_mention_handles(spark, sf_dir):
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("handle",))
+
+
+def q_mention_urls(spark, sf_dir):
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("url",))
+
+
+def q_twitter_refs(spark, sf_dir):
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("twitter",))
+
+
+def q_dict_mentions(spark, sf_dir):
+    return M.dictionary_mentions(_pages(spark, sf_dir), _vocab_dict(spark))
+
+
+def q_sanitize(spark, sf_dir):
+    """Text sanitize (helpers/cypher.py:88-96) on a quote-wrapped column."""
+    p = _pages(spark, sf_dir)
+    raw = F.concat(F.lit('"'), F.substring("text", 1, 50), F.lit('" '))
+    return p.select("url", N.sanitize_text(raw).alias("clean"))
+
+
+_ENS_L = (
+    "list_transform(list_filter(regexp_extract_all(text,"
+    " '([-a-zA-Z0-9@:%._+~#=]+)', 1),"
+    " x -> regexp_matches(x, '^[-a-zA-Z0-9@:%._+~#=]{1,256}\\.eth$')),"
+    " x -> lower(x))"
+)
+_HANDLE_L = (
+    "list_transform(list_filter(list_transform(regexp_extract_all(text,"
+    " '(@\\w+)', 1), x -> substr(x, 2, 16)),"
+    " x -> regexp_matches(x, '^[A-Za-z0-9_]{1,15}$')), x -> lower(x))"
+)
+
+ORACLE_MENTIONS = {
+    "mention_wallets": f"""
+{PAGES_WITH}
+SELECT url, 'wallet' AS kind, w AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest(list_transform(list_filter(
+      regexp_extract_all(text, '(0x[a-fA-F0-9]+)', 1),
+      x -> len(x) = 42), x -> lower(x))) AS w
+  FROM pages)
+GROUP BY url, w
+""",
+    "mention_ens": f"""
+{PAGES_WITH}
+SELECT url, 'ens' AS kind, e AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest({_ENS_L}) AS e FROM pages)
+GROUP BY url, e
+""",
+    "mention_handles": f"""
+{PAGES_WITH}
+SELECT url, 'handle' AS kind, h AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest({_HANDLE_L}) AS h FROM pages)
+GROUP BY url, h
+""",
+    "mention_urls": f"""
+{PAGES_WITH}
+SELECT url, 'url' AS kind, u AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest(list_filter(
+      regexp_extract_all(text, '(https?://[^\\s<>"'']+)', 1),
+      x -> NOT regexp_matches(lower(x), '\\.(gif|jpg|jpeg|png|mp4|mp3)'))) AS u
+  FROM pages)
+GROUP BY url, u
+""",
+    "twitter_refs": f"""
+{PAGES_WITH}
+SELECT url, 'twitter' AS kind, h AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest(list_transform(
+      regexp_extract_all(text, 'twitter\\.com/(\\w+)', 1), x -> lower(x))) AS h
+  FROM pages)
+GROUP BY url, h
+""",
+    "dict_mentions": f"""
+{PAGES_WITH},
+dic(alias, entity_id, entity_kind) AS (VALUES {_DICT_VALUES}),
+toks AS (
+  SELECT url, unnest(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9_.@-]+'),
+      x -> len(x) > 0)) AS alias
+  FROM pages)
+SELECT url, 'dict:' || entity_kind AS kind, entity_id AS value, COUNT(*) AS n
+FROM toks JOIN dic USING (alias)
+GROUP BY url, entity_kind, entity_id
+""",
+    "sanitize": f"""
+{PAGES_WITH}
+SELECT url,
+  rtrim(regexp_replace('"' || substr(text, 1, 50) || '" ',
+        '[\r\n\\"''`]', '', 'g')) AS clean
+FROM pages
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.4): hex→decimal scaling, epoch→ISO
+# ---------------------------------------------------------------------------
+
+def q_hex_amounts(spark, sf_dir):
+    """hex→numeric + decimal scaling (ingestion/tokenHolders/ingest.py:22-27,
+    92-103): deterministic 12-hex balances derived from order keys."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12)
+    raw = N.hex_to_decimal(h).cast("long")
+    return o.select(
+        "o_orderkey",
+        h.alias("balance_hex"),
+        raw.alias("amount_raw"),
+        (raw / F.pow(F.lit(10.0), F.lit(6))).alias("amount"),
+    )
+
+
+def q_event_iso(spark, sf_dir):
+    """epoch→ISO datetime (helpers/queries.py:118) round-trip on events.ts."""
+    e = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    return e.select(
+        "event_id",
+        secs.alias("epoch_s"),
+        F.date_format(N.epoch_to_ts(secs), "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+    )
+
+
+ORACLE_SCALARS = {
+    "hex_amounts": """
+SELECT o_orderkey,
+  substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS balance_hex,
+  CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS UBIGINT) AS BIGINT) AS amount_raw,
+  CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS UBIGINT) AS BIGINT) / power(10, 6) AS amount
+FROM orders
+""",
+    "event_iso": """
+SELECT event_id,
+  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+  strftime(make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000),
+           '%Y-%m-%d %H:%M:%S') AS iso_ts
+FROM events
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Joins / linking (SURVEY §2.5) and aggregation rules (§2.6)
+# ---------------------------------------------------------------------------
+
+def _page_alias_relations(spark, sf_dir):
+    p = _pages(spark, sf_dir)
+    wallet = F.lower(F.regexp_extract("text", AUTHOR_RE, 1))
+    base = p.select(
+        wallet.alias("wallet"),
+        M.extract_ens_names(F.col("text")).alias("ens_l"),
+        M.extract_handles(F.col("text")).alias("handle_l"),
+    ).where(F.length("wallet") == 42)
+    reg = base.select("wallet", F.explode("ens_l").alias("ens")).distinct()
+    th = (
+        base.select(F.explode("handle_l").alias("handle"), F.col("ens_l"))
+        .select("handle", F.explode("ens_l").alias("ens"))
+        .distinct()
+    )
+    return reg, th
+
+
+def q_two_hop_links(spark, sf_dir):
+    """Rule 1 linking: (Wallet)-[:HAS_ALIAS]-(Ens)-[:HAS_ALIAS]-(Twitter)
+    (accounts/cyphers.py:38-51) via operators.linking.two_hop_links."""
+    reg, th = _page_alias_relations(spark, sf_dir)
+    alias_rel = reg.select(
+        F.col("wallet").alias("node_id"),
+        F.lit("Wallet").alias("node_label"),
+        F.col("ens").alias("alias_id"),
+    ).unionByName(
+        th.select(
+            F.col("handle").alias("node_id"),
+            F.lit("Twitter").alias("node_label"),
+            F.col("ens").alias("alias_id"),
+        )
+    )
+    return linking.two_hop_links(alias_rel)
+
+
+def q_same_key_pairs(spark, sf_dir):
+    """Rule 2: same-key self-join with hot-block cap
+    (accounts/cyphers.py:69-83) — documents blocked by (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat_ws(":", "lang", "source").alias("key"),
+    )
+    return linking.same_key_links(nodes)
+
+
+def q_scored_links(spark, sf_dir):
+    """Rule 3: threshold/proportion entity-linking score
+    (accounts/cyphers.py:86-105) restated over events."""
+    e = _t(spark, sf_dir, "events")
+    author = e.select(F.col("user_id").alias("wallet_id"), F.col("event_id").alias("page_url"))
+    refs = e.select(F.col("event_id").alias("page_url"), F.col("event_type").alias("twitter_id"))
+    return linking.scored_reference_links(author, refs, count_threshold=3, proportion=0.2)
+
+
+def q_has_alias_triples(spark, sf_dir):
+    """End-to-end slice: pages → extraction → HAS_ALIAS triple emission
+    (helpers/queries.py:79-92,127-139)."""
+    reg, _ = _page_alias_relations(spark, sf_dir)
+    return reg.select(
+        F.concat(F.lit("Wallet:"), "wallet").alias("subj"),
+        F.lit("HAS_ALIAS").alias("pred"),
+        F.concat(F.lit("Ens:"), "ens").alias("obj"),
+    )
+
+
+def q_first_event(spark, sf_dir):
+    """first-per-group (scraping/mirror/scrape.py:143) on events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("first_ts"),
+        )
+    )
+
+
+def q_holdings_rotation(spark, sf_dir):
+    """HOLDS→HELD snapshot rotation (tokenHolders/cypher.py:104-148):
+    first-half-month holdings vs second-half."""
+    e = _t(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    prev = (
+        e.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+        .select(F.col("user_id").alias("holder"), F.col("event_type").alias("token"))
+        .distinct()
+        .withColumn("pred", F.lit("HOLDS"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    snap = (
+        e.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+        .select(F.col("user_id").alias("holder"), F.col("event_type").alias("token"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return rotate_holdings(prev, snap)
+
+
+def q_bipartite_projection(spark, sf_dir):
+    """Bipartite projection (analytics/helpers/networks.py:8-46): entity
+    co-mention graph over pages."""
+    m = M.dictionary_mentions(_pages(spark, sf_dir), _vocab_dict(spark))
+    return bipartite_project(m, bottom_col="url", top_col="value", threshold=2)
+
+
+def q_reputation(spark, sf_dir):
+    """WIC rule labels + weighted reputation score
+    (analytics/wic/*, wicScore/analyze.py:16-30) over events."""
+    e = _t(spark, sf_dir, "events")
+
+    def error_prone():
+        return (
+            e.where(F.col("event_type") == "error")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 5)
+            .select(F.col("user_id").alias("entity_id"), F.lit(2.0).alias("weight"))
+        )
+
+    def big_spender():
+        return (
+            e.groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"))
+            .where(F.col("sv") > 500)
+            .select(F.col("user_id").alias("entity_id"), F.lit(3.0).alias("weight"))
+        )
+
+    def clicker():
+        return (
+            e.where(F.col("event_type") == "click")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 10)
+            .select(F.col("user_id").alias("entity_id"), F.lit(1.0).alias("weight"))
+        )
+
+    labels = apply_rules(
+        {"error_prone": error_prone, "big_spender": big_spender, "clicker": clicker}
+    )
+    return reputation_scores(labels)
+
+
+def q_cc_components(spark, sf_dir):
+    """Connected components (large-star/small-star, SURVEY §2.10) over the
+    user↔prop-k bipartite graph from events (edge iff ≥4 interactions)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    edges = (
+        e.groupBy(F.col("user_id").cast("long").alias("src"), (k + 1000000).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 4)
+        .select("src", "dst")
+    )
+    return connected_components(edges)
+
+
+ORACLE_GRAPH = {
+    "two_hop_links": f"""
+{PAGES_WITH},
+sel AS (
+  SELECT lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1)) AS wallet,
+         {_ENS_L} AS ens_l, {_HANDLE_L} AS handle_l
+  FROM pages),
+base AS (SELECT * FROM sel WHERE len(wallet) = 42),
+reg AS (SELECT DISTINCT wallet, unnest(ens_l) AS ens FROM base),
+th0 AS (SELECT unnest(handle_l) AS handle, ens_l FROM base),
+th AS (SELECT DISTINCT handle, unnest(ens_l) AS ens FROM th0)
+SELECT DISTINCT reg.wallet AS src, th.handle AS dst,
+  'two_hop_alias' AS rule, CAST(1.0 AS DOUBLE) AS score,
+  'wallet-alias-twitter 2-hop (accounts/cyphers.py:38-51)' AS citation
+FROM reg JOIN th USING (ens)
+""",
+    "same_key_pairs": """
+WITH n AS (SELECT doc_id AS id, lang || ':' || source AS k FROM documents),
+ok AS (SELECT k FROM n GROUP BY k HAVING COUNT(*) BETWEEN 2 AND 100),
+b AS (SELECT id, k FROM n JOIN ok USING (k))
+SELECT a1.id AS src, a2.id AS dst, 'same_key' AS rule,
+  CAST(1.0 AS DOUBLE) AS score,
+  'same-handle self-join (accounts/cyphers.py:69-83)' AS citation
+FROM b a1 JOIN b a2 ON a1.k = a2.k AND a1.id < a2.id
+""",
+    "scored_links": """
+WITH pair AS (
+  SELECT user_id, event_type, COUNT(DISTINCT event_id) AS refs
+  FROM events GROUP BY user_id, event_type),
+tot AS (SELECT user_id, COUNT(DISTINCT event_id) AS authored FROM events GROUP BY user_id)
+SELECT pair.user_id AS src, event_type AS dst, 'scored_reference' AS rule,
+  refs / authored AS score,
+  'likely HAS_ACCOUNT (accounts/cyphers.py:86-105)' AS citation
+FROM pair JOIN tot ON pair.user_id = tot.user_id
+WHERE refs > 3 AND refs / authored > 0.2
+""",
+    "has_alias_triples": f"""
+{PAGES_WITH},
+sel AS (
+  SELECT lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1)) AS wallet,
+         {_ENS_L} AS ens_l
+  FROM pages),
+reg AS (SELECT DISTINCT wallet, unnest(ens_l) AS ens FROM sel WHERE len(wallet) = 42)
+SELECT 'Wallet:' || wallet AS subj, 'HAS_ALIAS' AS pred, 'Ens:' || ens AS obj FROM reg
+""",
+    "first_event": f"""
+SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS first_ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events)
+WHERE r = 1
+""",
+    "holdings_rotation": """
+WITH prev AS (
+  SELECT DISTINCT user_id AS holder, event_type AS token FROM events
+  WHERE ts < TIMESTAMP '2024-01-16'),
+snap AS (
+  SELECT DISTINCT user_id AS holder, event_type AS token FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT COALESCE(p.holder, s.holder) AS holder,
+  COALESCE(p.token, s.token) AS token,
+  CASE WHEN s.holder IS NOT NULL THEN 'HOLDS' ELSE 'HELD' END AS pred,
+  CAST(1.0 AS DOUBLE) AS weight
+FROM prev p FULL OUTER JOIN snap s ON p.holder = s.holder AND p.token = s.token
+""",
+    "bipartite_projection": f"""
+{PAGES_WITH},
+dic(alias, entity_id, entity_kind) AS (VALUES {_DICT_VALUES}),
+toks AS (
+  SELECT url, unnest(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9_.@-]+'),
+      x -> len(x) > 0)) AS alias
+  FROM pages),
+m AS (SELECT DISTINCT url, entity_id FROM toks JOIN dic USING (alias))
+SELECT a.entity_id AS top_a, b.entity_id AS top_b, COUNT(*) AS shared
+FROM m a JOIN m b ON a.url = b.url AND a.entity_id < b.entity_id
+GROUP BY a.entity_id, b.entity_id
+HAVING COUNT(*) >= 2
+""",
+    "reputation": """
+WITH labels AS (
+  SELECT user_id AS entity_id, CAST(2.0 AS DOUBLE) AS weight FROM events
+    WHERE event_type = 'error' GROUP BY user_id HAVING COUNT(*) >= 5
+  UNION ALL
+  SELECT user_id, CAST(3.0 AS DOUBLE) FROM events
+    GROUP BY user_id HAVING SUM(CAST(value AS DECIMAL(18,2))) > 500
+  UNION ALL
+  SELECT user_id, CAST(1.0 AS DOUBLE) FROM events
+    WHERE event_type = 'click' GROUP BY user_id HAVING COUNT(*) >= 10),
+deg AS (SELECT entity_id, SUM(weight) AS raw_score FROM labels GROUP BY entity_id)
+SELECT entity_id, raw_score,
+  raw_score / (SELECT MAX(raw_score) FROM deg) * 100.0 AS reputation_score
+FROM deg
+""",
+    "cc_components": """
+WITH edges AS (
+  SELECT CAST(user_id AS BIGINT) AS src,
+         1000000 + CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS dst
+  FROM events
+  GROUP BY src, dst HAVING COUNT(*) >= 4),
+e2 AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS id FROM e2),
+walk AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT w.id, e2.b FROM walk w JOIN e2 ON w.comp = e2.a)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+""",
+}
+# cc oracle needs WITH RECURSIVE
+ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
+    "WITH edges", "WITH RECURSIVE edges", 1
+)
+
+
+# ---------------------------------------------------------------------------
+# Windowed / streaming-equivalent analytics (SURVEY §2.7, §2.11)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window agg (batch equivalent of the Structured Streaming
+    job in streaming/jobs.py): per (hour, event_type) count + exact sum."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact integer-cents sum: order-independent (double sums are
+            # accumulation-order-dependent and would flake the value hash)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("total"),
+        )
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    """Session windows (30-min inactivity gap) via lag/cumsum — the batch
+    restatement of stateful sessionization (streaming/jobs.py has the
+    applyInPandasWithState variant)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ from parquet; unix_micros needs TIMESTAMP
+    tsc = F.col("ts").cast("timestamp")
+    gap = F.unix_micros(tsc) - F.unix_micros(F.lag(tsc).over(w))
+    flagged = e.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("start_ts"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("end_ts"),
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """OLAP sanity (partial-agg shape): TPC-H Q1-style pricing summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_WINDOWED = {
+    "events_hourly": f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+FROM events GROUP BY 1, 2
+""",
+    "sessionization": f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL
+                 OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000
+            THEN 1 ELSE 0 END AS nf
+  FROM o),
+s AS (
+  SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM f)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  strftime(MIN(ts), '{TS_FMT_DUCK}') AS start_ts,
+  strftime(MAX(ts), '{TS_FMT_DUCK}') AS end_ts
+FROM s GROUP BY user_id, session_id
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"), k=3, num_hashes=8)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=8, rows_per_band=2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.05)
+
+
+def q_embed_knn(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_lang_id(spark, sf_dir):
+    return TS.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    return TS.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return TS.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
+)
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+_ALL_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _ALL_STOP) + "]"
+
+ORACLE_DATASETS = {
+    "dedup_exact": """
+WITH fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents),
+canon AS (SELECT fingerprint, MIN(doc_id) AS canonical_doc_id FROM fp GROUP BY fingerprint)
+SELECT doc_id, fp.fingerprint, canonical_doc_id,
+  doc_id != canonical_doc_id AS is_dup
+FROM fp JOIN canon ON fp.fingerprint = canon.fingerprint
+""",
+    "minhash_signatures": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
+seeded AS (
+  SELECT doc_id, j.i AS i, shingle
+  FROM sh, generate_series(0, 7) AS j(i))
+SELECT doc_id, i,
+  MIN({_H60.format(expr="CAST(i AS STRING) || ':' || shingle")}) AS minhash
+FROM seeded GROUP BY doc_id, i
+""",
+    "lsh_pairs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
+seeded AS (
+  SELECT doc_id, j.i AS i, shingle
+  FROM sh, generate_series(0, 7) AS j(i)),
+sig AS (
+  SELECT doc_id, i,
+    MIN({_H60.format(expr="CAST(i AS STRING) || ':' || shingle")}) AS minhash
+  FROM seeded GROUP BY doc_id, i),
+banded AS (
+  SELECT doc_id,
+    md5(CAST(CAST(FLOOR(i / 2.0) AS INT) AS STRING) || ',' ||
+        string_agg(CAST(minhash AS STRING), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    "simhash": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+counted AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok),
+h AS (SELECT doc_id, cnt, {_H60.format(expr="tok")} AS hh FROM counted),
+bits AS (
+  SELECT doc_id, j.j AS j,
+    SUM(CASE WHEN ((hh >> j.j) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+  FROM h, generate_series(0, 15) AS j(j)
+  GROUP BY doc_id, j.j)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    "jaccard_pairs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
+df AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10000),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE i / (sa.sz + sb.sz - i) >= 0.05
+""",
+    "embed_knn": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS cosine
+  FROM q, e WHERE q.vec_id != e.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= 5
+""",
+    "embed_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  list_cosine_similarity(a.v, b.v) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+    "lang_id": f"""
+WITH sw(lang, word) AS (VALUES {_SW_VALUES}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM toks JOIN sw USING (word) GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS r
+  FROM hits)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS guessed_lang,
+  COALESCE(b.hits, 0) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
+""",
+    "quality": f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter({_TOKS}, x -> list_contains({_ALL_STOP_SQL}, x))) AS BIGINT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '([^A-Za-z0-9\\s])', 1)) AS BIGINT) AS n_punct,
+    CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS BIGINT) AS n_digit
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, n_stopwords,
+  CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+  CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE CAST(0.0 AS DOUBLE) END AS digit_ratio,
+  0.4 * LEAST(n_tokens / 100.0, 1.0)
+  + 0.4 * LEAST(CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE CAST(0.0 AS DOUBLE) END * 5.0, 1.0)
+  + 0.2 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE CAST(0.0 AS DOUBLE) END * 10.0, 1.0)) AS quality
+FROM q
+""",
+    "token_counts": """
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', 1)) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+    "fingerprints": f"""
+SELECT doc_id, md5(lower(text)) AS exact_md5,
+  md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bag_md5
+FROM documents
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry smoke): the full KG pipeline on synthesized pages
+# ---------------------------------------------------------------------------
+
+def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → extraction → mentions → graph build → canonical triples.
+    Smoke surface for the driver's entry(); per-stage queries above carry
+    the oracle checks."""
+    from .fixtures.dictionaries import alias_dict_rows
+    from .plans.pipeline import build_graph, extract_stage, triples
+    from .schemas import ALIAS_DICT
+
+    pages = _pages(spark, sf_dir)
+    alias_dict = spark.createDataFrame(alias_dict_rows(), ALIAS_DICT)
+    mentions = extract_stage(pages, alias_dict)
+    reg, th = _page_alias_relations(spark, sf_dir)
+    registrations = reg.select(
+        F.col("ens").alias("name"), F.col("wallet").alias("owner")
+    ).withColumns(
+        {
+            "resolved_address": F.col("owner"),
+            "registrant": F.col("owner"),
+            "transaction_id": F.lit(None).cast("string"),
+            "block_number": F.lit(None).cast("long"),
+        }
+    )
+    profiles = th.groupBy("handle").agg(
+        F.concat_ws(" ", F.collect_set(F.col("ens"))).alias("bio")
+    ).withColumns(
+        {
+            "name": F.col("handle"),
+            "verified": F.lit(None).cast("boolean"),
+            "user_id": F.lit(None).cast("string"),
+            "follower_count": F.lit(None).cast("long"),
+            "website": F.lit(None).cast("string"),
+            "language": F.lit(None).cast("string"),
+        }
+    )
+    balances = spark.createDataFrame(
+        [], "address string, contract_address string, snapshot int"
+    )
+    nodes, edges = build_graph(
+        spark, mentions, registrations, profiles, balances, alias_dict
+    )
+    return triples(nodes, edges)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "mention_wallets": q_mention_wallets,
+        "mention_ens": q_mention_ens,
+        "mention_handles": q_mention_handles,
+        "mention_urls": q_mention_urls,
+        "twitter_refs": q_twitter_refs,
+        "dict_mentions": q_dict_mentions,
+        "sanitize": q_sanitize,
+        "hex_amounts": q_hex_amounts,
+        "event_iso": q_event_iso,
+        "two_hop_links": q_two_hop_links,
+        "same_key_pairs": q_same_key_pairs,
+        "scored_links": q_scored_links,
+        "has_alias_triples": q_has_alias_triples,
+        "first_event": q_first_event,
+        "holdings_rotation": q_holdings_rotation,
+        "bipartite_projection": q_bipartite_projection,
+        "reputation": q_reputation,
+        "cc_components": q_cc_components,
+        "events_hourly": q_events_hourly,
+        "sessionization": q_sessionization,
+        "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embed_knn": q_embed_knn,
+        "embed_neardup": q_embed_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "flagship_triples": flagship_triples,
+    }
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_WINDOWED, ORACLE_DATASETS):
+        out.update(d)
+    # flagship_triples intentionally has no oracle (multi-stage iterative
+    # pipeline incl. connected components) — rows-only check; the per-stage
+    # queries above carry the SQL oracles.
+    return out

@@ -80,15 +80,24 @@ def connected_components(
         .distinct()
     )
     e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    def _sig(df: DataFrame):
+        # order-independent edge-set signature: one cheap agg instead of two
+        # exceptAll anti-joins per iteration (collision odds ~2^-64)
+        return df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+
+    prev = _sig(e)
     for _ in range(max_iter):
         e2 = _star_round(e, large=True)
         e2 = _star_round(e2, large=False).localCheckpoint()
-        # convergence: edge set unchanged (small-star output is canonical-form
-        # (node, min) pairs, so set equality is a fixed-point test)
-        delta = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        cur = _sig(e2)
         e = e2
-        if delta == 0:
+        if cur == prev:
             break
+        prev = cur
     # e is (node, min) for every non-min node; min nodes and isolated nodes
     # (self-loop-only) map to themselves via the all_nodes union
     assigned = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
