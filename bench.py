@@ -46,7 +46,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # Default to 8 threads unless SPARK_GRAFT_CPUS says otherwise: this VM
+    # advertises 32 vCPUs but the hypervisor backs ~8 — beyond that, guest
+    # sys-time/steal collapse makes timings worse AND noisier (measured;
+    # see BENCH.md "environment calibration").
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(os.cpu_count() or 8, 8)
+    spark = get_spark("bench", cores=cores)
     qs = all_queries()
 
     # warm the JVM/session so fixed startup cost doesn't pollute query times

@@ -1,0 +1,235 @@
+"""Training-data operators: dedup ladder, similarity search, text stats,
+multimodal plumbing — verified against independent Python/numpy references
+on small inputs (the DuckDB oracles in driver_queries cover the sf0.01
+tier; these pin the semantics with zero-dependency reimplementations)."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_knowledge_graph_spark.datasets import dedup as D
+from web3_knowledge_graph_spark.datasets import multimodal as MM
+from web3_knowledge_graph_spark.datasets import similarity as S
+from web3_knowledge_graph_spark.datasets import textstats as TS
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (4, "dog lazy the over jumps fox brown quick the"),  # bag-equal to 0
+    (5, ""),
+    (6, "el perro y el gato en la casa de la abuela"),
+    (7, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def py_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def py_shingles(text, k):
+    toks = py_tokens(text)
+    if k == 1:
+        return set(toks)
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(spark, docs):
+    rows = {r.doc_id: r for r in D.exact_dedup(docs).collect()}
+    assert rows[1].canonical_doc_id == 0 and rows[1].is_dup
+    assert rows[0].canonical_doc_id == 0 and not rows[0].is_dup
+    assert rows[2].canonical_doc_id == 2 and not rows[2].is_dup
+    assert rows[0].fingerprint == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+def test_jaccard_pairs_vs_python(spark, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(docs, k=1, threshold=0.5).collect()
+    }
+    expect = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = py_shingles(ta, 1), py_shingles(tb, 1)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            expect[(ia, ib)] = j
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k])
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 4) in got and got[(0, 4)] == 1.0  # bag-equal
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sig = D.minhash_signatures(docs, k=1, num_hashes=8)
+    rows = sig.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.i] = r.minhash
+    assert by_doc[0] == by_doc[1] == by_doc[4]  # same shingle set
+    assert by_doc[0] != by_doc[3]
+    assert all(len(v) == 8 for v in by_doc.values())
+    # doc 5 (empty) and 7 participate only if they have >= k tokens
+    assert 5 not in by_doc
+
+
+def test_lsh_recovers_exact_dups(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(docs, k=1, num_hashes=8, rows_per_band=2).collect()
+    }
+    assert {(0, 1), (0, 4), (1, 4)} <= pairs
+    assert (0, 3) not in pairs
+
+
+def test_simhash_properties(spark, docs):
+    rows = {r.doc_id: r.simhash for r in D.simhash(docs, bits=16).collect()}
+    assert rows[0] == rows[1]  # identical docs
+    assert 0 <= rows[0] < 2**16
+    # near-dup differs in few bits; unrelated differs in many
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(rows[0], rows[2]) <= ham(rows[0], rows[3])
+
+
+def test_cosine_topk_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    got = S.cosine_topk(df, df.where(F.col("vec_id") < 3), k=4).collect()
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(3):
+        order = [
+            n for n in np.argsort(-sims[q]) if n != q
+        ][:4]
+        mine = sorted([r for r in got if r.query_id == q], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in mine] == order
+        for r in mine:
+            assert r.cosine == pytest.approx(sims[q][r.neighbor_id], abs=1e-9)
+
+
+def test_ivf_topk_mostly_agrees_with_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(df, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(df, q, k=3, n_centroids=8, n_probe=4).collect()
+    }
+    # IVF with half the cells probed should recover a solid majority
+    assert len(exact & approx) >= len(exact) * 0.5
+
+
+def test_lsh_buckets_collide_for_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [-1.0, -2.0, -3.0, -4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.bucket for r in S.lsh_buckets(df, dim=4, n_bits=6).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]  # antipodal → all bits flip
+
+
+def test_language_id(spark, docs):
+    rows = {r.doc_id: r for r in TS.language_id(docs).collect()}
+    assert rows[0].guessed_lang == "en"  # 'the' x2, 'over'... 'the' hits
+    assert rows[6].guessed_lang == "es"
+    assert rows[5].guessed_lang == "und" and rows[5].hits == 0
+    assert rows[7].guessed_lang == "und"
+
+
+def test_quality_and_token_counts(spark, docs):
+    q = {r.doc_id: r for r in TS.quality_features(docs).collect()}
+    t = {r.doc_id: r for r in TS.token_counts(docs).collect()}
+    text0 = DOCS[0][1]
+    assert q[0].n_tokens == len(py_tokens(text0))
+    assert q[0].n_chars == len(text0)
+    assert q[5].n_tokens == 0 and q[5].quality == pytest.approx(0.2)
+    assert t[0].ws_tokens == 9
+    assert t[0].bpe_tokens == 9  # no punctuation
+    assert 0.0 <= q[0].quality <= 1.0
+    # stopword-rich English text scores above stopword-free latin filler
+    assert q[0].quality > q[3].quality
+
+
+def test_fingerprints_order_insensitive(spark, docs):
+    rows = {r.doc_id: r for r in TS.content_fingerprint(docs).collect()}
+    assert rows[0].exact_md5 == rows[1].exact_md5
+    assert rows[0].bag_md5 == rows[4].bag_md5  # shuffled words
+    assert rows[0].exact_md5 != rows[4].exact_md5
+    assert rows[0].bag_md5 != rows[3].bag_md5
+
+
+def test_multimodal_decode_and_frames(spark):
+    media = MM.synthesize_media(spark, n=24)
+    feats = MM.decode_features(media).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert r.ok and len(r.features) == MM.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+    frames = MM.sample_frames(media, fps=1.0, max_frames=4).collect()
+    vids = {r.media_id for r in frames}
+    assert vids  # every video row sampled
+    per_vid = {}
+    for r in frames:
+        per_vid.setdefault(r.media_id, []).append(r)
+    for rows in per_vid.values():
+        assert len(rows) <= 4
+        assert sorted(r.frame_idx for r in rows) == list(range(len(rows)))
+    rez = MM.resize_metadata(media, max_side=128).collect()
+    for r in rez:
+        assert max(r.target_width, r.target_height) <= 128
+        if max(r.width, r.height) <= 128:
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+
+
+def test_multimodal_unknown_modality_raises():
+    with pytest.raises(NotImplementedError):
+        MM._decode_payload(b"xx", "hologram")
+
+
+def test_bipartite_projection(spark):
+    from web3_knowledge_graph_spark.operators.projection import bipartite_project
+
+    rel = spark.createDataFrame(
+        [("p1", "a"), ("p1", "b"), ("p2", "a"), ("p2", "b"), ("p3", "a"), ("p3", "c")],
+        "page string, ent string",
+    )
+    rows = {
+        (r.top_a, r.top_b): r.shared
+        for r in bipartite_project(rel, "page", "ent", threshold=1).collect()
+    }
+    assert rows[("a", "b")] == 2
+    assert rows[("a", "c")] == 1
+    assert ("b", "c") not in rows

@@ -58,25 +58,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def shingle_array(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of ``text`` as array<string>; k=1 is the
+    unigram/bag-of-words case."""
+    toks = tokens_col(text)
+    if k == 1:
+        return F.array_distinct(toks)
+    # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence,
+    # so short docs must produce an explicitly empty shingle set
+    return F.when(F.size(toks) >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word k-shingles per doc: (doc_id, shingle). k=1 is the
-    unigram/bag-of-words case."""
-    toks = tokens_col(F.col(text_col))
-    if k == 1:
-        sh = F.array_distinct(toks)
-    else:
-        # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence,
-        # so short docs must produce an explicitly empty shingle set
-        sh = F.when(F.size(toks) >= k, F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        )).otherwise(F.array().cast("array<string>"))
+    """Distinct word k-shingles per doc, exploded: (doc_id, shingle)."""
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
 
 
@@ -120,6 +124,22 @@ def jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) permutation coefficients, md5-derived so the
+    DuckDB oracle can inline the identical constants."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mha:{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mhb:{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 1,
@@ -127,23 +147,38 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signatures: sig_i(doc) = min over shingles of h_i(shingle),
-    h_i(s) = 60-bit md5(i || ':' || s). Returns (doc_id, i, minhash) — long
-    form so the band join below and the DuckDB oracle share the shape.
-    Linear work; one groupBy shuffle on (doc_id, i)."""
+    """MinHash signatures: sig_i(doc) = min over shingles of
+    h_i(s) = (a_i·h(s) + b_i) mod P with h(s) a 31-bit md5-derived base hash.
+    One md5 per shingle; the per-permutation work is pure integer arithmetic
+    (a_i·h < 2^62, no overflow). Returns (doc_id, i, minhash) — long form so
+    the band join below and the DuckDB oracle share the shape. Linear work;
+    one groupBy shuffle on (doc_id, i) — and the exploded rows carry only
+    ints, not shingle strings."""
+    coeffs = minhash_coeffs(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    # Shape choice: explode shingles, md5 ONCE per shingle in a plain
+    # (codegen'd) projection, drop the string, then explode the seed index
+    # and permute with pure integer arithmetic. An all-array-domain fold
+    # (aggregate over transform(md5)) looks shuffle-free but runs entirely
+    # in interpreted higher-order functions — measured 3-8x slower. The
+    # groupBy here shuffles almost nothing: map-side partial min reduces
+    # each doc to num_hashes rows before the exchange.
     sh = shingles(docs, k, id_col, text_col)
-    seeded = sh.select(
+    base = sh.select("doc_id", (_hash60(F.col("shingle")) % MINHASH_P).alias("h"))
+    seeded = base.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        F.col("shingle"),
+        F.col("h"),
     )
+    perm = (
+        F.element_at(a_arr, F.col("i") + 1) * F.col("h")
+        + F.element_at(b_arr, F.col("i") + 1)
+    ) % MINHASH_P
     return (
-        seeded.withColumn(
-            "h",
-            _hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))),
-        )
+        seeded.select("doc_id", "i", perm.alias("mh"))
         .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("minhash"))
+        .agg(F.min("mh").alias("minhash"))
     )
 
 

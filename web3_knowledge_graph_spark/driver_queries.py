@@ -667,6 +667,10 @@ def q_fingerprints(spark, sf_dir):
     return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+_MH_COEFFS = D.minhash_coeffs(8)
+_MH_A = "[" + ", ".join(str(a) for a, _ in _MH_COEFFS) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in _MH_COEFFS) + "]"
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -684,22 +688,20 @@ FROM fp JOIN canon ON fp.fingerprint = canon.fingerprint
     "minhash_signatures": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
-seeded AS (
-  SELECT doc_id, j.i AS i, shingle
-  FROM sh, generate_series(0, 7) AS j(i))
+base AS (SELECT doc_id, {_H60.format(expr="shingle")} % 2147483647 AS h FROM sh),
+seeded AS (SELECT doc_id, j.i AS i, h FROM base, generate_series(0, 7) AS j(i))
 SELECT doc_id, i,
-  MIN({_H60.format(expr="CAST(i AS STRING) || ':' || shingle")}) AS minhash
+  MIN(({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % 2147483647) AS minhash
 FROM seeded GROUP BY doc_id, i
 """,
     "lsh_pairs": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
-seeded AS (
-  SELECT doc_id, j.i AS i, shingle
-  FROM sh, generate_series(0, 7) AS j(i)),
+base AS (SELECT doc_id, {_H60.format(expr="shingle")} % 2147483647 AS h FROM sh),
+seeded AS (SELECT doc_id, j.i AS i, h FROM base, generate_series(0, 7) AS j(i)),
 sig AS (
   SELECT doc_id, i,
-    MIN({_H60.format(expr="CAST(i AS STRING) || ':' || shingle")}) AS minhash
+    MIN(({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % 2147483647) AS minhash
   FROM seeded GROUP BY doc_id, i),
 banded AS (
   SELECT doc_id,
@@ -819,8 +821,12 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(spark, sf_dir)
     alias_dict = spark.createDataFrame(alias_dict_rows(), ALIAS_DICT)
-    mentions = extract_stage(pages, alias_dict)
+    # materialize mentions + the small derived relations once: every
+    # downstream edge/node family re-derives the regex-extraction DAG
+    # otherwise, and the fused mega-plan is also expensive to codegen
+    mentions = extract_stage(pages, alias_dict).localCheckpoint()
     reg, th = _page_alias_relations(spark, sf_dir)
+    reg, th = reg.localCheckpoint(), th.localCheckpoint()
     registrations = reg.select(
         F.col("ens").alias("name"), F.col("wallet").alias("owner")
     ).withColumns(
@@ -849,6 +855,10 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = build_graph(
         spark, mentions, registrations, profiles, balances, alias_dict
     )
+    # cut lineage before the two node-dimension joins in triples(): without
+    # this the whole union-of-branches DAG recomputes once per join side
+    # (run_pipeline gets the same effect by writing nodes/edges to parquet)
+    nodes, edges = nodes.localCheckpoint(), edges.localCheckpoint()
     return triples(nodes, edges)
 
 

