@@ -520,6 +520,239 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
 )
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Bounded (≤4 hop) multi-source shortest paths
+    (analytics/wallet_communities/cyphers.py:22-35) over the user↔prop-k
+    graph; sources = node ids divisible by 20."""
+    from .operators.paths import bounded_shortest_paths
+
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    edges = (
+        e.groupBy(F.col("user_id").cast("long").alias("src"), (k + 1000000).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 4)
+        .select("src", "dst")
+    )
+    nodes = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    sources = nodes.where(F.col("id") % 20 == 0)
+    return bounded_shortest_paths(edges, sources, max_hops=4)
+
+
+def q_url_hosts(spark, sf_dir):
+    """url → host canonicalization (twitterRelations/process.py:55-73):
+    pages per host."""
+    p = _pages(spark, sf_dir)
+    urls = p.select(
+        "url", F.explode(M.extract_urls(F.col("text"))).alias("u")
+    )
+    host = F.lower(F.regexp_extract("u", r"^https?://([^/]+)", 1))
+    return (
+        urls.select("url", host.alias("host"))
+        .groupBy("host")
+        .agg(F.countDistinct("url").alias("n_pages"))
+    )
+
+
+def q_spam_flagging(spark, sf_dir):
+    """Spam-list membership via broadcast semi-join + flag column
+    (postProcessing/spam/process.py:14-19, cyphers.py:10-20)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    spam = F.broadcast(
+        part.where(F.col("p_partkey") % 13 == 0).select(
+            F.col("p_partkey").alias("l_partkey")
+        ).withColumn("_spam", F.lit(True))
+    )
+    flagged = li.join(spam, "l_partkey", "left").withColumn(
+        "is_spam", F.coalesce("_spam", F.lit(False))
+    )
+    return flagged.groupBy("is_spam").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_classify_accounts(spark, sf_dir):
+    """EOA / contract / multisig classification via lookup-table joins
+    (ingestion/wallets/helpers/util.py:146-159, ingest_types.py:43-64):
+    contract-code and multisig dims derived deterministically from
+    customer keys, broadcast-joined, precedence multisig > contract > eoa."""
+    c = _t(spark, sf_dir, "customer")
+    codes = F.broadcast(
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey").withColumn("_has_code", F.lit(True))
+    )
+    multi = F.broadcast(
+        c.where(F.col("c_custkey") % 25 == 0)
+        .select("c_custkey").withColumn("_multi", F.lit(True))
+    )
+    return (
+        c.join(codes, "c_custkey", "left")
+        .join(multi, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("_multi"), F.lit("multisig"))
+            .when(F.col("_has_code"), F.lit("contract"))
+            .otherwise(F.lit("eoa"))
+            .alias("account_type"),
+        )
+    )
+
+
+def q_normalize_showcase(spark, sf_dir):
+    """Scalar normalizers (SURVEY §2.4): camelCase split
+    (audiences/process.py:11,24), symbol clean (tokenHolders/ingest.py:
+    17-20), zero-address detection (helpers/utils.py:8-15)."""
+    part = _t(spark, sf_dir, "part")
+    camel = F.concat(F.lit("myToken"), (F.col("p_partkey") % 50).cast("string"))
+    sym = F.concat(F.lit("SYM-"), (F.col("p_partkey") % 9).cast("string"), F.lit("!"))
+    addr = F.when(
+        F.col("p_partkey") % 10 == 0, F.lit("0x" + "0" * 40)
+    ).otherwise(
+        F.concat(F.lit("0x"), F.md5((F.col("p_partkey")).cast("string")), F.lit("00000000"))
+    )
+    return part.select(
+        "p_partkey",
+        N.split_camel_case(camel).alias("spaced"),
+        N.clean_symbol(sym).alias("symbol"),
+        N.is_zero_address(addr).alias("is_zero"),
+    )
+
+
+def q_first_last_activity(spark, sf_dir):
+    """first/last activity per wallet (postProcessing/lastActivity/
+    process.py:21-49) → per-user min/max event time + count."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("first_active"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("last_active"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_watermark_filter(spark, sf_dir):
+    """Incremental watermark scan (SURVEY §2.11; scraping/ens/scrape.py:
+    152-153): rows after the stored cursor + the new per-type cursor."""
+    e = _t(spark, sf_dir, "events")
+    wm = F.lit("2024-01-25").cast("timestamp")
+    return (
+        e.where(F.col("ts") > wm)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("new_watermark"),
+        )
+    )
+
+
+def q_ivf_knn(spark, sf_dir):
+    """IVF-style approximate nearest neighbours (datasets/similarity.py):
+    16 deterministic centroids, 4 probed cells, top-5."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e, e.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4
+    )
+
+
+ORACLE_EXTRA = {
+    "shortest_paths": """
+WITH RECURSIVE edges AS (
+  SELECT CAST(user_id AS BIGINT) AS src,
+         1000000 + CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS dst
+  FROM events GROUP BY src, dst HAVING COUNT(*) >= 4),
+e2 AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS id FROM e2),
+srcs AS (SELECT id FROM nodes WHERE id % 20 = 0),
+walk(source, node, d) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT w.source, e2.b, w.d + 1 FROM walk w JOIN e2 ON w.node = e2.a
+  WHERE w.d < 4)
+SELECT source, node, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY source, node
+""",
+    "url_hosts": f"""
+{PAGES_WITH},
+urls AS (
+  SELECT url, unnest(list_filter(
+      regexp_extract_all(text, '(https?://[^\\s<>"'']+)', 1),
+      x -> NOT regexp_matches(lower(x), '\\.(gif|jpg|jpeg|png|mp4|mp3)'))) AS u
+  FROM pages)
+SELECT lower(regexp_extract(u, '^https?://([^/]+)', 1)) AS host,
+  COUNT(DISTINCT url) AS n_pages
+FROM urls GROUP BY host
+""",
+    "spam_flagging": """
+SELECT (l_partkey % 13 = 0) AS is_spam, COUNT(*) AS n_items,
+  COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY (l_partkey % 13 = 0)
+""",
+    "classify_accounts": """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 25 = 0 THEN 'multisig'
+       WHEN c_custkey % 5 = 0 THEN 'contract'
+       ELSE 'eoa' END AS account_type
+FROM customer
+""",
+    "normalize_showcase": """
+SELECT p_partkey,
+  regexp_replace('myToken' || CAST(p_partkey % 50 AS STRING),
+                 '([a-z])([A-Z])', '\\1 \\2', 'g') AS spaced,
+  regexp_replace('SYM-' || CAST(p_partkey % 9 AS STRING) || '!',
+                 '[^A-Za-z0-9_]+', '', 'g') AS symbol,
+  regexp_matches(
+    CASE WHEN p_partkey % 10 = 0 THEN '0x' || repeat('0', 40)
+         ELSE '0x' || md5(CAST(p_partkey AS STRING)) || '00000000' END,
+    '^0x0+$') AS is_zero
+FROM part
+""",
+    "first_last_activity": f"""
+SELECT user_id,
+  strftime(MIN(ts), '{TS_FMT_DUCK}') AS first_active,
+  strftime(MAX(ts), '{TS_FMT_DUCK}') AS last_active,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+    "watermark_filter": f"""
+SELECT event_type, COUNT(*) AS n_new,
+  strftime(MAX(ts), '{TS_FMT_DUCK}') AS new_watermark
+FROM events WHERE ts > TIMESTAMP '2024-01-25'
+GROUP BY event_type
+""",
+    "ivf_knn": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS pv FROM e ORDER BY vec_id LIMIT 16),
+cassign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.pv) DESC, c.cent_id) AS r
+    FROM e, cents c) WHERE r = 1),
+q AS (SELECT * FROM e WHERE vec_id < 8),
+qprobe AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT q.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.pv) DESC, c.cent_id) AS r
+    FROM q, cents c) WHERE r <= 4),
+cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, ca.vec_id AS neighbor_id
+  FROM qprobe qp JOIN cassign ca USING (cell)
+  WHERE qp.vec_id != ca.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qe.v, ne.v) AS cosine
+  FROM cand JOIN e qe ON query_id = qe.vec_id JOIN e ne ON neighbor_id = ne.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""",
+}
+
+
 # ---------------------------------------------------------------------------
 # Windowed / streaming-equivalent analytics (SURVEY §2.7, §2.11)
 # ---------------------------------------------------------------------------
@@ -882,6 +1115,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": q_bipartite_projection,
         "reputation": q_reputation,
         "cc_components": q_cc_components,
+        "shortest_paths": q_shortest_paths,
+        "url_hosts": q_url_hosts,
+        "spam_flagging": q_spam_flagging,
+        "classify_accounts": q_classify_accounts,
+        "normalize_showcase": q_normalize_showcase,
+        "first_last_activity": q_first_last_activity,
+        "watermark_filter": q_watermark_filter,
+        "ivf_knn": q_ivf_knn,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
         "pricing_summary": q_pricing_summary,
@@ -902,7 +1143,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_WINDOWED, ORACLE_DATASETS):
+    for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_EXTRA, ORACLE_WINDOWED, ORACLE_DATASETS):
         out.update(d)
     # flagship_triples intentionally has no oracle (multi-stage iterative
     # pipeline incl. connected components) — rows-only check; the per-stage
