@@ -221,6 +221,59 @@ def lsh_candidate_pairs(
     )
 
 
+def near_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full near-duplicate pipeline: MinHash-LSH candidate generation →
+    exact Jaccard verification on candidates only → connected components
+    over verified pairs → canonical doc = min(doc_id) per duplicate
+    cluster. Returns (doc_id, canonical_doc_id, is_dup) for every doc.
+
+    This is the standard web-corpus dedup recipe: candidate cost is
+    LSH-bounded (never all-pairs), verification touches only candidates,
+    and transitive duplicates collapse to one canonical via CC.
+    """
+    from ..operators.canon import connected_components
+
+    cand = lsh_candidate_pairs(docs, k, num_hashes, rows_per_band, id_col, text_col)
+    sh = shingles(docs, k, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    verified = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= jaccard_threshold
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    assign = connected_components(verified)
+    out = docs.select(F.col(id_col).alias("doc_id")).join(
+        assign.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("canonical_doc_id"),
+        (F.coalesce("component", F.col("doc_id")) != F.col("doc_id")).alias("is_dup"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     bits: int = 16,

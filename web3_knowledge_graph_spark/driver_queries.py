@@ -63,6 +63,9 @@ _SH3 = (
     " i -> array_to_string(t[i:i+2], ' ')))"
 )
 _H60 = "CAST(CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+_MH_COEFFS = D.minhash_coeffs(8)
+_MH_A = "[" + ", ".join(str(a) for a, _ in _MH_COEFFS) + "]"
+_MH_B = "[" + ", ".join(str(b) for _, b in _MH_COEFFS) + "]"
 
 
 def _prep(spark: SparkSession) -> None:
@@ -648,6 +651,73 @@ def q_watermark_filter(spark, sf_dir):
     )
 
 
+def q_reconcile_missing(spark, sf_dir):
+    """Set difference / reconcile (scraping/mirror/scrape.py:58-108
+    factory_NFTs.difference(arweave_NFTs)): parts never shipped."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.select("p_partkey").subtract(
+        li.where(F.col("l_quantity") > 45).select(F.col("l_partkey").alias("p_partkey"))
+    )
+
+
+def q_distinct_endpoints(spark, sf_dir):
+    """Distinct union of edge endpoints (ingestion/tokenHolders/ingest.py:
+    32-35 from ∪ to wallets) over the events graph."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    return (
+        e.select(F.col("user_id").cast("long").alias("node"))
+        .unionByName(e.select((k + 1000000).alias("node")))
+        .distinct()
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO upsert semantics (helpers/queries.py:21-38 ON CREATE /
+    ON MATCH): exercises the real versioned-warehouse Table.merge_upsert —
+    latest revision per key wins."""
+    import tempfile
+
+    from .sources.warehouse import Warehouse
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_acctbal").withColumn("rev", F.lit(0))
+    updates = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .withColumn("rev", F.lit(1))
+    )
+    t = Warehouse(tempfile.mkdtemp(prefix="wkg_merge_")).table("accounts")
+    t.overwrite(base)
+    t.merge_upsert(spark, updates, keys=["c_custkey"], order_col="rev")
+    return t.read(spark).select("c_custkey", "c_acctbal", "rev")
+
+
+def q_near_dedup(spark, sf_dir):
+    """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
+    verify → CC over verified pairs → canonical doc per cluster."""
+    return D.near_dedup(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=8,
+        rows_per_band=2, jaccard_threshold=0.7,
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (datasets/multimodal.py): opaque binary payloads
+    → Arrow-batched mapInPandas feature extraction (decode stubbed —
+    codecs absent in this container; schema/batching/partitioning real).
+    No SQL oracle (binary mapInPandas) → rows-only check."""
+    from .datasets.multimodal import decode_features, synthesize_media
+
+    media = synthesize_media(spark, n=128)
+    feats = decode_features(media)
+    return feats.select(
+        "media_id", "media_type", "ok", "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+    )
+
+
 def q_ivf_knn(spark, sf_dir):
     """IVF-style approximate nearest neighbours (datasets/similarity.py):
     16 deterministic centroids, 4 probed cells, top-5."""
@@ -720,6 +790,63 @@ SELECT event_type, COUNT(*) AS n_new,
   strftime(MAX(ts), '{TS_FMT_DUCK}') AS new_watermark
 FROM events WHERE ts > TIMESTAMP '2024-01-25'
 GROUP BY event_type
+""",
+    "reconcile_missing": """
+SELECT p_partkey FROM part
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE l_quantity > 45
+""",
+    "distinct_endpoints": """
+SELECT CAST(user_id AS BIGINT) AS node FROM events
+UNION
+SELECT 1000000 + CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) FROM events
+""",
+    "merge_upsert": """
+SELECT c_custkey,
+  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+  CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS rev
+FROM customer
+""",
+    "near_dedup": f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
+base AS (SELECT doc_id, {_H60.format(expr="shingle")} % 2147483647 AS h FROM sh),
+seeded AS (SELECT doc_id, j.i AS i, h FROM base, generate_series(0, 7) AS j(i)),
+sig AS (
+  SELECT doc_id, i,
+    MIN(({_MH_A}[i + 1] * h + {_MH_B}[i + 1]) % 2147483647) AS minhash
+  FROM seeded GROUP BY doc_id, i),
+banded AS (
+  SELECT doc_id,
+    md5(CAST(CAST(FLOOR(i / 2.0) AS INT) AS STRING) || ',' ||
+        string_agg(CAST(minhash AS STRING), ',' ORDER BY i)) AS bucket
+  FROM sig GROUP BY doc_id, CAST(FLOOR(i / 2.0) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b),
+ver AS (
+  SELECT doc_a AS src, doc_b AS dst
+  FROM inter
+  JOIN sz za ON doc_a = za.doc_id
+  JOIN sz zb ON doc_b = zb.doc_id
+  WHERE i / (za.n_sh + zb.n_sh - i) >= 0.7),
+e2 AS (SELECT src AS a, dst AS b FROM ver UNION SELECT dst, src FROM ver),
+walk AS (
+  SELECT DISTINCT a AS id, a AS comp FROM e2
+  UNION
+  SELECT w.id, e2.b FROM walk w JOIN e2 ON w.comp = e2.a),
+assign AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+SELECT d.doc_id,
+  COALESCE(a.component, d.doc_id) AS canonical_doc_id,
+  COALESCE(a.component, d.doc_id) != d.doc_id AS is_dup
+FROM documents d LEFT JOIN assign a ON d.doc_id = a.id
 """,
     "ivf_knn": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -899,10 +1026,6 @@ def q_token_counts(spark, sf_dir):
 def q_fingerprints(spark, sf_dir):
     return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
 
-
-_MH_COEFFS = D.minhash_coeffs(8)
-_MH_A = "[" + ", ".join(str(a) for a, _ in _MH_COEFFS) + "]"
-_MH_B = "[" + ", ".join(str(b) for _, b in _MH_COEFFS) + "]"
 
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
@@ -1122,6 +1245,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_showcase": q_normalize_showcase,
         "first_last_activity": q_first_last_activity,
         "watermark_filter": q_watermark_filter,
+        "reconcile_missing": q_reconcile_missing,
+        "distinct_endpoints": q_distinct_endpoints,
+        "merge_upsert": q_merge_upsert,
+        "near_dedup": q_near_dedup,
+        "media_features": q_media_features,
         "ivf_knn": q_ivf_knn,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
