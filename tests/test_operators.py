@@ -108,3 +108,46 @@ def test_minhash_blocking(spark):
     df = spark.createDataFrame(rows, "id long, name string")
     pairs = {(r["src"], r["dst"]) for r in linking.minhash_blocking(df, "id", "name").collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_salted_agg_matches_plain(spark):
+    """Salted two-phase aggregation is semantics-neutral, including on a
+    heavily skewed key (one hub key holding 80% of rows)."""
+    from web3_knowledge_graph_spark.operators.skew import salted_agg
+    import pyspark.sql.functions as F
+
+    rows = [("hub", float(i % 7)) for i in range(4000)] + [
+        (f"k{i % 50}", float(i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "key string, v double")
+    got = {
+        r.key: (r.n, r.total, r.lo, r.hi)
+        for r in salted_agg(
+            df, ["key"],
+            [("v", "count", "n"), ("v", "sum", "total"), ("v", "min", "lo"), ("v", "max", "hi")],
+            buckets=8,
+        ).collect()
+    }
+    want = {
+        r.key: (r.n, r.total, r.lo, r.hi)
+        for r in df.groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert got[k][2:] == want[k][2:]
+
+
+def test_split_hot_keys(spark):
+    from web3_knowledge_graph_spark.operators.skew import split_hot_keys
+
+    rows = [("hub", i) for i in range(500)] + [(f"k{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    hot, rest = split_hot_keys(df, "key", hot_threshold=100)
+    assert hot.count() == 500
+    assert rest.count() == 20
+    assert {r.key for r in hot.select("key").distinct().collect()} == {"hub"}

@@ -523,6 +523,23 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
 )
 
 
+def _entity_popularity_oracle() -> str:
+    """Plain GROUP BY over the union of all per-kind mention bodies —
+    stays in sync with ORACLE_MENTIONS by construction."""
+    bodies = [
+        ORACLE_MENTIONS[k].replace(PAGES_WITH, "", 1).strip()
+        for k in ("mention_wallets", "mention_ens", "mention_handles",
+                  "mention_urls", "twitter_refs")
+    ]
+    union = "\nUNION ALL\n".join(f"({b})" for b in bodies)
+    return (
+        f"{PAGES_WITH}\n"
+        "SELECT kind, value, CAST(SUM(n) AS BIGINT) AS total_mentions,\n"
+        "  COUNT(*) AS n_pages\n"
+        f"FROM ({union})\nGROUP BY kind, value"
+    )
+
+
 def q_shortest_paths(spark, sf_dir):
     """Bounded (≤4 hop) multi-source shortest paths
     (analytics/wallet_communities/cyphers.py:22-35) over the user↔prop-k
@@ -648,6 +665,21 @@ def q_watermark_filter(spark, sf_dir):
             F.count(F.lit(1)).alias("n_new"),
             F.date_format(F.max("ts"), TS_FMT_SPARK).alias("new_watermark"),
         )
+    )
+
+
+def q_entity_popularity(spark, sf_dir):
+    """Hub-entity aggregation via SALTED two-phase agg (north rule: 'skew
+    from hub entities is handled with salted aggregations'): total mentions
+    per (kind, value) across pages. The DuckDB oracle is a PLAIN group-by —
+    proving the salted plan is semantics-neutral."""
+    from .operators.skew import salted_agg
+
+    m = M.extract_mentions(_pages(spark, sf_dir))
+    return salted_agg(
+        m, keys=["kind", "value"],
+        aggs=[("n", "sum", "total_mentions"), ("n", "count", "n_pages")],
+        buckets=16,
     )
 
 
@@ -791,6 +823,7 @@ SELECT event_type, COUNT(*) AS n_new,
 FROM events WHERE ts > TIMESTAMP '2024-01-25'
 GROUP BY event_type
 """,
+    "entity_popularity": _entity_popularity_oracle(),
     "reconcile_missing": """
 SELECT p_partkey FROM part
 EXCEPT
@@ -1245,6 +1278,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_showcase": q_normalize_showcase,
         "first_last_activity": q_first_last_activity,
         "watermark_filter": q_watermark_filter,
+        "entity_popularity": q_entity_popularity,
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,
         "merge_upsert": q_merge_upsert,
