@@ -76,7 +76,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count(),
+        "cores": cores,
         "n_docs": n_docs,
         "flagship_docs_per_sec": round(docs_per_sec, 2) if docs_per_sec else None,
     }

@@ -102,6 +102,11 @@ def worker(cores: int, mode: str) -> None:
         + F.size(M.extract_urls(text))
         + F.size(M.extract_twitter_handles(text))
     )
+    # one untimed warm-up evaluates codegen/JIT outside the measurement
+    if mode == "map":
+        big.limit(2000).select(F.sum(map_expr)).collect()
+    else:
+        extract_stage(big.limit(2000), _vocab_dict(spark)).count()
     times = []
     for _ in range(TRIALS):
         t0 = time.time()

@@ -233,3 +233,29 @@ def test_bipartite_projection(spark):
     assert rows[("a", "b")] == 2
     assert rows[("a", "c")] == 1
     assert ("b", "c") not in rows
+
+def test_near_dedup_clusters(spark):
+    """LSH→verify→CC pipeline: exact dups + transitive near-dups collapse
+    to the min-id canonical; unrelated docs stay their own canonical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                                  # exact dup of 0
+            (2, base.replace("kappa", "lambda")),       # near dup of 0/1
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "completely different words entirely here today folks"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.is_dup)
+        for r in __import__(
+            "web3_knowledge_graph_spark.datasets.dedup", fromlist=["near_dedup"]
+        ).near_dedup(docs, k=2, jaccard_threshold=0.5).collect()
+    }
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[2] == (0, True)   # transitive via CC
+    assert got[3] == (3, False)
+    assert got[4] == (4, False)

@@ -36,11 +36,17 @@ def get_spark(
         # cluster this would be sized to ~2-3x total executor cores.
         shuffle_partitions = max(2 * cores, 8)
 
-    # Cap GC worker threads: single-JVM local mode with many task threads
-    # plus G1's default one-GC-worker-per-vCPU storms the kernel on
-    # oversubscribed VMs (lock-holder preemption → 90% sys time). Cluster
-    # executors run few cores each, where this setting is equally sane.
-    gc_opts = "-XX:+UseParallelGC -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+    # Scale GC worker threads to the executor's cores (~cores/2, capped):
+    # G1's default one-GC-worker-per-vCPU storms the kernel on
+    # oversubscribed VMs (lock-holder preemption → 90% sys time), and even
+    # ParallelGC workers compete with task threads on allocation-heavy
+    # stages when over-provisioned. Real cluster executors get the same
+    # per-executor proportionality.
+    gc_threads = max(2, min(8, cores // 2))
+    gc_opts = (
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
+    )
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
