@@ -58,6 +58,18 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # extraction throughput (the BASELINE docs/sec denominator stage)
+    from web3_knowledge_graph_spark.driver_queries import _vocab_dict
+    from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+    from web3_knowledge_graph_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, sf_dir).localCheckpoint()
+    extract_stage(pages.limit(500), _vocab_dict(spark)).count()  # warm
+    t0 = time.time()
+    extract_stage(pages, _vocab_dict(spark)).count()
+    extract_secs = time.time() - t0
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -79,6 +91,7 @@ def main() -> None:
         "cores": cores,
         "n_docs": n_docs,
         "flagship_docs_per_sec": round(docs_per_sec, 2) if docs_per_sec else None,
+        "extract_docs_per_sec": round(n_docs / extract_secs, 2),
     }
     print(json.dumps(out))
 

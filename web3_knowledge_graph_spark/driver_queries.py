@@ -523,6 +523,42 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
 )
 
 
+_WIC_CTES = """WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, event_type),
+days AS (
+  SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM events GROUP BY user_id),
+bursts AS (
+  SELECT user_id, MAX(hn) AS max_burst FROM (
+    SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS hn
+    FROM events GROUP BY user_id, date_trunc('hour', ts))
+  GROUP BY user_id)"""
+
+
+def _wic_labels_sql() -> str:
+    """UNION ALL of one SELECT per tree leaf — generated from WIC_TREE so
+    the oracle can never drift from the Spark rule set."""
+    from .operators.wic import WIC_TREE
+
+    selects = []
+    for condition, context, weight, kind, (etype, param) in WIC_TREE:
+        proj = (
+            f"SELECT user_id AS entity_id, '{condition}' AS condition, "
+            f"'{context}' AS context, CAST({weight} AS DOUBLE) AS weight"
+        )
+        if kind == "type_count":
+            selects.append(f"{proj} FROM per_type WHERE event_type = '{etype}' AND n >= {param}")
+        elif kind == "type_value":
+            selects.append(f"{proj} FROM per_type WHERE event_type = '{etype}' AND cents > {param}")
+        elif kind == "active_days":
+            selects.append(f"{proj} FROM days WHERE active_days >= {param}")
+        else:
+            selects.append(f"{proj} FROM bursts WHERE max_burst >= {param}")
+    return "\nUNION ALL\n".join(selects)
+
+
 def _entity_popularity_oracle() -> str:
     """Plain GROUP BY over the union of all per-kind mention bodies —
     stays in sync with ORACLE_MENTIONS by construction."""
@@ -666,6 +702,24 @@ def q_watermark_filter(spark, sf_dir):
             F.date_format(F.max("ts"), TS_FMT_SPARK).alias("new_watermark"),
         )
     )
+
+
+def q_wic_labels(spark, sf_dir):
+    """WIC conditions→contexts tree (analytics/wic/traders/analyze.py:12-92
+    shape): 9 weighted behavioral contexts in 4 condition groups, batched
+    by rule shape (operators/wic.py)."""
+    from .operators.wic import wic_labels
+
+    return wic_labels(_t(spark, sf_dir, "events"))
+
+
+def q_wic_scores(spark, sf_dir):
+    """WIC reputation rollup (wicScore/analyze.py:16-41): weighted degree
+    per entity over the full tree, max-normalized ×100."""
+    from .operators.wic import wic_labels
+
+    labels = wic_labels(_t(spark, sf_dir, "events"))
+    return reputation_scores(labels.select("entity_id", "weight"))
 
 
 def q_entity_popularity(spark, sf_dir):
@@ -822,6 +876,14 @@ SELECT event_type, COUNT(*) AS n_new,
   strftime(MAX(ts), '{TS_FMT_DUCK}') AS new_watermark
 FROM events WHERE ts > TIMESTAMP '2024-01-25'
 GROUP BY event_type
+""",
+    "wic_labels": f"{_WIC_CTES}\n{_wic_labels_sql()}",
+    "wic_scores": f"""{_WIC_CTES},
+labels AS ({_wic_labels_sql()}),
+deg AS (SELECT entity_id, SUM(weight) AS raw_score FROM labels GROUP BY entity_id)
+SELECT entity_id, raw_score,
+  raw_score / (SELECT MAX(raw_score) FROM deg) * 100.0 AS reputation_score
+FROM deg
 """,
     "entity_popularity": _entity_popularity_oracle(),
     "reconcile_missing": """
@@ -1278,6 +1340,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_showcase": q_normalize_showcase,
         "first_last_activity": q_first_last_activity,
         "watermark_filter": q_watermark_filter,
+        "wic_labels": q_wic_labels,
+        "wic_scores": q_wic_scores,
         "entity_popularity": q_entity_popularity,
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,
