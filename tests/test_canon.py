@@ -36,11 +36,14 @@ def _check(spark, edges):
     want = {n: comp_min[uf.find(n)] for n in want}
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(df).collect()
-    }
-    assert got == want
+    # both execution paths must agree with the oracle: driver union-find
+    # (small graphs) and the distributed star loop (driver_threshold=0)
+    for thr in (200_000, 0):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df, driver_threshold=thr).collect()
+        }
+        assert got == want, f"driver_threshold={thr}"
 
 
 def test_cc_simple_chain(spark):

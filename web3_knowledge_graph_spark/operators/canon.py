@@ -61,17 +61,49 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_union_find(spark, pairs: list[tuple[int, int]], node_ids) -> DataFrame:
+    """Union-find on the driver for small edge sets (same asymptotics any
+    production CC takes when the deduped identity graph fits one machine —
+    the corpus can be 100 TB while the identity graph is thousands of
+    edges). Returns the same (id, component=min id) contract."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so roots stay the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in node_ids]
+    return spark.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src,dst) → assignments(id, component) with component = min id.
 
     Every node mentioned in ``edges`` (including via self-loops) gets an
     assignment; nodes absent from ``edges`` entirely are the caller's to
     default (see canonical_ids).
+
+    Edge sets at or below ``driver_threshold`` (after dedup) solve with
+    driver-side union-find — O(E α(E)) beats log-rounds of distributed
+    shuffles by orders of magnitude there; above it, the alternating
+    large-star/small-star loop runs. Set driver_threshold=0 to force the
+    distributed path (tests exercise both).
     """
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     all_nodes = (
@@ -80,6 +112,12 @@ def connected_components(
         .distinct()
     )
     e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    if driver_threshold > 0:
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            pairs = [(r[0], r[1]) for r in e.collect()]
+            nodes = [r[0] for r in all_nodes.collect()]
+            return _driver_union_find(edges.sparkSession, pairs, nodes)
 
     def _sig(df: DataFrame):
         # order-independent edge-set signature: one cheap agg instead of two
