@@ -222,11 +222,13 @@ def build_graph(
 
     # --- node dimension ----------------------------------------------------
     def node_rows(df: DataFrame, label: str, key_col: str) -> DataFrame:
+        # no per-branch dropDuplicates: the union below dedups by id once —
+        # one shuffle total instead of one per branch (15 branches)
         return df.select(
             _nid(label, F.col(key_col)).alias("id"),
             F.lit(label).alias("label"),
             F.lower(F.col(key_col)).alias("key"),
-        ).dropDuplicates(["id"])
+        )
 
     nodes = (
         node_rows(author, "Wallet", "value")
