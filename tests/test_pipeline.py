@@ -62,11 +62,20 @@ def test_triple_parity(triples_run):
     assert got == want
 
 
+def _n_dates(spark, n):
+    return (
+        corpus.pages_df(spark, n)
+        .selectExpr("count(distinct to_date(warc_ts))")
+        .first()[0]
+    )
+
+
 def test_lineage_rows_written(triples_run, spark):
     _, root = triples_run
     log = CheckpointLog(root).to_spark(spark).toPandas()
     extract = log[log.stage == "extract"]
-    assert len(extract) == BUCKETS
+    # one lineage mark per event DATE (the resume/incremental unit)
+    assert len(extract) == _n_dates(spark, N)
     assert (extract.status == "done").all()
     assert (extract.rows_out > 0).all()
     assert extract.watermark.notna().all()
@@ -105,13 +114,49 @@ def test_resume_equals_fresh(spark, tmp_path):
     finally:
         P.extract_stage = real_extract
 
+    import math
+
+    nd = _n_dates(spark, 200)
+    size = max(1, math.ceil(nd / 3))  # batch size used by run_pipeline
     done_before = CheckpointLog(killed_root).completed("extract")
-    assert len(done_before) == 2  # partitions 0,1 committed before the kill
+    # the first two date-batches committed (one mark per date) before the kill
+    assert len(done_before) == 2 * size
 
     resumed = run_pipeline(spark, pages, side, killed_root, buckets=3)
     resumed_set = {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
     assert resumed_set == fresh_set
 
-    # resume really skipped: only 1 new extract partition ran (3 total marks)
+    # resume really skipped the committed dates: every date marked exactly once
     marks = CheckpointLog(killed_root).to_spark(spark).toPandas()
-    assert len(marks[marks.stage == "extract"]) == 3
+    assert len(marks[marks.stage == "extract"]) == nd
+
+
+def test_incremental_new_dates(spark, tmp_path):
+    """Incremental ingest: pages for NEW dates arriving later must be
+    processed (not skipped as already-done partitions), and the final graph
+    must equal a fresh full run."""
+    from pyspark.sql import functions as F
+
+    side = _side(spark)
+    all_pages = corpus.pages_df(spark, 200, partitions=4)
+    cutoff = all_pages.selectExpr(
+        "percentile_approx(to_date(warc_ts), 0.5)"
+    ).first()[0]
+    early = all_pages.where(F.to_date("warc_ts") <= F.lit(cutoff))
+    root = str(tmp_path / "inc")
+
+    run_pipeline(spark, early, side, root, buckets=3)
+    marks1 = CheckpointLog(root).completed("extract")
+
+    # new dates arrive: run the SAME warehouse with the full corpus
+    full = run_pipeline(spark, all_pages, side, root, buckets=3)
+    marks2 = CheckpointLog(root).completed("extract")
+    assert marks1 < marks2  # strictly more completed date partitions
+
+    fresh = run_pipeline(
+        spark, all_pages, side, str(tmp_path / "fresh"), buckets=3
+    )
+    assert (
+        {(r["subj"], r["pred"], r["obj"]) for r in full.collect()}
+        == {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+    )

@@ -296,37 +296,76 @@ def run_pipeline(
     run_id: str = "run1",
     buckets: int = 8,
 ) -> DataFrame:
-    """Full resumable run: extract per date bucket (skip completed), then
-    graph build + materialize. Returns the triples DataFrame."""
+    """Full resumable run: extract per DATE partition (skip completed dates
+    — so incremental ingest of new dates processes exactly the new data),
+    then graph build + materialize. Returns the triples DataFrame.
+
+    ``buckets`` is retained for API compatibility; extraction partitioning
+    is by event date (the reference's date-stamped landing files,
+    helpers/s3.py:51), which is what makes resume and incremental ingest
+    partition-exact."""
     wh = Warehouse(warehouse_root)
     log = CheckpointLog(warehouse_root)
     alias_dict = side["alias_dict"]
 
-    bucket_col = F.pmod(F.xxhash64(F.to_date("warc_ts")), F.lit(buckets))
+    # Partition the extract stage by EVENT DATE, not by a hash bucket of the
+    # date: incremental ingest appends pages with NEW dates, and a new date
+    # must become a new (unprocessed) partition — hashing dates into a fixed
+    # bucket count would land new data in already-completed partitions and
+    # silently skip it. Dates group into ``buckets`` batches per loop pass
+    # purely to bound the number of write jobs.
     done = log.completed("extract")
-    mentions_tbl = wh.table("mentions")
-    for b in range(buckets):
-        pid = f"bucket={b}"
-        if pid in done:
-            continue
-        t0 = time.time()
-        part = pages.where(bucket_col == b)
-        out = extract_stage(part, alias_dict)
-        path = f"{warehouse_root}/mentions_data/bucket={b}"
-        out.write.mode("overwrite").parquet(path)
-        rows_out = spark.read.schema(MENTIONS).parquet(path).count()
-        wm = part.agg(F.max("warc_ts")).first()[0]
-        log.mark(
-            run_id, "extract", pid,
-            rows_out=rows_out, duration_s=time.time() - t0,
-            watermark=str(wm) if wm else None,
-        )
+    dates = sorted(
+        str(r[0]) for r in
+        pages.select(F.to_date("warc_ts").alias("d")).distinct().collect()
+    )
+    todo = [d for d in dates if f"date={d}" not in done]
+    # dates group into ≤``buckets`` extract jobs; output lands in per-date
+    # partition dirs via DYNAMIC partition overwrite, so a retried batch
+    # rewrites exactly its own dates (idempotent, no orphan output), and
+    # each completed date gets its own lineage mark — date-granular resume
+    # with a bounded job count.
+    import math
 
-    mentions = spark.read.schema(MENTIONS).parquet(
-        *[f"{warehouse_root}/mentions_data/bucket={b}" for b in range(buckets)]
+    size = max(1, math.ceil(len(todo) / buckets)) if todo else 1
+    for i in range(0, len(todo), size):
+        batch = todo[i : i + size]
+        t0 = time.time()
+        dcol = F.to_date("warc_ts").cast("string")
+        part = pages.where(dcol.isin(batch))
+        out = extract_stage(part, alias_dict)
+        url_dates = part.select("url", dcol.alias("_d")).dropDuplicates(["url"])
+        out2 = out.join(url_dates, "url")
+        (
+            out2.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_d")
+            .parquet(f"{warehouse_root}/mentions_data")
+        )
+        # partition-dir columns type-infer on read (the string date comes
+        # back as DATE) — normalize to string for the per-date accounting
+        counts = {
+            r["_d"]: r["n"]
+            for r in spark.read.parquet(f"{warehouse_root}/mentions_data")
+            .select(F.col("_d").cast("string").alias("_d"))
+            .where(F.col("_d").isin(batch))
+            .groupBy("_d").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dur = (time.time() - t0) / len(batch)
+        for d in batch:
+            log.mark(
+                run_id, "extract", f"date={d}",
+                rows_out=int(counts.get(d, 0)), duration_s=dur, watermark=d,
+            )
+
+    mentions = (
+        spark.read.parquet(f"{warehouse_root}/mentions_data")
+        .select("url", "kind", "value", "n")
     )
 
-    if "graph" not in log.completed("graph"):
+    # rebuild the graph whenever the extract stage processed anything new —
+    # a done-marker alone would serve a stale graph after incremental ingest
+    if todo or "graph" not in log.completed("graph"):
         t0 = time.time()
         nodes, edges = build_graph(
             spark, mentions, side["registrations"], side["profiles"],
