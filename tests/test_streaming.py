@@ -58,8 +58,10 @@ def test_windowed_counts_match_batch(spark, events_dir):
 
 
 def test_sessionize_stream_matches_batch(spark, events_dir):
-    """Closed sessions from the stateful operator == batch sessions minus
-    each user's trailing (still-open) session."""
+    """Stream output == batch sessions closed by a later event, PLUS each
+    trailing session whose end + gap fell behind the final event-time
+    watermark (EventTimeTimeout flush). Only trailing sessions still inside
+    the watermark horizon may remain unemitted (held in state)."""
     stream = J.sessionize_stream(J.read_event_stream(spark, events_dir))
     got = J.run_available_now(stream, "sessions", output_mode="append")
     from pyspark.sql import Window
@@ -82,16 +84,54 @@ def test_sessionize_stream_matches_batch(spark, events_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    # drop each user's last (open) session — stream holds it in state
     last = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
-    closed = sess.join(last, "user_id").where(F.col("sid") != F.col("max_sid"))
+    sess = sess.join(last, "user_id")
     g = {
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in got.collect()
     }
-    b = {
-        (r.user_id, r.session_start, r.session_end, r.n_events)
-        for r in closed.collect()
-    }
-    assert g == b
+    rows = sess.collect()
+    import pandas as pd
+
+    max_ms = max(pd.Timestamp(r.session_end).value for r in rows) // 1_000_000
+    wm_final_ms = max_ms - 10 * 60 * 1000  # watermark_delay default "10 minutes"
+    closed, maybe_open = set(), set()
+    for r in rows:
+        key = (r.user_id, r.session_start, r.session_end, r.n_events)
+        end_ms = pd.Timestamp(r.session_end).value // 1_000_000
+        if r.sid != r.max_sid:
+            closed.add(key)  # closed by a later event → must be emitted
+        elif end_ms + J.SESSION_GAP_S * 1000 < wm_final_ms:
+            closed.add(key)  # trailing but expired → timeout must flush it
+        else:
+            maybe_open.add(key)  # inside the horizon: may stay in state
+    assert closed <= g
+    assert g <= closed | maybe_open
     assert len(g) > 0
+
+
+def test_sessionize_flushes_churned_user(spark, tmp_path):
+    """A user whose last event is long past never sends another event; the
+    event-time timeout must still flush their session once later traffic
+    (from OTHER users) advances the watermark."""
+    import pandas as pd
+
+    d = tmp_path / "churn_stream"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    early = [(1, t0, 7, "view", 1.0, "{}"), (2, t0 + pd.Timedelta(minutes=5), 7, "view", 1.0, "{}")]
+    late = [(3, t0 + pd.Timedelta(hours=6), 8, "view", 1.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    import time as _time
+
+    for batch in (early, late):
+        spark.createDataFrame(
+            pd.DataFrame(batch, columns=cols), schema=J.EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        _time.sleep(1.1)
+    got = J.run_available_now(
+        J.sessionize_stream(J.read_event_stream(spark, str(d))),
+        "churn_sessions",
+        output_mode="append",
+    )
+    rows = {(r.user_id, r.n_events) for r in got.collect()}
+    assert (7, 2) in rows  # churned user's session flushed by timeout

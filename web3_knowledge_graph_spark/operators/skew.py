@@ -39,8 +39,18 @@ def salted_agg(
 
     ``aggs``: (column, fn, alias) with fn ∈ {count, sum, min, max} —
     the algebraic aggregates, whose partials merge exactly.
+
+    The salt is derived from the full row content (xxhash64 over every input
+    column), NOT from monotonically_increasing_id(): a nondeterministic salt
+    feeding a shuffle means a shuffle-fetch failure re-executes lost map
+    tasks with *different* salts than the attempt already consumed by
+    completed reducers — rows double-counted or dropped, silently, exactly
+    in the at-scale scenario this operator exists for. Content-derived salt
+    is stable across task retries; identical duplicate rows share a bucket,
+    which still fans a hot key out as long as its rows differ in any column
+    (the usual case — hub keys have many distinct payloads).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(buckets))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -12,17 +12,22 @@ upgrade of that push path:
     rows drop, mirroring the reference's idempotent-MERGE tolerance.
   * sessionize_stream — custom stateful operator (applyInPandasWithState):
     per-user session windows with a 30-min inactivity gap. Sessions close
-    when a later event exceeds the gap; the trailing open session stays in
-    state (emitted on a later trigger once closed).
+    when a later event exceeds the gap, OR when the event-time watermark
+    passes session_end + gap (GroupStateTimeout.EventTimeTimeout) — so a
+    churned user's trailing session is flushed and their state removed even
+    though they never send another event. Without the timeout, per-user
+    state would grow monotonically with the distinct-user count and idle
+    sessions would never be emitted.
 
 Batch equivalents (driver_queries.q_events_hourly / q_sessionization) carry
 the DuckDB oracle checks; tests drive these streaming versions with the
 availableNow trigger against the same parquet input and compare.
 
 Scale notes: state is partitioned by user_id (the groupBy key); watermarks
-bound state size; at 10^12-event scale the windowed agg is a standard
-shuffle-once stateful agg and the session operator holds one (last_ts,
-session_start, count) triple per active user.
+bound state size for BOTH operators — the windowed agg drops finalized
+windows, and the session operator removes a user's state when their open
+session times out. Cross-batch late events older than the state's last seen
+timestamp are dropped (they cannot legally extend a session backward).
 """
 
 from __future__ import annotations
@@ -101,12 +106,35 @@ def windowed_event_counts(
     )
 
 
+def _session_row(user_id: int, start_us: int, last_us: int, n: int) -> dict[str, Any]:
+    return {
+        "user_id": user_id,
+        "session_start": pd.Timestamp(start_us * 1000),
+        "session_end": pd.Timestamp(last_us * 1000),
+        "n_events": n,
+    }
+
+
 def _sessionize_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user stateful session assembly. Events inside a trigger arrive
-    unordered → sort; gap > SESSION_GAP_S closes the running session."""
+    unordered → sort; gap > SESSION_GAP_S closes the running session.
+
+    Timeout path: when the event-time watermark passes last_us + gap the
+    open session is flushed and the user's state removed (bounded state).
+    Late path: a cross-batch event older than the state's last_us is
+    dropped — it already falls inside the running session's span, and
+    letting it through would move last_us backward and corrupt the gap
+    computation for subsequent events.
+    """
     (user_id,) = key
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame([_session_row(user_id, start_us, last_us, n)], columns=cols)
+        return
     if state.exists:
         start_us, last_us, n = state.get
     else:
@@ -118,38 +146,41 @@ def _sessionize_fn(
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if last_us < 0:
                 start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us < last_us:
+                continue  # late cross-batch event: already inside the session span
             elif ts_us - last_us > SESSION_GAP_S * 1_000_000:
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "session_start": pd.Timestamp(start_us * 1000),
-                        "session_end": pd.Timestamp(last_us * 1000),
-                        "n_events": n,
-                    }
-                )
+                out.append(_session_row(user_id, start_us, last_us, n))
                 start_us, last_us, n = ts_us, ts_us, 1
             else:
                 last_us = ts_us
                 n += 1
-    state.update((start_us, last_us, n))
-    yield pd.DataFrame(
-        out,
-        columns=["user_id", "session_start", "session_end", "n_events"],
-    )
+    timeout_ms = last_us // 1000 + SESSION_GAP_S * 1000
+    if timeout_ms <= state.getCurrentWatermarkMs():
+        # the watermark already passed session_end + gap: no in-watermark
+        # event can ever extend this session — flush now, keep no state
+        out.append(_session_row(user_id, start_us, last_us, n))
+        if state.exists:
+            state.remove()
+    else:
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(out, columns=cols)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, watermark_delay: str = "10 minutes") -> DataFrame:
     """Custom stateful operator: session windows with a 30-min gap via
-    applyInPandasWithState. Emits each session when a subsequent event
-    closes it; the open tail session lives in state."""
+    applyInPandasWithState. A session is emitted when a subsequent event
+    closes it or when the event-time watermark passes its end + gap
+    (EventTimeTimeout flush); state for flushed users is removed."""
     return (
-        events.groupBy("user_id")
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_fn,
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
