@@ -259,3 +259,28 @@ def test_near_dedup_clusters(spark):
     assert got[2] == (0, True)   # transitive via CC
     assert got[3] == (3, False)
     assert got[4] == (4, False)
+
+def test_embed_neardup_bucketed_subset_of_exact(spark):
+    """The banded-LSH scale path emits a subset of the exact all-pairs
+    result (never a false positive — candidates are exact-verified) with
+    recall ≥ the single-band floor; exact path stays the baseline."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(e, threshold=0.35).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(
+            e, threshold=0.35, dim=64, n_bits=3, n_bands=4
+        ).collect()
+    }
+    assert banded <= exact
+    assert len(banded) >= 0.4 * len(exact)  # OR-of-4-bands recall floor
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_neardup_pairs(
+            e, threshold=0.35, dim=64, n_bits=4, n_bands=1
+        ).collect()
+    }
+    assert len(banded) > len(single)  # banding is the recall lever

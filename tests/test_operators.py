@@ -151,3 +151,32 @@ def test_split_hot_keys(spark):
     assert hot.count() == 500
     assert rest.count() == 20
     assert {r.key for r in hot.select("key").distinct().collect()} == {"hub"}
+
+def test_label_propagation_two_clusters(spark):
+    """Two weight-2 triangles joined by a weight-1 bridge: LPA must settle
+    each triangle on its own min-id label and never merge across the weak
+    bridge (hand-traced expected labels; deterministic by construction)."""
+    from web3_knowledge_graph_spark.operators.communities import label_propagation
+
+    edges = [
+        (1, 2, 2), (1, 3, 2), (2, 3, 2),
+        (10, 11, 2), (10, 12, 2), (11, 12, 2),
+        (3, 10, 1),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r.id: r.community for r in label_propagation(df, weight="w", rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_unweighted_default(spark):
+    """weight=None counts each edge as 1; a star collapses onto the hub's
+    neighborhood min label."""
+    from web3_knowledge_graph_spark.operators.communities import label_propagation
+
+    edges = [(5, 1, 0), (5, 2, 0), (5, 3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long, ignored long")
+    got = {r.id: r.community for r in label_propagation(df, rounds=4).collect()}
+    # leaves adopt hub's label, hub adopts min leaf label; after even rounds
+    # the synchronous system reaches its 2-cycle phase deterministically
+    assert set(got) == {1, 2, 3, 5}
+    assert len(set(got.values())) <= 2

@@ -105,14 +105,17 @@ def lsh_buckets(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    first_bit: int = 0,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) bucket id per vector:
-    bit b = sign(v · p_b). Returns (vec_id, bucket). Cosine-similar vectors
-    collide with probability 1 − θ/π per bit."""
+    bit b = sign(v · p_{first_bit+b}). Returns (vec_id, bucket).
+    Cosine-similar vectors collide with probability 1 − θ/π per bit;
+    ``first_bit`` selects a disjoint hyperplane set per band so OR-ing
+    bands raises recall (see cosine_neardup_pairs)."""
     out = vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     bucket = F.lit(0).cast("long")
     for b in range(n_bits):
-        proj = F.array(*[F.lit(x) for x in _projection(dim, b)])
+        proj = F.array(*[F.lit(x) for x in _projection(dim, first_bit + b)])
         bit = (_dot(F.col("_v"), proj) > 0).cast("long")
         bucket = bucket + bit * (1 << b)
     return out.select("vec_id", bucket.alias("bucket"))
@@ -123,6 +126,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     dim: int | None = None,
     n_bits: int = 0,
+    n_bands: int = 1,
     max_bucket: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -130,27 +134,74 @@ def cosine_neardup_pairs(
     """All pairs (a<b) with cosine ≥ threshold.
 
     n_bits=0 → exact all-pairs (correctness baseline; quadratic — small
-    inputs only). n_bits>0 → LSH-bucketed: join only within buckets (the
-    scale path; recall < 1 by design, tunable via n_bits/band OR-ing).
+    inputs only). n_bits>0 → banded LSH: ``n_bands`` independent bucketings
+    of ``n_bits`` hyperplanes each (disjoint hyperplane sets); a pair is a
+    candidate if it collides in ANY band (OR over bands — the textbook
+    recall lever: P(candidate) = 1 − (1 − p^n_bits)^n_bands for per-bit
+    collision p = 1 − θ/π). Candidates are deduped across bands, then exact
+    cosine verifies each candidate once. Cost per band is bucket-local —
+    never all-pairs; viral buckets are dropped by ``max_bucket`` and the
+    intra-bucket join skew is AQE-split.
     """
     v = with_norm(vecs, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
     )
     if n_bits > 0:
         assert dim is not None, "dim required for LSH bucketing"
-        bk = lsh_buckets(vecs, dim, n_bits, id_col, vec_col)
-        hot = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).where(
-            F.col("c") <= max_bucket
-        ).select("bucket")
-        v = v.join(bk.join(hot, "bucket"), "vec_id")
-        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col("a.vec_id") < F.col("b.vec_id")
+        cand = None
+        for band in range(n_bands):
+            bk = lsh_buckets(
+                vecs, dim, n_bits, id_col, vec_col, first_bit=band * n_bits
+            )
+            ok = (
+                bk.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") <= max_bucket)
+                .select("bucket")
+            )
+            bkf = bk.join(ok, "bucket")
+            p = (
+                bkf.alias("x")
+                .join(
+                    bkf.alias("y"),
+                    (F.col("x.bucket") == F.col("y.bucket"))
+                    & (F.col("x.vec_id") < F.col("y.vec_id")),
+                )
+                .select(
+                    F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+                )
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        pairs = cand.distinct()
+        return (
+            pairs.join(
+                v.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"),
+                ),
+                "vec_a",
+            )
+            .join(
+                v.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"),
+                ),
+                "vec_b",
+            )
+            .select(
+                "vec_a",
+                "vec_b",
+                (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                    "cosine"
+                ),
+            )
+            .where(F.col("cosine") >= threshold)
         )
-    else:
-        join_cond = F.col("a.vec_id") < F.col("b.vec_id")
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, join_cond)
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

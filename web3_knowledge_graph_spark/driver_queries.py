@@ -31,6 +31,7 @@ from .functions import mentions as M
 from .functions import normalize as N
 from .operators import linking
 from .operators.canon import connected_components
+from .operators.communities import label_propagation, label_propagation_oracle_sql
 from .operators.holdings import rotate_holdings
 from .operators.projection import bipartite_project
 from .operators.rules import apply_rules, reputation_scores
@@ -408,6 +409,32 @@ def q_cc_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_communities(spark, sf_dir):
+    """Community detection (analytics/helpers/networks.py:48-59 Louvain,
+    wallet_communities/analyze.py:28-90) as deterministic synchronous label
+    propagation over the user-user projection graph: users co-occurring on
+    ≥2 shared prop keys form weighted edges; 4 LPA rounds with min-label
+    tie-break. (Louvain→LPA divergence documented in COVERAGE.md §2.10.)"""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    rel = e.select(k.alias("k"), F.col("user_id").cast("long").alias("u")).distinct()
+    proj = bipartite_project(rel, bottom_col="k", top_col="u", threshold=2)
+    return label_propagation(proj, src="top_a", dst="top_b", weight="shared", rounds=4)
+
+
+_COMMUNITIES_EDGES_CTE = """rel AS (
+  SELECT DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+         CAST(user_id AS BIGINT) AS u
+  FROM events),
+deg AS (SELECT k FROM rel GROUP BY k HAVING COUNT(*) <= 10000),
+r2 AS (SELECT rel.k, rel.u FROM rel JOIN deg USING (k)),
+e0 AS (
+  SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM r2 x JOIN r2 y ON x.k = y.k AND x.u < y.u
+  GROUP BY x.u, y.u HAVING COUNT(*) >= 2),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)"""
+
+
 ORACLE_GRAPH = {
     "two_hop_links": f"""
 {PAGES_WITH},
@@ -520,6 +547,9 @@ SELECT id, MIN(comp) AS component FROM walk GROUP BY id
 # cc oracle needs WITH RECURSIVE
 ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
     "WITH edges", "WITH RECURSIVE edges", 1
+)
+ORACLE_GRAPH["communities"] = label_propagation_oracle_sql(
+    _COMMUNITIES_EDGES_CTE, rounds=4
 )
 
 
@@ -1103,7 +1133,14 @@ def q_embed_knn(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Embedding near-dup via the SCALE path: banded hyperplane-LSH
+    (4 bands × 3 bits, OR over bands) bounds candidate generation to
+    bucket-local joins, then exact cosine verifies each deduped candidate.
+    The exact all-pairs path (n_bits=0) stays as the pytest recall baseline
+    (tests/test_datasets.py::test_embed_neardup_bucketed_subset_of_exact)."""
+    return S.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_bits=3, n_bands=4
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -1204,13 +1241,8 @@ r AS (
   FROM scored)
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= 5
 """,
-    "embed_neardup": """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  list_cosine_similarity(a.v, b.v) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-""",
+    # embed_neardup is generated below (_embed_neardup_oracle): the LSH
+    # hyperplanes are md5-derived constants, inlined as SQL array literals.
     "lang_id": f"""
 WITH sw(lang, word) AS (VALUES {_SW_VALUES}),
 toks AS (
@@ -1256,6 +1288,52 @@ SELECT doc_id, md5(lower(text)) AS exact_md5,
 FROM documents
 """,
 }
+
+
+def _embed_neardup_oracle(
+    dim: int = 64, n_bits: int = 3, n_bands: int = 4, threshold: float = 0.35
+) -> str:
+    """Replay of similarity.cosine_neardup_pairs(n_bits>0, n_bands): the
+    md5-derived ±1 hyperplanes (similarity._projection, disjoint per band)
+    are inlined as array literals, so the per-band bucket ids — and
+    therefore the OR-ed candidate set — are identical; the exact-cosine
+    verify then matches bit-for-bit (list_cosine_similarity ≡ the
+    sequential double fold on these inputs)."""
+    ctes, unions = [], []
+    for band in range(n_bands):
+        bit_terms = []
+        for b in range(n_bits):
+            arr = "[" + ", ".join(str(x) for x in S._projection(dim, band * n_bits + b)) + "]"
+            bit_terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        bucket = "\n   + ".join(bit_terms)
+        ctes.append(f"bk{band} AS (SELECT vec_id, {bucket} AS bucket FROM e)")
+        ctes.append(
+            f"ok{band} AS (SELECT bucket FROM bk{band} GROUP BY bucket HAVING COUNT(*) <= 100000)"
+        )
+        ctes.append(
+            f"bv{band} AS (SELECT bk{band}.vec_id, bk{band}.bucket FROM bk{band} JOIN ok{band} USING (bucket))"
+        )
+        unions.append(
+            f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM bv{band} x "
+            f"JOIN bv{band} y ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        )
+    cand = "\nUNION\n".join(unions)  # UNION dedupes across bands
+    body = ",\n".join(
+        ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+        + ctes
+        + [f"cand AS ({cand})"]
+    )
+    return f"""
+WITH {body}
+SELECT cand.vec_a, cand.vec_b, list_cosine_similarity(a.v, b.v) AS cosine
+FROM cand JOIN e a ON cand.vec_a = a.vec_id JOIN e b ON cand.vec_b = b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+"""
+
+
+ORACLE_DATASETS["embed_neardup"] = _embed_neardup_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1333,6 +1411,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": q_bipartite_projection,
         "reputation": q_reputation,
         "cc_components": q_cc_components,
+        "communities": q_communities,
         "shortest_paths": q_shortest_paths,
         "url_hosts": q_url_hosts,
         "spam_flagging": q_spam_flagging,
