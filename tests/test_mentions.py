@@ -73,3 +73,53 @@ def test_corpus_mentions_parity(spark):
     assert only_want.empty, f"missed mentions:\n{only_want.head(10)}"
     bad_n = merged[(merged._merge == "both") & (merged.n_got != merged.n_want)]
     assert bad_n.empty, f"count mismatches:\n{bad_n.head(10)}"
+
+
+URL_FULL_CASES = [
+    "visit https://site3.example/p/42 now",
+    "docs at docs3.example.com/guide mirror ftp://files2.backup.org/data",
+    "homepage example1.com wow",
+    "plain example.com",
+    "email user@site.com should shift",  # lookbehind wart kept verbatim
+    "media https://cdn1.example/a.jpg dropped later",
+    "paren (https://en.org/wiki_(x)) text",
+    "trailing https://a.example/x. end",
+    "bare domain.ac/ slash",
+    "two example1.com example2.com adjacent",
+    "A wallet: 0xabc and time:30 edge",
+    "start.com leads",
+    "nothing here at all",
+]
+
+
+def test_url_full_re2_matches_verbatim():
+    """The RE2-safe oracle emulation (no lookarounds) produces the exact
+    findall output of the reference-verbatim pattern on adversarial
+    strings — including the email case where the lookbehind shifts the
+    match by one char rather than suppressing it."""
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    for s in URL_FULL_CASES:
+        py = re.findall(M.URL_FULL_RE, s)
+        dd = con.execute(
+            "select regexp_extract_all(?, ?, 1)", [s, M.URL_FULL_RE_RE2]
+        ).fetchone()[0]
+        assert py == dd, f"{s!r}: python={py} duckdb={dd}"
+
+
+def test_url_full_spark_matches_verbatim(spark):
+    """Spark (Java regex) runs the verbatim pattern identically to the
+    reference's Python re.findall, including the media-containment drop."""
+    import re
+
+    for s in URL_FULL_CASES:
+        py = [
+            u
+            for u in re.findall(M.URL_FULL_RE, s)
+            if not any(e in u for e in M.MEDIA_EXTS)
+        ]
+        got = _one(spark, s, M.extract_urls_full)
+        assert got == py, f"{s!r}: spark={got} python={py}"

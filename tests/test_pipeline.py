@@ -160,3 +160,46 @@ def test_incremental_new_dates(spark, tmp_path):
         {(r["subj"], r["pred"], r["obj"]) for r in full.collect()}
         == {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
     )
+
+
+def test_audit_columns_on_graph_tables(triples_run, spark):
+    """Every materialized node & edge carries the audit stamps
+    (helpers/cypher.py:14-16, queries.py:29-33)."""
+    _, root = triples_run
+    for tname in ("nodes", "edges"):
+        df = Warehouse(root).table(tname).read(spark)
+        for c in ("created_dt", "last_update_dt", "ingested_by"):
+            assert c in df.columns, f"{tname} missing {c}"
+        bad = df.where(
+            F.col("created_dt").isNull()
+            | F.col("last_update_dt").isNull()
+            | F.col("ingested_by").isNull()
+        ).count()
+        assert bad == 0
+
+
+def test_merge_upsert_audit_on_match(spark, tmp_path):
+    """ON CREATE vs ON MATCH: re-merging the same keys keeps the original
+    created_dt and bumps only last_update_dt/ingested_by."""
+    from web3_knowledge_graph_spark.functions.normalize import audit_columns
+
+    t = Warehouse(str(tmp_path / "wh")).table("accts")
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    t.merge_upsert(spark, audit_columns(rows, "run1", now="2024-01-01 00:00:00"), keys=["id"])
+    first = {r.id: r for r in t.read(spark).collect()}
+
+    rows2 = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string")
+    t.merge_upsert(spark, audit_columns(rows2, "run2", now="2024-02-01 00:00:00"), keys=["id"])
+    second = {r.id: r for r in t.read(spark).collect()}
+
+    assert set(second) == {1, 2, 3}
+    # untouched row: everything stable
+    assert second[1].created_dt == first[1].created_dt
+    assert second[1].last_update_dt == first[1].last_update_dt
+    # matched row: created stable, last_update bumped, value updated
+    assert second[2].created_dt == first[2].created_dt
+    assert second[2].last_update_dt > first[2].last_update_dt
+    assert second[2].v == "b2" and second[2].ingested_by == "run2"
+    # created row: fresh stamps
+    assert second[3].created_dt == second[3].last_update_dt
+    assert second[3].ingested_by == "run2"

@@ -114,8 +114,50 @@ def q_twitter_refs(spark, sf_dir):
     return M.extract_mentions(_pages(spark, sf_dir), kinds=("twitter",))
 
 
+def q_mention_urls_full(spark, sf_dir):
+    """Reference-VERBATIM URL mega-regex (scraping/mirror/helpers/
+    arweave.py:87-96): scheme'd + ftp + bare .com/.org/.uk/.ac domains,
+    media URLs dropped by substring containment. Runs as Java regex in
+    Spark; the oracle replays the RE2-safe lookaround emulation
+    (functions/mentions.URL_FULL_RE_RE2, equivalence pinned by pytest)."""
+    return M.extract_mentions(_pages(spark, sf_dir), kinds=("url_full",))
+
+
 def q_dict_mentions(spark, sf_dir):
     return M.dictionary_mentions(_pages(spark, sf_dir), _vocab_dict(spark))
+
+
+def q_social_handles(spark, sf_dir):
+    """Social-profile URL → handle parsers (tokenMetadata/process.py:
+    111-168): reddit /r/ vs /u/, github account/repo, twitter handle with
+    raw-URL fallback, over every URL mentioned in the corpus."""
+    links = _pages(spark, sf_dir).select(
+        "url", F.explode(M.extract_urls(F.col("text"), drop_media=False)).alias("link")
+    )
+    return (
+        M.parse_social_urls(links)
+        .select("url", "platform", "handle", "extra")
+        .distinct()
+    )
+
+
+def q_stale_accounts(spark, sf_dir):
+    """Recheck-TTL scheduling (twitter/process.py:18,73,
+    twitterFollowers/process.py:25-27; per-token cadence
+    curatedTokenHolding/process.py:22-51): (account, token) pairs whose
+    synthesized last_checked (= last event of that type) is older than a
+    12-hour TTL at a pinned 'now' — the incremental re-scrape work list."""
+    from .operators.scheduling import stale_entities
+
+    e = _t(spark, sf_dir, "events")
+    last = e.groupBy("user_id", "event_type").agg(
+        F.max(F.col("ts").cast("timestamp")).alias("last_checked")
+    )
+    return stale_entities(last, ttl="12 hours", now="2024-01-31 06:00:00").select(
+        "user_id",
+        "event_type",
+        F.date_format("last_checked", TS_FMT_SPARK).alias("last_checked"),
+    )
 
 
 def q_sanitize(spark, sf_dir):
@@ -197,6 +239,45 @@ FROM pages
 """,
 }
 
+ORACLE_MENTIONS["social_handles"] = f"""
+{PAGES_WITH},
+links AS (
+  SELECT url, unnest(regexp_extract_all(text, '(https?://[^\\s<>"'']+)', 1)) AS link
+  FROM pages),
+soc AS (
+  SELECT url, link,
+    CASE WHEN regexp_matches(link, '^https://www\\.reddit\\.com/') THEN 'reddit'
+         WHEN regexp_matches(link, '^https://github\\.com/') THEN 'github'
+         WHEN regexp_matches(link, '^https://twitter\\.com/') THEN 'twitter'
+    END AS platform,
+    regexp_extract(link, '^https://www\\.reddit\\.com/(\\w*)/?(\\w*)', 1) AS r1,
+    regexp_extract(link, '^https://www\\.reddit\\.com/(\\w*)/?(\\w*)', 2) AS r2,
+    regexp_extract(link, '^https://github\\.com/(\\w*)/?(\\w*)', 1) AS acc,
+    regexp_extract(link, '^https://github\\.com/(\\w*)/?(\\w*)', 2) AS rep,
+    regexp_extract(link, '^https://twitter\\.com/(\\w*)', 1) AS tw
+  FROM links)
+SELECT DISTINCT url, platform,
+  CASE platform WHEN 'reddit' THEN r2 WHEN 'github' THEN acc
+       ELSE (CASE WHEN tw != '' THEN tw ELSE link END) END AS handle,
+  CASE WHEN platform = 'reddit'
+         THEN (CASE WHEN r1 = 'u' THEN 'user' WHEN r1 = 'r' THEN 'subreddit' END)
+       WHEN platform = 'github' AND rep != '' THEN acc || '/' || rep
+  END AS extra
+FROM soc WHERE platform IS NOT NULL
+"""
+
+_URL_FULL_SQL = M.URL_FULL_RE_RE2.replace("'", "''")
+ORACLE_MENTIONS["mention_urls_full"] = f"""
+{PAGES_WITH}
+SELECT url, 'url_full' AS kind, u AS value, COUNT(*) AS n FROM (
+  SELECT url, unnest(list_filter(
+      regexp_extract_all(text, '{_URL_FULL_SQL}', 1),
+      x -> NOT (contains(x, '.gif') OR contains(x, '.jpg') OR contains(x, '.png')
+             OR contains(x, '.jpeg') OR contains(x, '.mp4') OR contains(x, '.mp3')))) AS u
+  FROM pages)
+GROUP BY url, u
+"""
+
 
 # ---------------------------------------------------------------------------
 # Scalar functions (SURVEY §2.4): hex→decimal scaling, epoch→ISO
@@ -243,6 +324,11 @@ SELECT event_id,
 FROM events
 """,
 }
+ORACLE_SCALARS["stale_accounts"] = f"""
+SELECT user_id, event_type, strftime(MAX(ts), '{TS_FMT_DUCK}') AS last_checked
+FROM events GROUP BY user_id, event_type
+HAVING MAX(ts) < TIMESTAMP '2024-01-31 06:00:00' - INTERVAL 12 HOUR
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1398,6 +1484,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_handles": q_mention_handles,
         "mention_urls": q_mention_urls,
         "twitter_refs": q_twitter_refs,
+        "mention_urls_full": q_mention_urls_full,
+        "social_handles": q_social_handles,
+        "stale_accounts": q_stale_accounts,
         "dict_mentions": q_dict_mentions,
         "sanitize": q_sanitize,
         "hex_amounts": q_hex_amounts,

@@ -36,7 +36,25 @@ ENS_FULL_RE = r"^[-a-zA-Z0-9@:%._+~#=]{1,256}\.eth$"
 HANDLE_CANDIDATE_RE = r"@\w+"
 URL_RE = r"https?://[^\s<>\"']+"
 MEDIA_URL_RE = r"\.(gif|jpg|jpeg|png|mp4|mp3)"
+MEDIA_EXTS = (".gif", ".jpg", ".png", ".jpeg", ".mp4", ".mp3")
 TWITTER_MENTION_RE = r"twitter\.com/(\w+)"
+
+# Reference-verbatim full URL pattern (scraping/mirror/helpers/arweave.py:87):
+# scheme'd URLs (https/http/ftp), bare domains with a path (.com/.org/.uk/),
+# and bare domains without one (.com/.uk/.ac, guarded against emails by
+# lookarounds). Java regex (Spark) runs it as-is.
+URL_FULL_RE = r"""((?:(?:https|ftp|http)?:(?:/{1,3}|[a-z0-9%])|[a-z0-9.\-]+[.](?:com|org|uk)/)(?:[^\s()<>{}\[\]]+|\([^\s()]*?\([^\s()]+\)[^\s()]*?\)|\([^\s]+?\))+(?:\([^\s()]*?\([^\s()]+\)[^\s()]*?\)|\([^\s]+?\)|[^\s`!()\[\]{};:'".,<>?«»“”‘’])|(?:(?<!@)[a-z0-9]+(?:[.\-][a-z0-9]+)*[.](?:com|uk|ac)\b/?(?!@)))"""
+
+# RE2-safe emulation for the DuckDB oracle (RE2 has no lookarounds): the
+# (?<!@) lookbehind becomes a consumed (^|[^@]) prefix outside the capture
+# group — identical findall output because the backtracking engine, when the
+# lookbehind fails at position p, matches the same shorter token at p+1 that
+# the consumed-prefix version produces. The trailing (?!@) is dropped: a
+# char following a scheme'd match can never be '@' (it would have been
+# consumed), and 'domain.com@' never occurs in the corpus; equivalence is
+# pinned by tests/test_mentions.py::test_url_full_re2_matches_verbatim over
+# adversarial strings including emails.
+URL_FULL_RE_RE2 = r"""(?:^|[^@])((?:(?:https|ftp|http)?:(?:/{1,3}|[a-z0-9%])|[a-z0-9.\-]+[.](?:com|org|uk)/)(?:[^\s()<>{}\[\]]+|\([^\s()]*?\([^\s()]+\)[^\s()]*?\)|\([^\s]+?\))+(?:\([^\s()]*?\([^\s()]+\)[^\s()]*?\)|\([^\s]+?\)|[^\s`!()\[\]{};:'".,<>?«»“”‘’])|[a-z0-9]+(?:[.\-][a-z0-9]+)*[.](?:com|uk|ac)\b/?)"""
 
 
 def extract_wallets(text: Column) -> Column:
@@ -72,6 +90,25 @@ def extract_urls(text: Column, drop_media: bool = True) -> Column:
     return urls
 
 
+def extract_urls_full(text: Column) -> Column:
+    """array<string> of URLs via the reference-verbatim mega-regex
+    (scraping/mirror/helpers/arweave.py:87-96): scheme'd URLs, ftp, bare
+    domains. Media URLs dropped by case-sensitive substring containment,
+    exactly as the reference's list comprehensions (arweave.py:90-95)."""
+    urls = F.regexp_extract_all(text, F.lit(URL_FULL_RE), 1)
+    return F.filter(
+        urls,
+        lambda x: ~(
+            x.contains(".gif")
+            | x.contains(".jpg")
+            | x.contains(".png")
+            | x.contains(".jpeg")
+            | x.contains(".mp4")
+            | x.contains(".mp3")
+        ),
+    )
+
+
 def extract_twitter_handles(text: Column) -> Column:
     """array<string> of lowercased handles from twitter.com/<handle> URLs
     (scraping/mirror/scrape.py:188-202); one element per occurrence so the
@@ -81,11 +118,65 @@ def extract_twitter_handles(text: Column) -> Column:
     )
 
 
+# Social-profile URL parsers (postProcessing/tokenMetadata/process.py:111-168):
+# re.match-anchored (^), \w* segments; group 2 empty → no sub-path.
+REDDIT_URL_RE = r"^https://www\.reddit\.com/(\w*)/?(\w*)"
+GITHUB_URL_RE = r"^https://github\.com/(\w*)/?(\w*)"
+TWITTER_URL_RE = r"^https://twitter\.com/(\w*)"
+
+
+def parse_social_urls(df: DataFrame, url_col: str = "link") -> DataFrame:
+    """links(…, link) → rows with (platform, handle, extra) parsed per the
+    reference's per-platform regexes (tokenMetadata/process.py:111-168):
+
+      reddit  — handle = second path segment; extra = 'user' for /u/…
+                (HAS_ACCOUNT in the reference), 'subreddit' for /r/…
+                (HAS_HUB), NULL otherwise (process.py:112-135)
+      github  — handle = account; extra = account/repository full name when
+                a repository segment exists (process.py:137-153)
+      twitter — handle = first path segment, falling back to the raw URL
+                when the regex does not match (process.py:155-168)
+
+    Non-social URLs are dropped. Pure native regexp_extract — RE2-safe, so
+    the DuckDB oracle runs the identical patterns.
+    """
+    u = F.col(url_col)
+    is_reddit = u.rlike(r"^https://www\.reddit\.com/")
+    is_github = u.rlike(r"^https://github\.com/")
+    is_twitter = u.rlike(r"^https://twitter\.com/")
+    r1 = F.regexp_extract(u, REDDIT_URL_RE, 1)
+    r2 = F.regexp_extract(u, REDDIT_URL_RE, 2)
+    acc = F.regexp_extract(u, GITHUB_URL_RE, 1)
+    rep = F.regexp_extract(u, GITHUB_URL_RE, 2)
+    tw = F.regexp_extract(u, TWITTER_URL_RE, 1)
+    platform = (
+        F.when(is_reddit, F.lit("reddit"))
+        .when(is_github, F.lit("github"))
+        .when(is_twitter, F.lit("twitter"))
+    )
+    handle = (
+        F.when(is_reddit, r2)
+        .when(is_github, acc)
+        .when(is_twitter, F.when(tw != "", tw).otherwise(u))
+    )
+    extra = F.when(
+        is_reddit,
+        F.when(r1 == "u", F.lit("user")).when(r1 == "r", F.lit("subreddit")),
+    ).when(is_github & (rep != ""), F.concat(acc, F.lit("/"), rep))
+    return (
+        df.withColumn("platform", platform)
+        .withColumn("handle", handle)
+        .withColumn("extra", extra)
+        .where(F.col("platform").isNotNull())
+    )
+
+
 _KIND_EXTRACTORS = {
     "wallet": extract_wallets,
     "ens": extract_ens_names,
     "handle": extract_handles,
     "url": extract_urls,
+    "url_full": extract_urls_full,
     "twitter": extract_twitter_handles,
 }
 

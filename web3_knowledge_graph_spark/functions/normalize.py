@@ -109,15 +109,20 @@ def node_id(label_family: Column | str, key: Column) -> Column:
     return F.xxhash64(fam, canonical_key(key))
 
 
-def audit_columns(df, run_id: str):
-    """Stamp created/updated audit columns.
+def audit_columns(df, run_id: str, now: str | None = None):
+    """Stamp created/updated audit columns on an updates batch.
 
-    Reference: uuid/createdDt/lastUpdateDt/ingestedBy on every node & edge
-    (helpers/cypher.py:14-16, queries.py:29-33).
+    Reference: createdDt/lastUpdateDt/ingestedBy on every node & edge
+    (helpers/cypher.py:14-16, queries.py:29-33). The MERGE layer
+    (sources/warehouse.Table.merge_upsert) applies the ON CREATE / ON MATCH
+    split: a row that matches an existing key keeps the existing
+    created_dt and only bumps last_update_dt/ingested_by.
+
+    ``now`` pins the stamp for reproducible tests; None → wall clock.
     """
-    now = F.current_timestamp()
+    ts = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     return (
-        df.withColumn("created_dt", now)
-        .withColumn("last_update_dt", now)
-        .withColumn("ingested_by", F.lit(f"created:{run_id}"))
+        df.withColumn("created_dt", ts)
+        .withColumn("last_update_dt", ts)
+        .withColumn("ingested_by", F.lit(run_id))
     )

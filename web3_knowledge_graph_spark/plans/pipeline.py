@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import mentions as M
 from ..functions.extraction import with_extracted_text
 from ..functions.mentions import extract_ens_names, extract_handles
-from ..functions.normalize import node_id
+from ..functions.normalize import audit_columns, node_id
 from ..operators import linking
 from ..operators.canon import connected_components
 from ..operators.holdings import rotate_holdings
@@ -371,8 +371,15 @@ def run_pipeline(
             spark, mentions, side["registrations"], side["profiles"],
             side["balances"], alias_dict,
         )
-        wh.table("nodes").overwrite(nodes)
-        wh.table("edges").overwrite(edges)
+        # audit stamps (helpers/cypher.py:14-16, queries.py:29-33) + MERGE
+        # semantics: created_dt survives re-runs (ON MATCH keeps the
+        # earliest), last_update_dt/ingested_by reflect this run. MERGE
+        # never deletes — matching the reference's Cypher MERGE, where the
+        # graph only grows as ingest is incremental.
+        nodes = audit_columns(nodes, run_id)
+        edges = audit_columns(edges, run_id)
+        wh.table("nodes").merge_upsert(spark, nodes, keys=["id"])
+        wh.table("edges").merge_upsert(spark, edges, keys=["subj", "pred", "obj"])
         trip = triples(wh.table("nodes").read(spark), wh.table("edges").read(spark))
         wh.table("triples").overwrite(trip)
         log.mark(

@@ -53,7 +53,29 @@ SELECT
                    || '.example/a.jpg'
               ELSE '' END
       || ' ref https://ref' || CAST(doc_id % {TWITTER_MOD} AS STRING)
-      || '.example/page' AS text
+      || '.example/page'
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' docs at docs' || CAST(doc_id % 7 AS STRING)
+                   || '.example.com/guide'
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 0
+              THEN ' mirror ftp://files' || CAST(doc_id % 5 AS STRING)
+                   || '.backup.org/data'
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' homepage example' || CAST(doc_id % 4 AS STRING)
+                   || '.com wow'
+              ELSE '' END
+      || CASE WHEN doc_id % 8 = 0
+              THEN ' fork https://github.com/org' || CAST(doc_id % 6 AS STRING)
+                   || '/repo' || CAST(doc_id % 4 AS STRING)
+              ELSE '' END
+      || CASE WHEN doc_id % 9 = 0
+              THEN ' chat https://www.reddit.com/r/sub' || CAST(doc_id % 5 AS STRING)
+              ELSE '' END
+      || CASE WHEN doc_id % 9 = 3
+              THEN ' profile https://www.reddit.com/u/user' || CAST(doc_id % 7 AS STRING)
+              ELSE '' END AS text
 FROM documents
 """
 

@@ -93,6 +93,13 @@ class Table:
         Matches the reference's MERGE … ON CREATE SET … ON MATCH SET …
         upserts (helpers/queries.py:21-38 and every cyphers file): idempotent
         by natural key, updates overwrite stale property values.
+
+        ON CREATE / ON MATCH audit split (queries.py:29-33): when both the
+        base table and the updates carry a ``created_dt`` column, a matched
+        key keeps the EARLIEST created_dt (the original creation stamp)
+        while last_update_dt/ingested_by come from the winning (newest)
+        row — so re-ingesting an unchanged entity bumps last_update_dt but
+        never rewrites created_dt.
         """
         updates = updates.withColumn("_src_rank", F.lit(1))
         if self.exists():
@@ -103,11 +110,21 @@ class Table:
         w = Window.partitionBy(*keys).orderBy(
             F.col("_src_rank").desc(), F.col(order_col).desc_nulls_last()
         )
-        dedup = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn", "_src_rank")
-        )
+        merged = merged.withColumn("_rn", F.row_number().over(w))
+        if "created_dt" in merged.columns:
+            # same partitioning as the row_number window → one exchange
+            merged = merged.withColumn(
+                "_created_first", F.min("created_dt").over(Window.partitionBy(*keys))
+            )
+            dedup = (
+                merged.where(F.col("_rn") == 1)
+                .withColumn(
+                    "created_dt", F.coalesce(F.col("_created_first"), F.col("created_dt"))
+                )
+                .drop("_rn", "_src_rank", "_created_first")
+            )
+        else:
+            dedup = merged.where(F.col("_rn") == 1).drop("_rn", "_src_rank")
         return self._commit(dedup)
 
 
