@@ -26,9 +26,15 @@ Two jobs:
     brings its own disk+NIC, which is precisely why the N→4N criterion is
     stated over executors. Reported for transparency.
 
+Cross-check: the same two jobs also run on Spark's local-cluster[n,2,3072]
+master — n separate executor JVM PROCESSES with 2 cores each, the literal
+"N executors vs 4N executors" of the criterion — at n=1 vs n=4. This
+measures the executor-process scaling of BOTH the map path and the
+shuffle (full) path, not just threads in one JVM.
+
 Usage:
-    python bench_scaling.py                 # run everything, write BENCH.md
-    python bench_scaling.py --worker C MODE # one measurement, one JSON line
+    python bench_scaling.py                          # everything → BENCH.md
+    python bench_scaling.py --worker C MODE [MASTER] # one measurement
 """
 
 from __future__ import annotations
@@ -70,20 +76,35 @@ def machine_calibration() -> dict[int, float]:
     return out
 
 
-def worker(cores: int, mode: str) -> None:
+def worker(cores: int, mode: str, master: str | None = None) -> None:
     from pyspark.sql import functions as F
 
     from web3_knowledge_graph_spark.driver_queries import _vocab_dict
     from web3_knowledge_graph_spark.functions import mentions as M
     from web3_knowledge_graph_spark.plans.pipeline import extract_stage
-    from web3_knowledge_graph_spark.session import get_spark
+    from web3_knowledge_graph_spark.session import get_spark, session_conf
     from web3_knowledge_graph_spark.sources.pages import synthesize_pages
 
     rep = REP_MAP if mode == "map" else REP_FULL
-    spark = get_spark(
-        f"scale{cores}{mode}", cores=cores,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if master is None:
+        spark = get_spark(f"scale{cores}{mode}", cores=cores, extra_conf=extra)
+    else:
+        # real executor PROCESSES (local-cluster[n,2,mem]): session built
+        # directly so the submitted master wins; same workload conf dict.
+        from pyspark.sql import SparkSession
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        builder = (
+            SparkSession.builder.master(master)
+            .appName(f"scale{cores}{mode}cluster")
+            .config("spark.executorEnv.PYTHONPATH", repo)
+            .config("spark.ui.enabled", "false")
+        )
+        for k, v in {**session_conf(cores), **extra}.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
     pages = synthesize_pages(spark, SF_DIR)
     big = (
@@ -123,15 +144,25 @@ def worker(cores: int, mode: str) -> None:
     }))
 
 
-def _run_worker(cores: int, mode: str) -> dict:
+def _run_worker(cores: int, mode: str, master: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores), mode]
+    if master is not None:
+        cmd.append(master)
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cores), mode],
-        capture_output=True, text=True, check=True,
+        cmd, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    print(f"# local[{cores}] {mode}: {line}", file=sys.stderr)
+    print(f"# {master or f'local[{cores}]'} {mode}: {line}", file=sys.stderr)
     return json.loads(line)
+
+
+# executor-process levels: n executors × 2 cores, n = 1 (N) vs 4 (4N)
+CLUSTER_EXECS = (1, 4)
+
+
+def _cluster_master(n: int) -> str:
+    return f"local-cluster[{n},2,3072]"
 
 
 def main() -> None:
@@ -142,13 +173,23 @@ def main() -> None:
           f"{hi}p={cal[hi]/1e6:.1f}M ops/s speedup={machine_speedup:.2f}x",
           file=sys.stderr)
     res = {m: {c: _run_worker(c, m) for c in LEVELS} for m in ("map", "full")}
+    # executor-process cross-check: same jobs, n real executor JVMs × 2 cores
+    clus = {
+        m: {n: _run_worker(2 * n, m, master=_cluster_master(n)) for n in CLUSTER_EXECS}
+        for m in ("map", "full")
+    }
     stats = {}
+    n_lo, n_hi = CLUSTER_EXECS
     for m in ("map", "full"):
         sp = res[m][hi]["docs_per_sec"] / res[m][lo]["docs_per_sec"]
+        csp = clus[m][n_hi]["docs_per_sec"] / clus[m][n_lo]["docs_per_sec"]
         stats[m] = {
             "speedup": round(sp, 3),
             "raw_efficiency": round(sp / (hi / lo), 3),
             "calibrated_efficiency": round(sp / machine_speedup, 3),
+            "cluster_speedup": round(csp, 3),
+            "cluster_raw_efficiency": round(csp / (n_hi / n_lo), 3),
+            "cluster_calibrated_efficiency": round(csp / machine_speedup, 3),
         }
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -157,19 +198,26 @@ def main() -> None:
         "stats": stats,
         "machine_speedup": round(machine_speedup, 3),
         "levels": res,
+        "cluster_levels": clus,
         "sf_dir": SF_DIR,
     }
     print(json.dumps(summary))
-    _write_bench_md(res, stats, cal, machine_speedup)
+    _write_bench_md(res, stats, cal, machine_speedup, clus)
 
 
-def _write_bench_md(res, stats, cal, machine_speedup) -> None:
+def _write_bench_md(res, stats, cal, machine_speedup, clus) -> None:
     lo, hi = LEVELS
+    n_lo, n_hi = CLUSTER_EXECS
 
     def row(m, c):
         r = res[m][c]
         return (f"| local[{c}] | {r['docs']:,} | {r['secs']} | "
                 f"{r['docs_per_sec']:,.0f} | {r['all_secs']} |")
+
+    def crow(m, n):
+        r = clus[m][n]
+        return (f"| {_cluster_master(n)} ({n} exec × 2 cores) | {r['docs']:,} | "
+                f"{r['secs']} | {r['docs_per_sec']:,.0f} | {r['all_secs']} |")
 
     md = f"""# BENCH — throughput & scaling evidence
 
@@ -221,15 +269,40 @@ real N→4N executor cluster each added node adds its own shuffle disk and
 NIC; shuffle bandwidth scales with the cluster, which is exactly why the
 criterion is stated over executors, not threads.
 
-## Cross-check: real executor processes (local-cluster mode)
+## Cross-check: real executor processes (local-cluster mode, measured)
 
-The same map-stage job on Spark's `local-cluster[N,2,3072]` — N separate
+The same two jobs on Spark's `local-cluster[n,2,3072]` master — n separate
 executor JVM PROCESSES with 2 cores each, the literal "N executors vs 4N
-executors" of the criterion — measures 1→4 executors at 43.9k → 117.4k
-docs/s = 2.68× (measured once, same corpus ×256). Thread-mode and
-executor-process-mode agree within noise, confirming the gap to 4× is the
-host's shared memory bandwidth / turbo droop (the machine ceiling above),
-not engine serialization.
+executors" of the criterion — at n={n_lo} (N) vs n={n_hi} (4N). These
+numbers are measured by every `python bench_scaling.py` run, not quoted.
+
+Map stage:
+
+| level | docs | wall (s) | docs/sec | trials (s) |
+|---|---|---|---|---|
+{crow("map", n_lo)}
+{crow("map", n_hi)}
+
+executor-process speedup {stats["map"]["cluster_speedup"]}× → raw
+{stats["map"]["cluster_raw_efficiency"]}, machine-calibrated
+**{stats["map"]["cluster_calibrated_efficiency"]}**.
+
+Full stage (extraction + shuffle — the path the thread-mode run cannot
+scale on one box):
+
+| level | docs | wall (s) | docs/sec | trials (s) |
+|---|---|---|---|---|
+{crow("full", n_lo)}
+{crow("full", n_hi)}
+
+executor-process speedup {stats["full"]["cluster_speedup"]}× → raw
+{stats["full"]["cluster_raw_efficiency"]}, machine-calibrated
+**{stats["full"]["cluster_calibrated_efficiency"]}**. Executor processes
+bring their own heaps, GC threads, and shuffle-file writers, so this is
+the closest this sandbox gets to the multi-executor criterion; the
+remaining gap to the machine ceiling is the single shared disk + memory
+bus every executor on one box still contends on — resources a real
+cluster adds per node.
 
 ## Why N=2→4N=8, not 8→32
 
@@ -254,6 +327,6 @@ Regenerate this file with `python bench_scaling.py`.
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3])
+        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else None)
     else:
         main()

@@ -123,3 +123,20 @@ def test_url_full_spark_matches_verbatim(spark):
         ]
         got = _one(spark, s, M.extract_urls_full)
         assert got == py, f"{s!r}: spark={got} python={py}"
+
+
+def test_dictionary_mentions_chunked_large_dict(spark):
+    """>256 aliases forces multiple alternation chunks; matches must equal
+    the single-pattern semantics (tokenizer-charset boundaries, counts)."""
+    n = 600
+    rows = [("eid%03d" % i, "token", ["alias%03d" % i]) for i in range(n)]
+    d = spark.createDataFrame(rows, "entity_id string, kind string, aliases array<string>")
+    text = "alias000 alias299 alias299! alias599 alias600 xalias001 alias002x alias003.tail"
+    df = spark.createDataFrame([("u1", text)], "url string, text string")
+    got = {
+        (r.value, r.n)
+        for r in M.dictionary_mentions(df, d).collect()
+    }
+    # alias600 doesn't exist; embedded/suffixed/charset-joined forms don't
+    # match (x-prefix, x-suffix, '.'-joined stays one token)
+    assert got == {("eid000", 1), ("eid299", 2), ("eid599", 1)}

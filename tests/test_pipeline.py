@@ -203,3 +203,25 @@ def test_merge_upsert_audit_on_match(spark, tmp_path):
     # created row: fresh stamps
     assert second[3].created_dt == second[3].last_update_dt
     assert second[3].ingested_by == "run2"
+
+
+def test_incremental_grown_dates(spark, tmp_path):
+    """Late-arriving pages for ALREADY-COMPLETED dates must be reprocessed
+    (input is not append-only-by-date): run on a 200-page corpus, then
+    re-run the same warehouse with 400 pages whose extra rows land on the
+    SAME dates — the result must equal a fresh 400-page run."""
+    side = _side(spark)
+    root = str(tmp_path / "grow")
+    run_pipeline(spark, corpus.pages_df(spark, 200, partitions=4), side, root, buckets=3)
+
+    grown = run_pipeline(
+        spark, corpus.pages_df(spark, 400, partitions=4), side, root, buckets=3
+    )
+    fresh = run_pipeline(
+        spark, corpus.pages_df(spark, 400, partitions=4), side,
+        str(tmp_path / "fresh400"), buckets=3,
+    )
+    assert (
+        {(r["subj"], r["pred"], r["obj"]) for r in grown.collect()}
+        == {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+    )

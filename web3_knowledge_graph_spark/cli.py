@@ -29,16 +29,27 @@ from pyspark.sql import SparkSession
 
 
 def _submitted_session(app_name: str) -> SparkSession:
-    from web3_knowledge_graph_spark.session import get_spark
+    from web3_knowledge_graph_spark.session import (
+        apply_sql_conf,
+        get_spark,
+        session_conf,
+    )
 
-    builder = SparkSession.builder.appName(app_name)
     # spark-submit provides the master; only fall back to local[*] when run
-    # directly as a script
+    # directly as a script. Workload tuning (AQE, Arrow, UTC session tz,
+    # shuffle sizing) comes from the same session_conf dict get_spark uses —
+    # minus master/driver-memory, which belong to the submitter.
     active = SparkSession.getActiveSession()
     if active is not None:
+        apply_sql_conf(active)
         return active
+    builder = SparkSession.builder.appName(app_name)
+    for k, v in session_conf().items():
+        builder = builder.config(k, v)
     try:
-        return builder.getOrCreate()
+        spark = builder.getOrCreate()
+        apply_sql_conf(spark)  # in case a pre-existing context won getOrCreate
+        return spark
     except Exception:
         return get_spark(app_name)
 

@@ -245,28 +245,32 @@ def dictionary_mentions(
         r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
     ]
     alias_set = sorted({a.lower() for a in alias_set})
-    if len(alias_set) <= 256:
-        # small dict: one native regex alternation with token-boundary
-        # guards — a single codegen'd pass over the text (tokenize+filter
-        # via higher-order functions is interpreted per element, ~5x
-        # slower; measured on the sf0.1 bench corpus)
-        import re as _re
+    # Native regex alternation with token-boundary guards, CHUNKED at 256
+    # aliases per pattern: every pass stays a codegen'd JVM regex scan.
+    # Aliases are disjoint across chunks and each chunk scans the text
+    # independently, so concat(per-chunk matches) ≡ one giant alternation
+    # (and ≡ tokenize+set-membership: the boundary guards reproduce the
+    # tokenizer's charset exactly). The previously-used fallback for >256
+    # aliases — F.filter(tokens, isin(set)) — is an interpreted
+    # higher-order function with no codegen (BENCH.md finding: 3-8x
+    # slower); chunking keeps the alternation small enough for the JVM
+    # regex compiler while never leaving the codegen path.
+    import re as _re
 
+    chunk = 256
+    lowered = df.select(
+        F.col(key_col).alias("url"), F.lower(F.col(text_col)).alias("_lt")
+    )
+    arrays = []
+    for i in range(0, len(alias_set), chunk):
         pat = (
             "(?:^|[^a-z0-9_.@-])("
-            + "|".join(_re.escape(a) for a in alias_set)
+            + "|".join(_re.escape(a) for a in alias_set[i : i + chunk])
             + ")(?=$|[^a-z0-9_.@-])"
         )
-        hits = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 1)
-    else:
-        # large dict: interpreted in-set filter on the token array, still
-        # pre-explode (Aho-Corasick via regex alternation stops paying off
-        # as the alternation grows)
-        toks = F.split(F.lower(F.col(text_col)), r"[^a-z0-9_.@-]+")
-        hits = F.filter(toks, lambda t: t.isin(alias_set))
-    tokens = df.select(
-        F.col(key_col).alias("url"), F.explode(hits).alias("alias")
-    )
+        arrays.append(F.regexp_extract_all(F.col("_lt"), F.lit(pat), 1))
+    hits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    tokens = lowered.select("url", F.explode(hits).alias("alias"))
     return (
         tokens.join(aliases, "alias")
         .groupBy(

@@ -314,12 +314,20 @@ def run_pipeline(
     # bucket count would land new data in already-completed partitions and
     # silently skip it. Dates group into ``buckets`` batches per loop pass
     # purely to bound the number of write jobs.
-    done = log.completed("extract")
-    dates = sorted(
-        str(r[0]) for r in
-        pages.select(F.to_date("warc_ts").alias("d")).distinct().collect()
-    )
-    todo = [d for d in dates if f"date={d}" not in done]
+    # A completed date is skipped ONLY if its input row count is unchanged:
+    # late-arriving pages for an already-done date (the input is NOT
+    # append-only-by-date in general) change the count, so that date is
+    # reprocessed — dynamic partition overwrite rewrites exactly its output
+    # and a newer lineage mark supersedes the old one.
+    done_rows = log.completed_rows("extract")
+    per_date = {
+        str(r["d"]): int(r["n"])
+        for r in pages.groupBy(F.to_date("warc_ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dates = sorted(per_date)
+    todo = [d for d in dates if done_rows.get(f"date={d}") != per_date[d]]
     # dates group into ≤``buckets`` extract jobs; output lands in per-date
     # partition dirs via DYNAMIC partition overwrite, so a retried batch
     # rewrites exactly its own dates (idempotent, no orphan output), and
@@ -355,13 +363,22 @@ def run_pipeline(
         for d in batch:
             log.mark(
                 run_id, "extract", f"date={d}",
-                rows_out=int(counts.get(d, 0)), duration_s=dur, watermark=d,
+                rows_in=per_date[d], rows_out=int(counts.get(d, 0)),
+                duration_s=dur, watermark=d,
             )
 
-    mentions = (
-        spark.read.parquet(f"{warehouse_root}/mentions_data")
-        .select("url", "kind", "value", "n")
-    )
+    import os
+
+    if os.path.isdir(f"{warehouse_root}/mentions_data"):
+        mentions = (
+            spark.read.parquet(f"{warehouse_root}/mentions_data")
+            .select("url", "kind", "value", "n")
+        )
+    else:
+        # empty corpus: no extract batch ever ran, so no output dir exists
+        mentions = spark.createDataFrame(
+            [], "url string, kind string, value string, n bigint"
+        )
 
     # rebuild the graph whenever the extract stage processed anything new —
     # a done-marker alone would serve a stale graph after incremental ingest

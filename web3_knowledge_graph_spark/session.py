@@ -16,6 +16,50 @@ import os
 from pyspark.sql import SparkSession
 
 
+def default_cores() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+
+def session_conf(
+    cores: int | None = None, shuffle_partitions: int | None = None
+) -> dict[str, str]:
+    """The workload's SQL/runtime configuration, master-agnostic — shared
+    by get_spark (local sessions) and cli._submitted_session (spark-submit,
+    where --master/--driver-memory belong to the submitter). Every key here
+    is safe under any master; spark.sql.* keys are also runtime-settable on
+    an already-running session (apply_sql_conf)."""
+    if cores is None:
+        cores = default_cores()
+    if shuffle_partitions is None:
+        # 2x cores: enough tasks for AQE to coalesce, few enough to avoid
+        # per-task overhead dominating at local scale. On a 1000-executor
+        # cluster this would be sized to ~2-3x total executor cores.
+        shuffle_partitions = max(2 * cores, 8)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.default.parallelism": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # pipeline date partitions / lineage marks / formatted timestamps
+        # must not depend on the cluster's local timezone
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    }
+
+
+def apply_sql_conf(spark: SparkSession) -> None:
+    """Set the runtime-settable (spark.sql.*) subset on a live session —
+    the fallback when spark-submit already created the session before our
+    code ran."""
+    for k, v in session_conf().items():
+        if k.startswith("spark.sql."):
+            spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "web3_knowledge_graph_spark",
     cores: int | None = None,
@@ -29,12 +73,7 @@ def get_spark(
     specific except the master URL.
     """
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    if shuffle_partitions is None:
-        # 2x cores: enough tasks for AQE to coalesce, few enough to avoid
-        # per-task overhead dominating at local scale. On a 1000-executor
-        # cluster this would be sized to ~2-3x total executor cores.
-        shuffle_partitions = max(2 * cores, 8)
+        cores = default_cores()
 
     # Scale GC worker threads to the executor's cores (~cores/2, capped):
     # G1's default one-GC-worker-per-vCPU storms the kernel on
@@ -53,22 +92,14 @@ def get_spark(
         .appName(app_name)
         .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.executor.extraJavaOptions", gc_opts)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.session.timeZone", "UTC")
         # modest heap: a 48g heap measurably degrades GC at high thread
         # counts (old-gen scans + first-touch page faults); local sf0.1
         # workloads fit comfortably in 8g
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(64 * 1024 * 1024))
     )
+    for k, v in session_conf(cores, shuffle_partitions).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

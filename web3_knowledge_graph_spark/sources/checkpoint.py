@@ -86,6 +86,25 @@ class CheckpointLog:
                     done.add(p)
         return done
 
+    def completed_rows(self, stage: str) -> dict[str, int | None]:
+        """partition_id → rows_in of its LATEST done mark (files sort
+        chronologically, so later marks win). Lets a resume detect a
+        completed partition whose INPUT has since grown — late-arriving
+        pages for an already-done date — and reprocess exactly that
+        partition instead of silently serving stale output."""
+        out: dict[str, int | None] = {}
+        for f in self._files():
+            t = pq.read_table(f, columns=["stage", "partition_id", "status", "rows_in"])
+            for s, p, st, ri in zip(
+                t["stage"].to_pylist(),
+                t["partition_id"].to_pylist(),
+                t["status"].to_pylist(),
+                t["rows_in"].to_pylist(),
+            ):
+                if s == stage and st == "done":
+                    out[p] = ri
+        return out
+
     def watermark(self, stage: str, partition_id: str = "*") -> str | None:
         """Highest recorded watermark for a stage — the analog of the
         reference's last_block / last_date_ingested / since_id cursors
