@@ -335,8 +335,8 @@ HAVING MAX(ts) < TIMESTAMP '2024-01-31 06:00:00' - INTERVAL 12 HOUR
 # Joins / linking (SURVEY §2.5) and aggregation rules (§2.6)
 # ---------------------------------------------------------------------------
 
-def _page_alias_relations(spark, sf_dir):
-    p = _pages(spark, sf_dir)
+def _page_alias_relations(spark, sf_dir, pages=None):
+    p = _pages(spark, sf_dir) if pages is None else pages
     wallet = F.lower(F.regexp_extract("text", AUTHOR_RE, 1))
     base = p.select(
         wallet.alias("wallet"),
@@ -1434,13 +1434,17 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import build_graph, extract_stage, triples
     from .schemas import ALIAS_DICT
 
-    pages = _pages(spark, sf_dir)
+    # materialize the synthesized corpus once: pages are built from
+    # documents via md5-concat expressions, and four extraction passes
+    # (regex mentions, dictionary, authors, alias relations) would each
+    # re-run that synthesis otherwise
+    pages = _pages(spark, sf_dir).localCheckpoint()
     alias_dict = spark.createDataFrame(alias_dict_rows(), ALIAS_DICT)
     # materialize mentions + the small derived relations once: every
     # downstream edge/node family re-derives the regex-extraction DAG
     # otherwise, and the fused mega-plan is also expensive to codegen
     mentions = extract_stage(pages, alias_dict).localCheckpoint()
-    reg, th = _page_alias_relations(spark, sf_dir)
+    reg, th = _page_alias_relations(spark, sf_dir, pages=pages)
     reg, th = reg.localCheckpoint(), th.localCheckpoint()
     registrations = reg.select(
         F.col("ens").alias("name"), F.col("wallet").alias("owner")

@@ -105,12 +105,40 @@ def build_graph(
         )
 
     # --- content edges from mentions ------------------------------------
+    # all five mention-derived edge families in ONE pass over mentions
+    # (kind→pred/endpoint CASEs) instead of five filtered branches — one
+    # scan of the largest relation, one plan subtree. Kinds with no edge
+    # family ('wallet', plain 'url') fall out via the NULL-pred filter.
     author = kind("author")  # (url, value=wallet)
-    e_author = mk_edges(author, "Wallet", "value", "AUTHOR", "Page", "url")
-    e_refs = mk_edges(kind("twitter"), "Page", "url", "REFERENCES", "Twitter", "value", weight=F.col("n"))
-    e_mens = mk_edges(kind("ens"), "Page", "url", "MENTIONS_ENS", "Ens", "value")
-    e_bio_page = mk_edges(kind("handle"), "Page", "url", "BIO_MENTIONED", "Twitter", "value")
-    e_entity = mk_edges(kind("dict:token"), "Page", "url", "MENTIONS_ENTITY", "Entity", "value")
+    _pred = (
+        F.when(F.col("kind") == "author", F.lit("AUTHOR"))
+        .when(F.col("kind") == "twitter", F.lit("REFERENCES"))
+        .when(F.col("kind") == "ens", F.lit("MENTIONS_ENS"))
+        .when(F.col("kind") == "handle", F.lit("BIO_MENTIONED"))
+        .when(F.col("kind") == "dict:token", F.lit("MENTIONS_ENTITY"))
+    )
+    _obj_label = (
+        F.when(F.col("kind") == "author", F.lit("Page"))
+        .when(F.col("kind").isin("twitter", "handle"), F.lit("Twitter"))
+        .when(F.col("kind") == "ens", F.lit("Ens"))
+        .when(F.col("kind") == "dict:token", F.lit("Entity"))
+    )
+    is_author = F.col("kind") == "author"
+    e_mention = (
+        men.where(_pred.isNotNull())
+        .select(
+            F.when(is_author, _nid("Wallet", F.col("value")))
+            .otherwise(_nid("Page", F.col("url")))
+            .alias("subj"),
+            _pred.alias("pred"),
+            _nid(_obj_label, F.when(is_author, F.col("url")).otherwise(F.col("value")))
+            .alias("obj"),
+            F.when(F.col("kind") == "twitter", F.col("n").cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("weight"),
+            F.lit(None).cast("string").alias("citation"),
+        )
+    )
 
     # --- alias edges from side tables ------------------------------------
     # registrations → Wallet HAS_ALIAS Ens (helpers/queries.py:79-92,127-139)
@@ -175,6 +203,13 @@ def build_graph(
     links = linking.anti_join_existing(
         links, spark.createDataFrame([], "src long, dst long")
     ).dropDuplicates(["src", "dst"])
+    # materialize the link rules once: this join DAG (two-hop + scored +
+    # dictionary linking, each with its own shuffle) otherwise re-runs for
+    # every consumer — the HAS_ACCOUNT edge family, the identity edge set
+    # fed to connected_components (which itself runs ≥2 jobs over its
+    # input), and the final edges union. Output is one row per linked
+    # account pair — tiny relative to the corpus at any scale.
+    links = links.localCheckpoint()
     e_account = links.select(
         F.col("src").alias("subj"),
         F.lit("HAS_ACCOUNT").alias("pred"),
@@ -208,10 +243,7 @@ def build_graph(
     )
 
     edges = (
-        e_author.unionByName(e_refs)
-        .unionByName(e_mens)
-        .unionByName(e_bio_page)
-        .unionByName(e_entity)
+        e_mention
         .unionByName(e_wallet_ens)
         .unionByName(e_twitter_ens)
         .unionByName(e_bio_twitter)
@@ -223,27 +255,47 @@ def build_graph(
     # --- node dimension ----------------------------------------------------
     def node_rows(df: DataFrame, label: str, key_col: str) -> DataFrame:
         # no per-branch dropDuplicates: the union below dedups by id once —
-        # one shuffle total instead of one per branch (15 branches)
+        # one shuffle total instead of one per branch
         return df.select(
             _nid(label, F.col(key_col)).alias("id"),
             F.lit(label).alias("label"),
             F.lower(F.col(key_col)).alias("key"),
         )
 
+    # All mention-derived node families in ONE pass over mentions: a
+    # kind→label CASE replaces six separate filtered branches (each branch
+    # would rescan mentions and add its own plan subtree — at 100 TB that
+    # is six scans of the largest relation; here it is also most of the
+    # flagship's one-time plan-compilation cost). Kinds outside the CASE
+    # (plain 'url', other dict kinds) deliberately produce no nodes,
+    # exactly as the old per-kind branches did.
+    mention_label = (
+        F.when(F.col("kind").isin("author", "wallet"), F.lit("Wallet"))
+        .when(F.col("kind").isin("twitter", "handle"), F.lit("Twitter"))
+        .when(F.col("kind") == "ens", F.lit("Ens"))
+        .when(F.col("kind") == "dict:token", F.lit("Entity"))
+    )
+    m_nodes = men.select(mention_label.alias("_l"), F.col("value").alias("_k")).where(
+        F.col("_l").isNotNull()
+    )
+    p_nodes = men.select(F.lit("Page").alias("_l"), F.col("url").alias("_k"))
+
+    def labeled(df: DataFrame) -> DataFrame:
+        return df.select(
+            _nid(F.col("_l"), F.col("_k")).alias("id"),
+            F.col("_l").alias("label"),
+            F.lower(F.col("_k")).alias("key"),
+        )
+
     nodes = (
-        node_rows(author, "Wallet", "value")
+        labeled(m_nodes)
+        .unionByName(labeled(p_nodes))
         .unionByName(node_rows(reg, "Wallet", "wallet"))
         .unionByName(node_rows(snaps, "Wallet", "holder_key"))
-        .unionByName(node_rows(men.where(F.col("kind") == "wallet"), "Wallet", "value"))
-        .unionByName(node_rows(men.select(F.col("url").alias("u")).dropDuplicates(), "Page", "u"))
-        .unionByName(node_rows(kind("twitter"), "Twitter", "value"))
-        .unionByName(node_rows(kind("handle"), "Twitter", "value"))
         .unionByName(node_rows(prof.select("handle"), "Twitter", "handle"))
         .unionByName(node_rows(t_bio.select(F.col("other")), "Twitter", "other"))
-        .unionByName(node_rows(kind("ens"), "Ens", "value"))
         .unionByName(node_rows(reg.select("ens"), "Ens", "ens"))
         .unionByName(node_rows(t_ens.select("ens"), "Ens", "ens"))
-        .unionByName(node_rows(kind("dict:token"), "Entity", "value"))
         .unionByName(node_rows(alias_dict.select("entity_id"), "Entity", "entity_id"))
         .unionByName(node_rows(snaps.select("token_key"), "Token", "token_key"))
         .dropDuplicates(["id"])
