@@ -76,7 +76,7 @@ def machine_calibration() -> dict[int, float]:
     return out
 
 
-def worker(cores: int, mode: str, master: str | None = None) -> None:
+def worker(cores: int, mode: str, master: str | None = None, trials: int = TRIALS) -> None:
     from pyspark.sql import functions as F
 
     from web3_knowledge_graph_spark.driver_queries import _vocab_dict
@@ -129,7 +129,7 @@ def worker(cores: int, mode: str, master: str | None = None) -> None:
     else:
         extract_stage(big.limit(2000), _vocab_dict(spark)).count()
     times = []
-    for _ in range(TRIALS):
+    for _ in range(trials):
         t0 = time.time()
         if mode == "map":
             big.select(F.sum(map_expr)).collect()
@@ -144,10 +144,13 @@ def worker(cores: int, mode: str, master: str | None = None) -> None:
     }))
 
 
-def _run_worker(cores: int, mode: str, master: str | None = None) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores), mode]
-    if master is not None:
-        cmd.append(master)
+def _run_worker(
+    cores: int, mode: str, master: str | None = None, trials: int = 1
+) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--worker", str(cores), mode,
+        master or "-", str(trials),
+    ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -167,15 +170,42 @@ def _cluster_master(n: int) -> str:
 
 def main() -> None:
     lo, hi = LEVELS
-    cal = machine_calibration()
-    machine_speedup = cal[hi] / cal[lo]
-    print(f"# machine calibration: {lo}p={cal[lo]/1e6:.1f}M ops/s "
-          f"{hi}p={cal[hi]/1e6:.1f}M ops/s speedup={machine_speedup:.2f}x",
-          file=sys.stderr)
-    res = {m: {c: _run_worker(c, m) for c in LEVELS} for m in ("map", "full")}
-    # executor-process cross-check: same jobs, n real executor JVMs × 2 cores
+    n_lo, n_hi = CLUSTER_EXECS
+    # INTERLEAVED trials: the host is multi-tenant with ±30% load swings on
+    # ~10-minute scales, so running all trials of one level consecutively
+    # lets a noise burst land entirely on one side of the N-vs-4N ratio (a
+    # measured failure mode). Instead each sweep times every configuration
+    # once, back-to-back, and the per-config best is taken across sweeps —
+    # noise shifts a sweep, not one side of a ratio. The machine ceiling is
+    # likewise re-measured per sweep and the best ceiling kept.
+    configs = [
+        ("map", lo, None), ("map", hi, None),
+        ("full", lo, None), ("full", hi, None),
+        ("map", 2 * n_lo, _cluster_master(n_lo)),
+        ("map", 2 * n_hi, _cluster_master(n_hi)),
+        ("full", 2 * n_lo, _cluster_master(n_lo)),
+        ("full", 2 * n_hi, _cluster_master(n_hi)),
+    ]
+    runs: dict[tuple, list[dict]] = {c: [] for c in configs}
+    machine_speedup, cal = 0.0, None
+    for sweep in range(TRIALS):
+        c0 = machine_calibration()
+        sp0 = c0[hi] / c0[lo]
+        print(f"# sweep {sweep}: machine ceiling {sp0:.2f}x", file=sys.stderr)
+        if sp0 > machine_speedup:
+            machine_speedup, cal = sp0, c0
+        for c in configs:
+            runs[c].append(_run_worker(c[1], c[0], master=c[2], trials=1))
+
+    def _merge(rs: list[dict]) -> dict:
+        best = min(rs, key=lambda r: r["secs"])
+        return {**best, "all_secs": [r["secs"] for r in rs]}
+
+    res = {
+        m: {c: _merge(runs[(m, c, None)]) for c in LEVELS} for m in ("map", "full")
+    }
     clus = {
-        m: {n: _run_worker(2 * n, m, master=_cluster_master(n)) for n in CLUSTER_EXECS}
+        m: {n: _merge(runs[(m, 2 * n, _cluster_master(n))]) for n in CLUSTER_EXECS}
         for m in ("map", "full")
     }
     stats = {}
@@ -223,7 +253,10 @@ def _write_bench_md(res, stats, cal, machine_speedup, clus) -> None:
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency ≥ 0.8
 from N to 4N executors. Sandbox stand-in (no real cluster): the same job at
-local[{lo}] (N) vs local[{hi}] (4N), fresh JVM each, best of {TRIALS} trials,
+local[{lo}] (N) vs local[{hi}] (4N), fresh JVM each, best of {TRIALS}
+INTERLEAVED trial sweeps (each sweep times every configuration once,
+back-to-back, so multi-tenant load bursts shift whole sweeps instead of one
+side of an N-vs-4N ratio; per-config best across sweeps),
 plus a machine-ceiling calibration.
 
 ## Machine ceiling (no engine)
@@ -327,6 +360,8 @@ Regenerate this file with `python bench_scaling.py`.
 
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
-        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4] if len(sys.argv) > 4 else None)
+        m = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None
+        t = int(sys.argv[5]) if len(sys.argv) > 5 else TRIALS
+        worker(int(sys.argv[2]), sys.argv[3], m, t)
     else:
         main()

@@ -1481,6 +1481,111 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples(nodes, edges)
 
 
+def _flagship_oracle() -> str:
+    """Full-pipeline DuckDB replay of flagship_triples.
+
+    The key that makes this SQL-expressible: triples() emits 'Label:key'
+    NAME strings — the xxhash64 node ids are internal plumbing that cancels
+    out of the output (id ↔ (label, lowercased key) is 1:1), so the replay
+    works entirely on natural keys and needs no hash function. Every
+    component regex/rule below is the same one already proven green by its
+    per-stage oracle (mention_*, dict_mentions, two_hop/scored-link rules).
+
+    Replicated reference semantics worth naming:
+      * authorship (AUTHOR edges + the scored link rule) takes the first
+        VALID wallet per page (extract_stage/_author_mentions), while the
+        alias relations (_page_alias_relations) require the first RAW
+        regex match to be 42 chars — two deliberately different 'first's.
+      * profile bios are rebuilt as concat of the page's ENS set, so the
+        Twitter HAS_ALIAS family equals the page-level (handle, ens)
+        relation exactly.
+      * balances are empty in the flagship → no HOLDS/HELD family.
+    """
+    from .fixtures.dictionaries import alias_dict_rows
+
+    rows = alias_dict_rows()
+    dict_vals = ", ".join(
+        f"('{a}', '{r['entity_id']}', '{r['kind']}')"
+        for r in rows
+        for a in r["aliases"]
+    )
+    handle_vals = ", ".join(
+        f"('{r['entity_id']}', '{r['handle'].lower()}')"
+        for r in rows
+        if r["handle"]
+    )
+    return f"""
+{PAGES_WITH},
+author AS (
+  SELECT url, lst[1] AS wallet, len(lst) AS n FROM (
+    SELECT url, list_transform(list_filter(
+        regexp_extract_all(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1),
+        x -> len(x) = 42), x -> lower(x)) AS lst
+    FROM pages) WHERE len(lst) > 0),
+men_tw AS (SELECT DISTINCT url, h AS handle FROM (
+  SELECT url, unnest(list_transform(
+      regexp_extract_all(text, 'twitter\\.com/(\\w+)', 1), x -> lower(x))) AS h
+  FROM pages)),
+men_ens AS (SELECT DISTINCT url, e AS ens FROM (
+  SELECT url, unnest({_ENS_L}) AS e FROM pages)),
+men_h AS (SELECT DISTINCT url, h AS handle FROM (
+  SELECT url, unnest({_HANDLE_L}) AS h FROM pages)),
+dic(alias, entity_id, kind) AS (VALUES {dict_vals}),
+toks AS (SELECT url, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9_.@-]+'),
+    x -> len(x) > 0)) AS alias FROM pages),
+men_ent AS (SELECT DISTINCT url, entity_id
+  FROM toks JOIN dic USING (alias) WHERE kind = 'token'),
+base AS (SELECT url,
+    lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1)) AS wallet
+  FROM pages),
+apg AS (SELECT url, wallet FROM base WHERE len(wallet) = 42),
+reg AS (SELECT DISTINCT wallet, ens FROM apg JOIN men_ens USING (url)),
+th AS (SELECT DISTINCT handle, ens
+  FROM (SELECT url, handle FROM apg JOIN men_h USING (url)) h
+  JOIN men_ens USING (url)),
+tdim AS (SELECT DISTINCT handle FROM
+  (SELECT handle FROM th UNION ALL SELECT handle FROM men_tw)),
+hmap(entity_id, handle) AS (VALUES {handle_vals}),
+l_dict AS (SELECT DISTINCT 'Entity:' || entity_id AS subj,
+    'Twitter:' || handle AS obj FROM hmap JOIN tdim USING (handle)),
+l_two AS (SELECT DISTINCT 'Wallet:' || r.wallet AS subj,
+    'Twitter:' || t.handle AS obj FROM reg r JOIN th t USING (ens)),
+refs AS (SELECT a.wallet, m.handle, COUNT(DISTINCT a.url) AS r
+  FROM author a JOIN men_tw m USING (url) GROUP BY 1, 2),
+authored AS (SELECT wallet, COUNT(DISTINCT url) AS c FROM author GROUP BY 1),
+l_scored AS (SELECT 'Wallet:' || refs.wallet AS subj,
+    'Twitter:' || refs.handle AS obj
+  FROM refs JOIN authored USING (wallet)
+  WHERE r > 3 AND r * 1.0 / c > 0.8),
+has_account AS (SELECT DISTINCT subj, obj FROM (
+  SELECT * FROM l_two UNION ALL SELECT * FROM l_scored
+  UNION ALL SELECT * FROM l_dict))
+SELECT subj, pred, obj FROM (
+  SELECT 'Wallet:' || wallet AS subj, 'AUTHOR' AS pred,
+         'Page:' || lower(url) AS obj FROM author
+  UNION
+  SELECT 'Page:' || lower(url), 'REFERENCES', 'Twitter:' || handle FROM men_tw
+  UNION
+  SELECT 'Page:' || lower(url), 'MENTIONS_ENS', 'Ens:' || ens FROM men_ens
+  UNION
+  SELECT 'Page:' || lower(url), 'BIO_MENTIONED', 'Twitter:' || handle FROM men_h
+  UNION
+  SELECT 'Page:' || lower(url), 'MENTIONS_ENTITY', 'Entity:' || entity_id
+  FROM men_ent
+  UNION
+  SELECT 'Wallet:' || wallet, 'HAS_ALIAS', 'Ens:' || ens FROM reg
+  UNION
+  SELECT 'Twitter:' || handle, 'HAS_ALIAS', 'Ens:' || ens FROM th
+  UNION
+  SELECT subj, 'HAS_ACCOUNT', obj FROM has_account
+)
+"""
+
+
+ORACLE_DATASETS["flagship_triples"] = _flagship_oracle()
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mention_wallets": q_mention_wallets,
@@ -1543,7 +1648,8 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_EXTRA, ORACLE_WINDOWED, ORACLE_DATASETS):
         out.update(d)
-    # flagship_triples intentionally has no oracle (multi-stage iterative
-    # pipeline incl. connected components) — rows-only check; the per-stage
-    # queries above carry the SQL oracles.
+    # flagship_triples DOES carry a full-pipeline oracle (_flagship_oracle):
+    # the triple output is hash-free 'Label:key' names, so the whole
+    # extract → link → triples DAG replays on natural keys in DuckDB.
+    # media_features remains the only rows-only query (binary mapInPandas).
     return out

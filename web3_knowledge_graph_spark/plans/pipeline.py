@@ -46,15 +46,24 @@ AUTHOR_RE = r"Author wallet: (0x[a-fA-F0-9]+)"
 
 
 def _author_mentions(pages: DataFrame) -> DataFrame:
+    # One author row per page = first valid wallet + valid-match count.
+    # Pages are one row each, so this is a pure PROJECTION — the
+    # explode → groupBy(url) → first/count formulation computes the same
+    # thing through a full shuffle of every author mention (and its
+    # "first" is only deterministic because each url's rows stay in one
+    # task); element_at(filtered, 1) is the same value with zero shuffle.
     cands = F.regexp_extract_all(F.col("text"), F.lit(AUTHOR_RE), 1)
     wallets = F.transform(
         F.filter(cands, lambda x: F.length(x) == 42), F.lower
     )
     return (
-        pages.select(F.col("url"), F.explode(wallets).alias("value"))
-        .groupBy("url")
-        .agg(F.first("value").alias("value"), F.count(F.lit(1)).alias("n"))
-        .select("url", F.lit("author").alias("kind"), "value", "n")
+        pages.select(
+            F.col("url"),
+            F.lit("author").alias("kind"),
+            F.element_at(wallets, 1).alias("value"),
+            F.size(wallets).cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
     )
 
 
