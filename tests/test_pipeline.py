@@ -225,3 +225,24 @@ def test_incremental_grown_dates(spark, tmp_path):
         {(r["subj"], r["pred"], r["obj"]) for r in grown.collect()}
         == {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
     )
+
+
+def test_author_first_valid_vs_first_raw(spark):
+    """Pin the deliberate asymmetry the flagship oracle replicates: the
+    AUTHOR mention takes the first VALID wallet in the page, while the
+    alias relations (_page_alias_relations) require the first RAW regex
+    match to be valid and otherwise drop the page."""
+    from web3_knowledge_graph_spark.driver_queries import _page_alias_relations
+    from web3_knowledge_graph_spark.plans.pipeline import _author_mentions
+
+    bad = "0x" + "a" * 39  # 41 chars — regex-matchable, invalid length
+    good = "0x" + "b" * 40
+    text = f"Author wallet: {bad} then Author wallet: {good} and name1.eth @h1"
+    pages = spark.createDataFrame(
+        [("u1", text, "2024-01-05 00:00:00")], "url string, text string, warc_ts string"
+    )
+    authors = _author_mentions(pages).collect()
+    assert [(r.url, r.value, r.n) for r in authors] == [("u1", good, 1)]
+    reg, th = _page_alias_relations(spark, None, pages=pages)
+    # first RAW match is the 41-char candidate → page excluded entirely
+    assert reg.count() == 0 and th.count() == 0

@@ -91,30 +91,55 @@ def jaccard_pairs(
     max_doc_freq: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """All near-duplicate pairs by word-k-shingle Jaccard ≥ threshold.
+    """Near-duplicate pairs by word-k-shingle Jaccard ≥ threshold.
 
-    explode shingles → drop hot shingles (df > max_doc_freq, the quadratic-
-    blowup guard) → self-join on shingle (a<b) → |A∩B| per pair → join doc
-    sizes → J = inter/(|A|+|B|−inter). Returns (doc_a, doc_b, jaccard).
+    Two modes, one verification core:
+
+    * ``candidates`` given — VERIFICATION SUBROUTINE (the at-scale mode):
+      exact Jaccard is computed only for the supplied (doc_a, doc_b) pairs
+      (e.g. from lsh_candidate_pairs); cost is O(candidates × shingles),
+      never all-pairs. near_dedup routes through this path. No hot-shingle
+      guard: candidate count, not shingle df, bounds the join.
+    * ``candidates`` None — exact all-pairs baseline: self-join on shingle
+      (a<b) with hot shingles dropped (df > max_doc_freq). Total cost is
+      Σ df² over shingles — fine as a small-corpus recall baseline and as
+      the oracle-checkable ground truth, but the WRONG plan at web scale;
+      use the LSH-candidate mode (or near_dedup) there.
+
+    Returns (doc_a, doc_b, jaccard) with J = |A∩B| / (|A|+|B|−|A∩B|).
     """
     sh = shingles(docs, k, id_col, text_col)
-    df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(
-        df_per_shingle.where(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
-    )
+    if candidates is None:
+        df_per_shingle = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            df_per_shingle.where(F.col("df") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+        sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -242,27 +267,10 @@ def near_dedup(
     from ..operators.canon import connected_components
 
     cand = lsh_candidate_pairs(docs, k, num_hashes, rows_per_band, id_col, text_col)
-    sh = shingles(docs, k, id_col, text_col)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    verified = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .where(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            >= jaccard_threshold
-        )
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    verified = jaccard_pairs(
+        docs, k, jaccard_threshold, id_col=id_col, text_col=text_col,
+        candidates=cand,
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     assign = connected_components(verified)
     out = docs.select(F.col(id_col).alias("doc_id")).join(
         assign.withColumnRenamed("id", "doc_id"), "doc_id", "left"

@@ -1210,6 +1210,9 @@ def q_simhash(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard — the small-corpus recall baseline /
+    oracle ground truth. At scale the same function runs as a verification
+    subroutine over LSH candidates (see near_dedup; PLANS.md)."""
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.05)
 
 
