@@ -213,6 +213,49 @@ def extract_mentions(
     )
 
 
+def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
+    """Per-chunk arrays of dictionary-alias matches in ``lower(text)``.
+
+    Native regex alternation with token-boundary guards, CHUNKED at 256
+    aliases per pattern: every pass stays a codegen'd JVM regex scan.
+    Aliases are disjoint across chunks and each chunk scans the text
+    independently, so concat(per-chunk matches) ≡ one giant alternation
+    (and ≡ tokenize+set-membership: the boundary guards reproduce the
+    tokenizer's charset exactly). An interpreted fallback for >256 aliases
+    — F.filter(tokens, isin(set)) — is a higher-order function with no
+    codegen (BENCH.md finding: 3-8x slower); chunking keeps the
+    alternation small enough for the JVM regex compiler while never
+    leaving the codegen path.
+    """
+    import re as _re
+
+    alias_set = [
+        r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
+    ]
+    alias_set = sorted({a.lower() for a in alias_set})
+    chunk = 256
+    arrays = []
+    for i in range(0, len(alias_set), chunk):
+        pat = (
+            "(?:^|[^a-z0-9_.@-])("
+            + "|".join(_re.escape(a) for a in alias_set[i : i + chunk])
+            + ")(?=$|[^a-z0-9_.@-])"
+        )
+        arrays.append(F.regexp_extract_all(F.lower(text), F.lit(pat), 1))
+    return arrays
+
+
+def _alias_entity_map(alias_dict: DataFrame):
+    """Broadcast (alias → entity_id, entity_kind) relation, lowercased."""
+    return F.broadcast(
+        alias_dict.select(
+            F.explode("aliases").alias("alias"),
+            F.col("entity_id"),
+            F.col("kind").alias("entity_kind"),
+        ).withColumn("alias", F.lower(F.col("alias")))
+    )
+
+
 def dictionary_mentions(
     df: DataFrame,
     alias_dict: DataFrame,
@@ -230,49 +273,16 @@ def dictionary_mentions(
 
     Returns mentions(url, kind='dict:<kind>', value=entity_id, n).
     """
-    aliases = F.broadcast(
-        alias_dict.select(
-            F.explode("aliases").alias("alias"),
-            F.col("entity_id"),
-            F.col("kind").alias("entity_kind"),
-        ).withColumn("alias", F.lower(F.col("alias")))
-    )
     # The dictionary is broadcast-sized by contract, so its alias set is
-    # also driver-sized: match aliases BEFORE the explode instead of
-    # exploding every token (~100/doc) into the join — that moves two
-    # orders of magnitude more rows than the ~1/doc that match.
-    alias_set = [
-        r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
-    ]
-    alias_set = sorted({a.lower() for a in alias_set})
-    # Native regex alternation with token-boundary guards, CHUNKED at 256
-    # aliases per pattern: every pass stays a codegen'd JVM regex scan.
-    # Aliases are disjoint across chunks and each chunk scans the text
-    # independently, so concat(per-chunk matches) ≡ one giant alternation
-    # (and ≡ tokenize+set-membership: the boundary guards reproduce the
-    # tokenizer's charset exactly). The previously-used fallback for >256
-    # aliases — F.filter(tokens, isin(set)) — is an interpreted
-    # higher-order function with no codegen (BENCH.md finding: 3-8x
-    # slower); chunking keeps the alternation small enough for the JVM
-    # regex compiler while never leaving the codegen path.
-    import re as _re
-
-    chunk = 256
-    lowered = df.select(
-        F.col(key_col).alias("url"), F.lower(F.col(text_col)).alias("_lt")
-    )
-    arrays = []
-    for i in range(0, len(alias_set), chunk):
-        pat = (
-            "(?:^|[^a-z0-9_.@-])("
-            + "|".join(_re.escape(a) for a in alias_set[i : i + chunk])
-            + ")(?=$|[^a-z0-9_.@-])"
-        )
-        arrays.append(F.regexp_extract_all(F.col("_lt"), F.lit(pat), 1))
+    # also driver-sized: match aliases BEFORE the explode (_dict_hit_arrays,
+    # chunked codegen'd alternations) instead of exploding every token
+    # (~100/doc) into the join — that moves two orders of magnitude more
+    # rows than the ~1/doc that match.
+    arrays = _dict_hit_arrays(alias_dict, F.col(text_col))
     hits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    tokens = lowered.select("url", F.explode(hits).alias("alias"))
+    tokens = df.select(F.col(key_col).alias("url"), F.explode(hits).alias("alias"))
     return (
-        tokens.join(aliases, "alias")
+        tokens.join(_alias_entity_map(alias_dict), "alias")
         .groupBy(
             "url",
             F.concat(F.lit("dict:"), F.col("entity_kind")).alias("kind"),
@@ -280,3 +290,15 @@ def dictionary_mentions(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# NOTE (measured, not assumed): a fully-fused variant of
+# extract_mentions + dictionary_mentions — dict alternation hits tagged
+# into the same combined explode, broadcast-mapped alias→entity before one
+# shared (url, kind, value) groupBy — was built and A/B-benchmarked at
+# sf0.1×16 (interleaved trials, same session): 15-20% SLOWER than the two
+# separate operators. With the corpus page-cached, regex CPU dominates and
+# the per-exploded-row join + larger codegen expression cost more than the
+# saved text-column access. The separate operators are kept as the
+# canonical shape; revisit only on evidence of a scan-bandwidth-bound
+# profile (cold object-store reads of very wide rows).
