@@ -52,12 +52,14 @@ def _decode_payload(payload: bytes | None, media_type: str) -> list[float] | Non
     """STUB decode. Real implementation: PIL.Image.open / soundfile.read →
     normalized feature vector. The fake is deterministic in the bytes so
     tests and oracles are stable; raises for unknown modalities the way a
-    real codec would."""
+    real codec would. It hashes the HEX encoding of the payload (not the
+    raw bytes) so the DuckDB oracle can replay it exactly — DuckDB's md5
+    is VARCHAR-only, and repeat/concat in the hex domain is byte-faithful."""
     if payload is None:
         return None
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
-    digest = hashlib.md5(payload).digest()
+    digest = hashlib.md5(bytes(payload).hex().encode()).digest()
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 

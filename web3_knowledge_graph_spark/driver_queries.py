@@ -909,15 +909,46 @@ def q_media_features(spark, sf_dir):
     """Multimodal plumbing (datasets/multimodal.py): opaque binary payloads
     → Arrow-batched mapInPandas feature extraction (decode stubbed —
     codecs absent in this container; schema/batching/partitioning real).
-    No SQL oracle (binary mapInPandas) → rows-only check."""
+
+    Oracle-checked: the stub hashes the payload's HEX encoding, so DuckDB
+    replays the whole path in the hex domain (repeat/md5 of hex strings ≡
+    the byte-level fixture); feat_sum is the raw sequential double fold —
+    bit-identical across engines. What the check actually proves on the
+    Spark side is the binary Arrow transport: payload bytes must survive
+    createDataFrame → Arrow batches → pandas unchanged."""
     from .datasets.multimodal import decode_features, synthesize_media
 
     media = synthesize_media(spark, n=128)
     feats = decode_features(media)
     return feats.select(
         "media_id", "media_type", "ok", "n_bytes",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("feat_sum"),
     )
+
+
+def _media_features_oracle(n: int = 128) -> str:
+    """Hex-domain replay of synthesize_media + the stub decode: payload_hex
+    = repeat(md5('media'||i), 4 + i%7) (≡ hex of the byte fixture), feature
+    bytes from md5(payload_hex), feat_sum = left-assoc fold of b_j/255.0."""
+    fold = " + ".join(
+        f"CAST('0x' || substr(hh, {2 * j + 1}, 2) AS INT) / 255.0"
+        for j in range(8)
+    )
+    return f"""
+WITH idx AS (SELECT range AS i FROM range({n})),
+m AS (SELECT i,
+    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS media_type,
+    repeat(md5('media' || CAST(i AS VARCHAR)), CAST(4 + i % 7 AS INT)) AS payload_hex
+  FROM idx)
+SELECT i AS media_id, media_type, TRUE AS ok,
+  CAST(16 * (4 + i % 7) AS BIGINT) AS n_bytes,
+  ({fold}) AS feat_sum
+FROM (SELECT i, media_type, md5(payload_hex) AS hh FROM m)
+"""
+
+
+# (registered into ORACLE_EXTRA below, after the dict literal)
 
 
 def q_ivf_knn(spark, sf_dir):
@@ -1089,6 +1120,8 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
 WHERE rank <= 5
 """,
 }
+
+ORACLE_EXTRA["media_features"] = _media_features_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -1651,8 +1684,9 @@ def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_EXTRA, ORACLE_WINDOWED, ORACLE_DATASETS):
         out.update(d)
-    # flagship_triples DOES carry a full-pipeline oracle (_flagship_oracle):
-    # the triple output is hash-free 'Label:key' names, so the whole
-    # extract → link → triples DAG replays on natural keys in DuckDB.
-    # media_features remains the only rows-only query (binary mapInPandas).
+    # Every query carries an oracle. The two once-"unoracleable" ones:
+    # flagship_triples replays the whole extract → link → triples DAG on
+    # natural keys ('Label:key' output is hash-free), and media_features
+    # replays the hex-domain stub decode — the real thing it proves is that
+    # payload bytes survive the Arrow binary transport unchanged.
     return out
