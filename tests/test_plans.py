@@ -1,0 +1,78 @@
+"""Executable physical-plan assertions — the PLANS.md claims as tests.
+
+Each test runs the operator (so AQE finalizes its plan) and then asserts
+the load-bearing physical property: the property that makes the plan the
+right one at 100 TB. If a refactor silently downgrades a broadcast join to
+a sort-merge join, or loses the below-shuffle top-k, these fail before any
+benchmark would notice.
+"""
+
+from pyspark.sql import functions as F
+
+from web3_knowledge_graph_spark.driver_queries import _pages, _vocab_dict
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    """Execute and return the AQE-final physical plan string."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dict_mentions_broadcasts_dictionary(spark):
+    """PLANS.md: the dictionary is always the broadcast build side — the
+    corpus must never shuffle for the join."""
+    from web3_knowledge_graph_spark.functions.mentions import dictionary_mentions
+
+    plan = _final_plan(dictionary_mentions(_pages(spark, SF), _vocab_dict(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embed_topk_below_shuffle_and_pushdown(spark):
+    """PLANS.md: probe-set filter pushed into the parquet scan; Spark 4
+    WindowGroupLimit caps rows per query BEFORE the exchange."""
+    from web3_knowledge_graph_spark.datasets.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
+    plan = _final_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]" in plan
+
+
+def test_minhash_partial_min_before_exchange(spark):
+    """PLANS.md: map-side partial min reduces each doc to num_hashes rows
+    before the shuffle — the exchange is O(docs·hashes), not shingles."""
+    from web3_knowledge_graph_spark.datasets.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(minhash_signatures(d, k=2, num_hashes=4))
+    assert "partial_min" in plan
+
+
+def test_two_hop_no_cartesian(spark):
+    """Linking joins are equi-joins on alias keys — no cartesian/nested-loop
+    blowup anywhere in the rule."""
+    from web3_knowledge_graph_spark.driver_queries import q_two_hop_links
+
+    plan = _final_plan(q_two_hop_links(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_reads_only_needed_columns(spark):
+    """Column pruning reaches the scan: the mention pipeline must read only
+    the document columns the page synthesis needs, not the whole table."""
+    from web3_knowledge_graph_spark.functions.mentions import extract_mentions
+
+    plan = _final_plan(extract_mentions(_pages(spark, SF), kinds=("wallet",)))
+    scans = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert scans, "no parquet scan found in plan"
+    for line in scans:
+        # documents.parquet carries (doc_id, text, lang, source, n_chars);
+        # the page synthesis derives everything it needs without n_chars,
+        # so a pruned scan must not read it — this guards against a
+        # select(*) sneaking in upstream of the synthesis.
+        assert "n_chars" not in line, line
