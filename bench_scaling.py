@@ -82,7 +82,11 @@ def worker(cores: int, mode: str, master: str | None = None, trials: int = TRIAL
     from web3_knowledge_graph_spark.driver_queries import _vocab_dict
     from web3_knowledge_graph_spark.functions import mentions as M
     from web3_knowledge_graph_spark.plans.pipeline import extract_stage
-    from web3_knowledge_graph_spark.session import get_spark, session_conf
+    from web3_knowledge_graph_spark.session import (
+        get_spark,
+        local_dir_conf,
+        session_conf,
+    )
     from web3_knowledge_graph_spark.sources.pages import synthesize_pages
 
     rep = REP_MAP if mode == "map" else REP_FULL
@@ -101,7 +105,11 @@ def worker(cores: int, mode: str, master: str | None = None, trials: int = TRIAL
             .config("spark.executorEnv.PYTHONPATH", repo)
             .config("spark.ui.enabled", "false")
         )
-        for k, v in {**session_conf(cores), **extra}.items():
+        # same scratch-dir policy as get_spark: tmpfs local dirs when the
+        # host has one (each real cluster node brings its own SSD scratch;
+        # on one box the shared block layer is contention every executor
+        # pays). Applied at BOTH n=1 and n=4, so the ratio stays fair.
+        for k, v in {**session_conf(cores), **local_dir_conf(), **extra}.items():
             builder = builder.config(k, v)
         spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
@@ -363,10 +371,15 @@ sweep: {stats["full"]["cluster_per_sweep_speedups"]}) → raw
 {stats["full"]["cluster_raw_efficiency"]}, machine-calibrated
 **{stats["full"]["cluster_calibrated_efficiency"]}**. Executor processes
 bring their own heaps, GC threads, and shuffle-file writers, so this is
-the closest this sandbox gets to the multi-executor criterion; the
-remaining gap to the machine ceiling is the single shared disk + memory
-bus every executor on one box still contends on — resources a real
-cluster adds per node.
+the closest this sandbox gets to the multi-executor criterion. Shuffle
+scratch (`spark.local.dir`) goes to tmpfs when the host has one
+(session.local_dir_conf, applied identically at N and 4N): a real cluster
+gives every node its own NVMe scratch, so granting all co-located
+executors one shared *block device* — journaling and queueing included —
+models a resource no real cluster shares; tmpfs removes that artifact
+(measured 24% off the 4-executor full-stage wall). The residual gap to
+the machine ceiling is the one shared memory bus every executor on one
+box still contends on — a resource a real cluster adds per node.
 
 ## Why N=2→4N=8, not 8→32
 
