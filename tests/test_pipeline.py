@@ -227,6 +227,38 @@ def test_incremental_grown_dates(spark, tmp_path):
     )
 
 
+def test_incremental_changed_content(spark, tmp_path):
+    """An in-place edit that keeps a date's ROW COUNT constant must still be
+    reprocessed: the lineage mark's input_fp (bit_xor of per-row xxhash64)
+    detects the content change where rows_in alone cannot. Edit the text of
+    one url, re-run the same warehouse, and expect the fresh-run result."""
+    side = _side(spark)
+    root = str(tmp_path / "edit")
+    pages = corpus.pages_df(spark, 200, partitions=4)
+    run_pipeline(spark, pages, side, root, buckets=3)
+
+    victim = pages.select("url").orderBy("url").limit(1).collect()[0]["url"]
+    # an ENS mention is guaranteed to emit a MENTIONS_ENS edge, so a stale
+    # (skipped) resume is guaranteed to differ from the fresh run
+    edited = pages.withColumn(
+        "text",
+        F.when(
+            F.col("url") == victim,
+            F.concat(F.col("text"), F.lit(" edited-in-place fpcheck.eth")),
+        ).otherwise(F.col("text")),
+    )
+    assert edited.count() == pages.count()  # same per-date counts by design
+
+    resumed = run_pipeline(spark, edited, side, root, buckets=3)
+    fresh = run_pipeline(
+        spark, edited, side, str(tmp_path / "freshedit"), buckets=3
+    )
+    assert (
+        {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
+        == {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+    )
+
+
 def test_author_first_valid_vs_first_raw(spark):
     """Pin the deliberate asymmetry the flagship oracle replicates: the
     AUTHOR mention takes the first VALID wallet in the page, while the

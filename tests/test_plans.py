@@ -62,6 +62,26 @@ def test_two_hop_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_extract_carry_cols_no_corpus_join(spark):
+    """PLANS.md: the date-partitioned extract threads the partition date
+    through the extract's own groupBy (carry_cols) — the plan must contain
+    NO join against the corpus to recover it (the old shape joined mentions
+    back to a dropDuplicates(url) of every page: a corpus-sized shuffle at
+    10^12 pages). The only join allowed is the broadcast dictionary join."""
+    from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+
+    pages = _pages(spark, SF).withColumn(
+        "_d", F.to_date("warc_ts").cast("string")
+    )
+    df = extract_stage(pages, _vocab_dict(spark), carry_cols=("_d",))
+    assert "_d" in df.columns
+    plan = _final_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # exactly the dictionary joins remain, all broadcast
+    assert "BroadcastHashJoin" in plan
+
+
 def test_extract_reads_only_needed_columns(spark):
     """Column pruning reaches the scan: the mention pipeline must read only
     the document columns the page synthesis needs, not the whole table."""

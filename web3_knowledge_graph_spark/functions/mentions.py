@@ -186,8 +186,9 @@ def extract_mentions(
     text_col: str = "text",
     key_col: str = "url",
     kinds: tuple[str, ...] = ("wallet", "ens", "handle", "url", "twitter"),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pages → mentions(url, kind, value, n).
+    """pages → mentions(url, [carry...,] kind, value, n).
 
     ONE scan: all extractors run in a single projection, their results
     tagged (kind, value) and concatenated, then one explode + one groupBy
@@ -196,6 +197,12 @@ def extract_mentions(
     and 5× the map tasks.) Map-side partial aggregation keeps the shuffle
     small; the shuffle key (url, kind, value) is near-unique so the partial
     agg removes only in-page repeats — exactly the data that skews.
+
+    ``carry_cols`` are threaded through the groupBy: they must be
+    functionally dependent on ``key_col`` (constant per page, e.g. the
+    page's ingest date), so they add no group cardinality — a free
+    passthrough that lets callers partition the output without joining it
+    back to the corpus (a corpus-sized shuffle join at 10^12 pages).
     """
     text = F.col(text_col)
 
@@ -206,9 +213,9 @@ def extract_mentions(
         *[F.transform(_KIND_EXTRACTORS[k](text), _tag(k)) for k in kinds]
     )
     return (
-        df.select(F.col(key_col).alias("url"), F.explode(combined).alias("m"))
-        .select("url", F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
-        .groupBy("url", "kind", "value")
+        df.select(F.col(key_col).alias("url"), *carry_cols, F.explode(combined).alias("m"))
+        .select("url", *carry_cols, F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
+        .groupBy("url", *carry_cols, "kind", "value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -261,6 +268,7 @@ def dictionary_mentions(
     alias_dict: DataFrame,
     text_col: str = "text",
     key_col: str = "url",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Trie/dictionary entity matches via tokenize + broadcast join.
 
@@ -280,11 +288,14 @@ def dictionary_mentions(
     # rows than the ~1/doc that match.
     arrays = _dict_hit_arrays(alias_dict, F.col(text_col))
     hits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    tokens = df.select(F.col(key_col).alias("url"), F.explode(hits).alias("alias"))
+    tokens = df.select(
+        F.col(key_col).alias("url"), *carry_cols, F.explode(hits).alias("alias")
+    )
     return (
         tokens.join(_alias_entity_map(alias_dict), "alias")
         .groupBy(
             "url",
+            *carry_cols,
             F.concat(F.lit("dict:"), F.col("entity_kind")).alias("kind"),
             F.col("entity_id").alias("value"),
         )

@@ -45,7 +45,7 @@ from ..sources.warehouse import Warehouse
 AUTHOR_RE = r"Author wallet: (0x[a-fA-F0-9]+)"
 
 
-def _author_mentions(pages: DataFrame) -> DataFrame:
+def _author_mentions(pages: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     # One author row per page = first valid wallet + valid-match count.
     # Pages are one row each, so this is a pure PROJECTION — the
     # explode → groupBy(url) → first/count formulation computes the same
@@ -59,6 +59,7 @@ def _author_mentions(pages: DataFrame) -> DataFrame:
     return (
         pages.select(
             F.col("url"),
+            *carry_cols,
             F.lit("author").alias("kind"),
             F.element_at(wallets, 1).alias("value"),
             F.size(wallets).cast("long").alias("n"),
@@ -67,8 +68,16 @@ def _author_mentions(pages: DataFrame) -> DataFrame:
     )
 
 
-def extract_stage(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """pages (html/text) → mentions(url, kind, value, n).
+def extract_stage(
+    pages: DataFrame, alias_dict: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """pages (html/text) → mentions(url, [carry...,] kind, value, n).
+
+    ``carry_cols`` (must be functionally dependent on url — e.g. the page's
+    ingest date) thread through every branch's groupBy so the caller can
+    partition the output directly instead of joining mentions back to the
+    corpus for the partition key — at 10^12 pages that join is a
+    corpus-sized shuffle; the passthrough is free (no added cardinality).
 
     Three branches over one input: the fused five-regex single-projection
     extractor, the dictionary alternation pass, and the author pass (a
@@ -81,9 +90,9 @@ def extract_stage(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
     texted = with_extracted_text(pages).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    regex_mentions = M.extract_mentions(texted)
-    dict_mentions = M.dictionary_mentions(texted, alias_dict)
-    authors = _author_mentions(texted)
+    regex_mentions = M.extract_mentions(texted, carry_cols=carry_cols)
+    dict_mentions = M.dictionary_mentions(texted, alias_dict, carry_cols=carry_cols)
+    authors = _author_mentions(texted, carry_cols=carry_cols)
     return regex_mentions.unionByName(dict_mentions).unionByName(authors)
 
 
@@ -384,20 +393,26 @@ def run_pipeline(
     # bucket count would land new data in already-completed partitions and
     # silently skip it. Dates group into ``buckets`` batches per loop pass
     # purely to bound the number of write jobs.
-    # A completed date is skipped ONLY if its input row count is unchanged:
-    # late-arriving pages for an already-done date (the input is NOT
-    # append-only-by-date in general) change the count, so that date is
-    # reprocessed — dynamic partition overwrite rewrites exactly its output
-    # and a newer lineage mark supersedes the old one.
-    done_rows = log.completed_rows("extract")
+    # A completed date is skipped ONLY if its input is byte-unchanged:
+    # the lineage mark stores (rows_in, input_fp) where input_fp is an
+    # order-independent bit_xor of per-row xxhash64 over EVERY input
+    # column. Late-arriving pages for an already-done date move the count;
+    # in-place edits that keep the count move the fingerprint — either way
+    # that date is reprocessed: dynamic partition overwrite rewrites
+    # exactly its output and a newer lineage mark supersedes the old one.
+    # Both stats come from the one groupBy the resume scan already does.
+    done_inputs = log.completed_inputs("extract")
     per_date = {
-        str(r["d"]): int(r["n"])
+        str(r["d"]): (int(r["n"]), int(r["fp"]))
         for r in pages.groupBy(F.to_date("warc_ts").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*pages.columns)).alias("fp"),
+        )
         .collect()
     }
     dates = sorted(per_date)
-    todo = [d for d in dates if done_rows.get(f"date={d}") != per_date[d]]
+    todo = [d for d in dates if done_inputs.get(f"date={d}") != per_date[d]]
     # dates group into ≤``buckets`` extract jobs; output lands in per-date
     # partition dirs via DYNAMIC partition overwrite, so a retried batch
     # rewrites exactly its own dates (idempotent, no orphan output), and
@@ -410,31 +425,42 @@ def run_pipeline(
         batch = todo[i : i + size]
         t0 = time.time()
         dcol = F.to_date("warc_ts").cast("string")
-        part = pages.where(dcol.isin(batch))
-        out = extract_stage(part, alias_dict)
-        url_dates = part.select("url", dcol.alias("_d")).dropDuplicates(["url"])
-        out2 = out.join(url_dates, "url")
+        # the partition date rides through the extract's own groupBy
+        # (carry_cols — functionally dependent on url), so the output is
+        # directly partitionable: no join back to the corpus, no
+        # dropDuplicates shuffle of every url
+        part = pages.where(dcol.isin(batch)).withColumn("_d", dcol)
+        out2 = extract_stage(part, alias_dict, carry_cols=("_d",))
+        # per-date lineage counts ride on the WRITE job itself (observe +
+        # one count_if per date in the batch) — no read-back job over the
+        # just-written partitions. Dynamic overwrite replaces exactly the
+        # batch's dates, so "rows written" == "rows now in those
+        # partitions"; the observation sees the same rows the writer
+        # commits.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"extract_counts_{i}")
+        out2 = out2.observe(
+            obs,
+            *[
+                F.count_if(F.col("_d") == d).alias(f"n_{j}")
+                for j, d in enumerate(batch)
+            ],
+        )
         (
             out2.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_d")
             .parquet(f"{warehouse_root}/mentions_data")
         )
-        # partition-dir columns type-infer on read (the string date comes
-        # back as DATE) — normalize to string for the per-date accounting
-        counts = {
-            r["_d"]: r["n"]
-            for r in spark.read.parquet(f"{warehouse_root}/mentions_data")
-            .select(F.col("_d").cast("string").alias("_d"))
-            .where(F.col("_d").isin(batch))
-            .groupBy("_d").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        got = obs.get
+        counts = {d: int(got[f"n_{j}"] or 0) for j, d in enumerate(batch)}
         dur = (time.time() - t0) / len(batch)
         for d in batch:
             log.mark(
                 run_id, "extract", f"date={d}",
-                rows_in=per_date[d], rows_out=int(counts.get(d, 0)),
-                duration_s=dur, watermark=d,
+                rows_in=per_date[d][0], rows_out=int(counts.get(d, 0)),
+                duration_s=dur, watermark=d, input_fp=per_date[d][1],
             )
 
     import os

@@ -100,6 +100,10 @@ CHECKPOINTS = T.StructType(
         T.StructField("rows_out", T.LongType(), True),
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("watermark", T.StringType(), True),
+        # order-independent content fingerprint of the partition's input
+        # (bit_xor of per-row xxhash64) — with rows_in, the resume-time
+        # change detector for completed partitions
+        T.StructField("input_fp", T.LongType(), True),
         T.StructField("status", T.StringType(), False),  # done|failed
         T.StructField("updated_at", T.TimestampType(), False),
     ]

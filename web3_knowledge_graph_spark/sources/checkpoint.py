@@ -32,6 +32,7 @@ COLUMNS = [
     "rows_out",
     "duration_s",
     "watermark",
+    "input_fp",
     "status",
     "updated_at",
 ]
@@ -51,6 +52,7 @@ class CheckpointLog:
         rows_out: int | None = None,
         duration_s: float | None = None,
         watermark: str | None = None,
+        input_fp: int | None = None,
         status: str = "done",
     ) -> None:
         now = dt.datetime.now(dt.timezone.utc)
@@ -63,6 +65,7 @@ class CheckpointLog:
                 "rows_out": pa.array([rows_out], pa.int64()),
                 "duration_s": pa.array([duration_s], pa.float64()),
                 "watermark": pa.array([watermark], pa.string()),
+                "input_fp": pa.array([input_fp], pa.int64()),
                 "status": pa.array([status], pa.string()),
                 "updated_at": pa.array([now], pa.timestamp("us", tz="UTC")),
             }
@@ -86,23 +89,34 @@ class CheckpointLog:
                     done.add(p)
         return done
 
-    def completed_rows(self, stage: str) -> dict[str, int | None]:
-        """partition_id → rows_in of its LATEST done mark (files sort
-        chronologically, so later marks win). Lets a resume detect a
-        completed partition whose INPUT has since grown — late-arriving
-        pages for an already-done date — and reprocess exactly that
-        partition instead of silently serving stale output."""
-        out: dict[str, int | None] = {}
+    def completed_inputs(self, stage: str) -> dict[str, tuple]:
+        """partition_id → (rows_in, input_fp) of its LATEST done mark (files
+        sort chronologically, so later marks win). Lets a resume detect a
+        completed partition whose INPUT has since CHANGED — late-arriving
+        pages for an already-done date (count moves) OR in-place edits that
+        keep the count but change content (fingerprint moves) — and
+        reprocess exactly that partition instead of silently serving stale
+        output. ``input_fp`` is an order-independent content fingerprint
+        (bit_xor of per-row xxhash64 over every input column); marks written
+        before the column existed read back as fp=None and simply force one
+        reprocess."""
+        out: dict[str, tuple] = {}
         for f in self._files():
-            t = pq.read_table(f, columns=["stage", "partition_id", "status", "rows_in"])
-            for s, p, st, ri in zip(
+            t = pq.read_table(f)
+            fps = (
+                t["input_fp"].to_pylist()
+                if "input_fp" in t.column_names
+                else [None] * t.num_rows
+            )
+            for s, p, st, ri, fp in zip(
                 t["stage"].to_pylist(),
                 t["partition_id"].to_pylist(),
                 t["status"].to_pylist(),
                 t["rows_in"].to_pylist(),
+                fps,
             ):
                 if s == stage and st == "done":
-                    out[p] = ri
+                    out[p] = (ri, fp)
         return out
 
     def watermark(self, stage: str, partition_id: str = "*") -> str | None:
