@@ -135,3 +135,39 @@ def test_sessionize_flushes_churned_user(spark, tmp_path):
     )
     rows = {(r.user_id, r.n_events) for r in got.collect()}
     assert (7, 2) in rows  # churned user's session flushed by timeout
+
+
+def test_extract_mentions_stream_matches_batch(spark, tmp_path):
+    """Streaming flagship extract (foreachBatch over a pages file stream)
+    must emit exactly the batch extract_stage result over the same corpus —
+    per-page stateless work, so micro-batching cannot change semantics."""
+    from web3_knowledge_graph_spark.fixtures import corpus
+    from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+
+    pages_dir = tmp_path / "pages_stream"
+    pages = corpus.pages_df(spark, 120, partitions=4)
+    pages.write.mode("overwrite").parquet(str(pages_dir))
+    alias_dict = spark.createDataFrame(corpus.alias_dict_pdf())
+
+    q = J.extract_mentions_stream(
+        spark,
+        str(pages_dir),
+        alias_dict,
+        str(tmp_path / "mentions_out"),
+        str(tmp_path / "mentions_ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "mentions_out"))
+        .select("url", "kind", "value", "n")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in extract_stage(spark.read.parquet(str(pages_dir)), alias_dict)
+        .select("url", "kind", "value", "n")
+        .collect()
+    }
+    assert got == want and len(want) > 0

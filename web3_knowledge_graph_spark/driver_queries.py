@@ -508,6 +508,16 @@ def q_communities(spark, sf_dir):
     return label_propagation(proj, src="top_a", dst="top_b", weight="shared", rounds=4)
 
 
+def q_community_partitions(spark, sf_dir):
+    """The wallet_communities persist shape: HAS_PARTITION edges + Partition
+    member counts over the LPA labels (reference helpers/queries.py:186-234
+    creates Partition nodes and HAS_PARTITION edges; wallet_communities/
+    analyze.py:68-90 saves the partition table)."""
+    from .operators.communities import materialize_partitions
+
+    return materialize_partitions(q_communities(spark, sf_dir))
+
+
 _COMMUNITIES_EDGES_CTE = """rel AS (
   SELECT DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
          CAST(user_id AS BIGINT) AS u
@@ -637,6 +647,16 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
 ORACLE_GRAPH["communities"] = label_propagation_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4
 )
+ORACLE_GRAPH["community_partitions"] = f"""
+SELECT lpa.id AS user_id, 'HAS_PARTITION' AS pred,
+       lpa.community AS partition, sz.n_members
+FROM ({label_propagation_oracle_sql(_COMMUNITIES_EDGES_CTE, rounds=4)}) lpa
+JOIN (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM ({label_propagation_oracle_sql(_COMMUNITIES_EDGES_CTE, rounds=4)})
+  GROUP BY community
+) sz USING (community)
+"""
 
 
 _WIC_CTES = """WITH per_type AS (
@@ -1646,6 +1666,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reputation": q_reputation,
         "cc_components": q_cc_components,
         "communities": q_communities,
+        "community_partitions": q_community_partitions,
         "shortest_paths": q_shortest_paths,
         "url_hosts": q_url_hosts,
         "spam_flagging": q_spam_flagging,

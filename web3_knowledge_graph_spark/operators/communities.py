@@ -76,6 +76,30 @@ def label_propagation(
     return labels.select("id", F.col("label").alias("community"))
 
 
+def materialize_partitions(labels: DataFrame) -> DataFrame:
+    """(id, community) labels → the reference's wallet_communities persist
+    shape: one HAS_PARTITION edge per member, annotated with its Partition
+    node's member count (helpers/queries.py:186-234 creates Partition nodes
+    and (wallet)-[:HAS_PARTITION]->(partition) edges; analyze.py:68-90
+    saves the partition table).
+
+    Plan: one groupBy on community for the member counts (the Partition
+    node dimension — at most one row per community, tiny), then a
+    broadcast-sized join back onto the labels. The labels relation never
+    shuffles twice: the count aggregation output is dimension-sized, so
+    AQE broadcasts it.
+    """
+    sizes = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return labels.join(F.broadcast(sizes), "community").select(
+        F.col("id").alias("user_id"),
+        F.lit("HAS_PARTITION").alias("pred"),
+        F.col("community").alias("partition"),
+        "n_members",
+    )
+
+
 def label_propagation_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
     """DuckDB SQL replaying label_propagation verbatim: ``edges_cte`` must
     define a relation ``e(a, b, w)`` already symmetrized; the rounds are

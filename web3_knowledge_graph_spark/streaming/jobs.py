@@ -19,6 +19,10 @@ upgrade of that push path:
     state would grow monotonically with the distinct-user count and idle
     sessions would never be emitted.
 
+  * extract_mentions_stream — the FLAGSHIP extract stage as a streaming
+    job: pages landing as files → foreachBatch(extract_stage) → append
+    mentions sink. Per-page stateless, so stream ≡ batch exactly.
+
 Batch equivalents (driver_queries.q_events_hourly / q_sessionization) carry
 the DuckDB oracle checks; tests drive these streaming versions with the
 availableNow trigger against the same parquet input and compare.
@@ -182,6 +186,51 @@ def sessionize_stream(events: DataFrame, watermark_delay: str = "10 minutes") ->
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def extract_mentions_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    alias_dict: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming upgrade of the FLAGSHIP extract stage: pages arriving as
+    files (the webhook/push landing zone, helpers/Alchemy.py:354-460 in the
+    reference) → plans.pipeline.extract_stage → append-only mentions sink.
+
+    Mention extraction is per-page stateless (no cross-page aggregation
+    crosses a micro-batch boundary: extract_stage's groupBy keys on url,
+    and a page arrives whole in one file), so foreachBatch replaying the
+    exact batch operator per micro-batch IS the streaming semantics —
+    stream output ≡ batch extract_stage over the union of all inputs.
+    Exactly-once: the foreachBatch epoch commits to the streaming
+    checkpoint AFTER the parquet append, and a replayed epoch rewrites the
+    same rows (append of identical data; dedup-by-(url,kind,value) at read
+    time if the sink must be idempotent under crash-replay).
+
+    Returns the StreamingQuery; trigger(availableNow) drains the backlog
+    and stops — the catch-up mode the reference's incremental batch loop
+    approximates with cursor metadata.
+    """
+    from ..plans.pipeline import extract_stage
+    from ..schemas import PAGES
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        extract_stage(df, alias_dict).write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
