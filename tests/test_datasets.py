@@ -284,3 +284,48 @@ def test_embed_neardup_bucketed_subset_of_exact(spark):
         ).collect()
     }
     assert len(banded) > len(single)  # banding is the recall lever
+
+
+def test_repetition_stats_hand_traced(spark):
+    """Hand-traced repetition fractions: 'a a a a b' has dup_word_frac
+    1 - 2/5 = 0.6 and top bigram 'a a' 3/4 = 0.75 → dropped; an all-unique
+    doc keeps. Single-token and empty docs defend the guards."""
+    from web3_knowledge_graph_spark.datasets.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),
+            # long enough that an all-unique doc's top bigram share (1/9)
+            # clears the 0.2 threshold — short docs always "fail" a share
+            # threshold, which is why Gopher applies it to long documents
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert abs(got[1].dup_word_frac - 0.6) < 1e-12
+    assert abs(got[1].top_bigram_frac - 0.75) < 1e-12
+    assert not got[1].keep
+    assert got[2].dup_word_frac == 0.0 and got[2].keep
+    assert got[3].n_tokens == 1 and got[3].top_bigram_frac == 0.0 and got[3].keep
+    assert got[4].n_tokens == 0 and got[4].keep
+
+
+def test_boilerplate_ngrams_hand_traced(spark):
+    """A 5-gram shared verbatim by two docs is flagged with its doc count;
+    within-doc repetition does NOT inflate the count (distinct per doc)."""
+    from web3_knowledge_graph_spark.datasets.textstats import boilerplate_ngrams
+
+    tpl = "all rights reserved contact us"
+    docs = spark.createDataFrame(
+        [
+            (1, f"page one body {tpl}"),
+            (2, f"other page {tpl} and {tpl} again"),
+            (3, "unrelated content entirely here today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.shingle: r.n_docs for r in boilerplate_ngrams(docs, k=5, min_docs=2).collect()}
+    assert got[tpl] == 2  # doc 2's double occurrence counts once

@@ -130,3 +130,106 @@ def content_fingerprint(
         F.md5(F.lower(F.col(text_col))).alias("exact_md5"),
         F.md5(bag).alias("bag_md5"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1), adapted to
+    word tokens: documents dominated by repeated tokens or by one repeated
+    bigram are generation/boilerplate artifacts and poison training data.
+
+      dup_word_frac   = 1 - distinct_tokens / tokens
+      top_bigram_frac = occurrences of the most frequent word bigram
+                        / total bigrams
+      keep            = both under their thresholds (Gopher drops at 0.30
+                        duplicate fraction / 0.20 top-2-gram fraction)
+
+    Plan: per-doc scalars (token counts) are pure projections; the bigram
+    mode needs one explode + two aggregations BOTH keyed by doc_id, so the
+    second reuses the first's partitioning (no extra exchange), and the
+    final join is doc_id-to-doc_id co-partitioned. Cost is O(tokens) rows
+    through one shuffle — linear, no self-joins, safe at any corpus size.
+
+    Returns (doc_id, n_tokens, dup_word_frac, top_bigram_frac, keep).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_bigrams"),
+    )
+    bi = (
+        base.select("doc_id", F.explode("_bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_c"), F.sum("c").cast("long").alias("n_bigrams"))
+    )
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_c").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.drop("_bigrams")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac <= F.lit(max_dup_word_frac))
+                & (top_frac <= F.lit(max_top_bigram_frac))
+            ).alias("keep"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated k-gram discovery — the C4/RefinedWeb-style
+    boilerplate detector: a long word n-gram appearing verbatim in many
+    documents is template/navigation text, not content, and its doc list
+    seeds line-level cleaning.
+
+    Plan: distinct k-shingles per doc (dedup.shingle_array — the same
+    shingling the MinHash path uses), explode, then ONE count aggregation
+    on the shingle key with map-side partial aggregation. Linear in total
+    tokens; the skewed keys (the most common shingles) are exactly the
+    rows the operator exists to return, and partial agg collapses them
+    map-side before the exchange.
+
+    Returns (shingle, n_docs) for shingles in ≥ min_docs documents.
+    """
+    from .dedup import shingles
+
+    return (
+        shingles(docs, k=k, id_col=id_col, text_col=text_col)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )

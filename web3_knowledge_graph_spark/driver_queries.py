@@ -1301,6 +1301,18 @@ def q_fingerprints(spark, sf_dir):
     return TS.content_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 adapted to
+    word tokens): duplicate-token fraction + top-bigram share + keep flag."""
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_boilerplate(spark, sf_dir):
+    """Cross-document repeated 5-gram discovery (C4/RefinedWeb-style
+    boilerplate detection) over the documents table."""
+    return TS.boilerplate_ngrams(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -1417,6 +1429,41 @@ SELECT doc_id, n_chars, n_tokens, n_stopwords,
   + 0.4 * LEAST(CASE WHEN n_tokens > 0 THEN n_stopwords / n_tokens ELSE CAST(0.0 AS DOUBLE) END * 5.0, 1.0)
   + 0.2 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE CAST(0.0 AS DOUBLE) END * 10.0, 1.0)) AS quality
 FROM q
+""",
+    "repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)] AS bigrams
+FROM t),
+bi AS (SELECT doc_id, unnest(bigrams) AS bigram FROM base),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY doc_id, bigram),
+bm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_c,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY doc_id)
+SELECT base.doc_id, n_tokens,
+  CASE WHEN n_tokens > 0
+       THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       THEN CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac,
+  ((CASE WHEN n_tokens > 0
+         THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         ELSE 0.0 END) <= 0.3
+   AND
+   (CASE WHEN COALESCE(n_bigrams, 0) > 0
+         THEN CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         ELSE 0.0 END) <= 0.2) AS keep
+FROM base LEFT JOIN bm USING (doc_id)
+""",
+    "boilerplate": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+  [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+)) AS shingle FROM t)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
 """,
     "token_counts": """
 SELECT doc_id,
@@ -1697,6 +1744,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "repetition": q_repetition,
+        "boilerplate": q_boilerplate,
         "flagship_triples": flagship_triples,
     }
 
