@@ -329,3 +329,99 @@ def test_boilerplate_ngrams_hand_traced(spark):
     )
     got = {r.shingle: r.n_docs for r in boilerplate_ngrams(docs, k=5, min_docs=2).collect()}
     assert got[tpl] == 2  # doc 2's double occurrence counts once
+
+
+def test_pii_scan_and_redact_hand_traced(spark):
+    """Crafted PII strings: counts per kind, flag, and redaction order
+    (placeholders contain no digits so later passes cannot re-match)."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@sub.example.co.uk or call +44 20 7946 0958"),
+            (2, "servers 10.0.3.17 and 192.168.1.1 are internal"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    scan = {r.doc_id: r for r in CU.pii_scan(docs).collect()}
+    assert (scan[1].n_emails, scan[1].n_phones, scan[1].n_ipv4) == (1, 1, 0)
+    assert (scan[2].n_emails, scan[2].n_phones, scan[2].n_ipv4) == (0, 0, 2)
+    assert not scan[3].has_pii and scan[3].n_emails == 0
+    assert (scan[4].n_emails, scan[4].n_ipv4) == (2, 1)
+
+    red = {r.doc_id: r.clean_text for r in CU.pii_redact(docs).collect()}
+    assert red[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert red[2] == "servers <IP> and <IP> are internal"
+    assert red[3] == "no pii here at all"
+    assert red[4] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_c4_line_filter_hand_traced(spark):
+    """Line rules (terminal punct, >=5 words, no 'javascript') and the
+    doc-level lorem-ipsum / brace / zero-kept-lines drops."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    good = "This line is long enough and ends properly."
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\nshort one.\nno terminal punctuation on this line here\n"
+                "Please enable javascript to continue with this page."),
+            (2, "Lorem Ipsum dolor sit amet and more words here."),
+            (3, "var x = { a: 1 };\n" + good),
+            (4, "every line here lacks punctuation\nand so does this one"),
+            (5, good + "\n" + good),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in CU.c4_line_filter(docs).collect()}
+    assert got[1].n_lines == 4 and got[1].n_kept == 1 and got[1].keep_doc
+    assert got[1].kept_text == good
+    assert not got[2].keep_doc  # lorem ipsum (case-insensitive)
+    assert not got[3].keep_doc  # curly brace
+    assert not got[4].keep_doc and got[4].n_kept == 0
+    assert got[5].n_kept == 2 and got[5].kept_text == good + "\n" + good
+
+
+def test_host_downsample_cap_and_determinism(spark):
+    """Per-host cap respected; picks are the md5-order prefix and stable
+    across reruns."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [(i, f"host{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = CU.host_downsample(docs, cap=4).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.source, []).append(r)
+    assert set(by_host) == {"host0", "host1", "host2"}
+    for host, picks in by_host.items():
+        assert len(picks) == 4
+        ids = {i for i, s in rows if s == host}
+        expected = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:4]
+        assert sorted(r.doc_id for r in picks) == sorted(expected)
+    again = CU.host_downsample(docs, cap=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_token_budget_two_pass_equals_single_scan(spark):
+    """The 256-bucket two-pass prefix sum equals the sequential spec:
+    walk docs in md5 order, keep while the running total fits."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [(i, " ".join(["w"] * (5 + i % 17))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 1200
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens)
+           for r in CU.token_budget_sample(docs, budget=budget).collect()}
+
+    order = sorted(rows, key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    cum, expected = 0, {}
+    for i, text in order:
+        n = len(text.split())
+        cum += n
+        if cum > budget:
+            break
+        expected[i] = (n, cum)
+    assert got == expected

@@ -1,0 +1,189 @@
+"""Corpus-curation operators a web-scale training-data pipeline needs on
+top of dedup/similarity/textstats: PII scan + redaction, C4-style line
+filtering, deterministic per-host downsampling, and a global token-budget
+sample.
+
+These are beyond-reference surface (the reference KG pipeline has no
+curation stage); the designs follow the published web-corpus recipes —
+C4 (Raffel et al. 2020, §2.2 line rules), Gopher (Rae et al. 2021, §A1),
+RefinedWeb (Penedo et al. 2023) — re-expressed as native Spark column
+expressions so the row path stays inside whole-stage codegen.
+
+Scale notes per operator:
+  * PII scan/redact — per-row regexp only; embarrassingly parallel,
+    no shuffle, no Python.
+  * C4 line filter — array higher-order functions over split lines.
+    The HOF runs interpreted (no codegen), but the alternative
+    (posexplode -> filter -> groupBy(doc) -> re-join) shuffles the FULL
+    corpus text; at 100 TB the per-row interpreted lambda is far cheaper
+    than a corpus-wide exchange, the opposite call from dict-mentions
+    (functions/mentions.py) where a codegen'd regex alternation existed.
+  * host downsample — one shuffle on the host key (row_number window);
+    the deterministic md5 order makes reruns/retries byte-stable.
+  * token-budget sample — a global prefix sum computed scale-correctly in
+    two passes: per-bucket subtotals (256 md5-prefix buckets) are
+    collected to the driver (bounded: exactly <=256 rows at any corpus
+    size), turned into broadcast offsets, then a window partitioned BY
+    BUCKET adds within-bucket running sums. No global sort, no single
+    reducer; the same plan holds at 10^12 docs.
+
+All regex patterns are restricted to the Java-regex / RE2 intersection
+(no lookaround, no backreference) so the DuckDB oracles run the literal
+same patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# PII patterns (Java + RE2 compatible).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ]{6,14}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# C4 §2.2 line rules (terminal punctuation; >=5 words; no "javascript").
+C4_TERMINAL_RE = "[.!?\"']$"
+C4_MIN_WORDS = 5
+
+
+def pii_scan(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII counts (emails, phone numbers, IPv4 addresses) and
+    a has_pii flag — the audit pass a corpus runs before release.
+    Pure regexp_extract_all projections; no shuffle.
+    Returns (doc_id, n_emails, n_phones, n_ipv4, has_pii)."""
+    text = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
+    n_ph = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long")
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        n_ip.alias("n_ipv4"),
+        ((n_em > 0) | (n_ph > 0) | (n_ip > 0)).alias("has_pii"),
+    )
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Replace every email/phone/IPv4 occurrence with a typed placeholder
+    (applied in that order — placeholders contain no digits, so later
+    passes cannot re-match earlier replacements).
+    Returns (doc_id, clean_text)."""
+    clean = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    return docs.select(F.col(id_col).alias("doc_id"), clean.alias("clean_text"))
+
+
+def c4_line_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation, have >= 5 words, and do not
+    mention "javascript"; drop the whole document when it contains
+    "lorem ipsum" or a curly brace, or when no line survives.
+    (C4's >=3-sentence doc rule is relaxed to >=1 kept line — the
+    threshold is a constant, not a structural difference.)
+
+    Emits EVERY input doc with its keep decision (callers filter on
+    keep_doc) so the decision itself is auditable.
+    Returns (doc_id, n_lines, n_kept, keep_doc, kept_text)."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(l), " +")) >= C4_MIN_WORDS)
+        & ~F.lower(l).contains("javascript"),
+    )
+    n_kept = F.size(kept).cast("long")
+    keep_doc = (
+        (n_kept >= 1)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        keep_doc.alias("keep_doc"),
+        F.when(keep_doc, F.array_join(kept, "\n")).alias("kept_text"),
+    )
+
+
+def host_downsample(
+    docs: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-host quota sampling: keep at most `cap` docs per
+    host, chosen by md5(doc_id) order — a stable pseudo-random draw that
+    is identical across reruns and task retries (RefinedWeb-style
+    over-represented-host control). One shuffle on the host key; a
+    hot host costs one window partition, never a cross-join.
+    Returns (source, doc_id, pick) with pick in [1, cap]."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(order, F.col(id_col))
+    return (
+        docs.select(F.col(key_col).alias("source"), F.col(id_col).alias("doc_id"))
+        .withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= cap)
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-budget subset: walk the corpus in md5(doc_id)
+    order and keep docs while the running whitespace-token total stays
+    within `budget` ("give me a 10B-token sample" without a global sort).
+
+    Two-pass distributed prefix sum: (1) per-bucket token subtotals over
+    the 256 md5-prefix buckets — collected to the driver (bounded at 256
+    rows regardless of corpus size) and turned into cumulative offsets;
+    (2) broadcast the offsets back and window WITHIN each bucket, so the
+    running total = bucket offset + within-bucket cumsum. Equivalent to
+    SUM() OVER (ORDER BY md5 key) but with 256-way parallelism and no
+    single-reducer global sort.
+    Returns (doc_id, n_tokens, cum_tokens) for the kept prefix."""
+    text = F.col(text_col)
+    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+    ).withColumn("_bucket", F.substring("_key", 1, 2))
+
+    spark = docs.sparkSession
+    subtotals = sorted(
+        base.groupBy("_bucket").agg(F.sum("n_tokens").alias("s")).collect(),
+        key=lambda r: r["_bucket"],
+    )  # bounded: <=256 rows at any corpus size
+    offsets, running = [], 0
+    for r in subtotals:
+        offsets.append((r["_bucket"], running))
+        running += r["s"]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_bucket string, _offset long")
+    )
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(off, "_bucket")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_offset"))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .datasets import curation as CU
 from .datasets import dedup as D
 from .datasets import similarity as S
 from .datasets import textstats as TS
@@ -1313,6 +1314,71 @@ def q_boilerplate(spark, sf_dir):
     return TS.boilerplate_ngrams(_t(spark, sf_dir, "documents"), k=5, min_docs=2)
 
 
+# --- corpus curation (datasets/curation.py) -------------------------------
+# The synthetic documents are punctuation-free word salad, so the curation
+# queries derive enriched text deterministically from doc_id. Each derivation
+# is ONE SQL expression valid in both Spark SQL (F.expr) and DuckDB, so both
+# engines see byte-identical inputs (the PAGES_SQL pattern).
+
+PII_TEXT_SQL = """text
+ || CASE WHEN doc_id % 3 = 0 THEN ' contact admin' || CAST(doc_id % 50 AS STRING) || '@example.com now' ELSE '' END
+ || CASE WHEN doc_id % 5 = 0 THEN ' call +1 415 555 ' || lpad(CAST(doc_id % 1000 AS STRING), 4, '0') ELSE '' END
+ || CASE WHEN doc_id % 7 = 0 THEN ' origin 10.0.' || CAST(doc_id % 256 AS STRING) || '.' || CAST(doc_id % 100 AS STRING) ELSE '' END"""
+
+C4_TEXT_SQL = """'Document ' || CAST(doc_id AS STRING) || ' begins with a complete sentence.'
+ || chr(10) || 'short line'
+ || chr(10) || CASE WHEN doc_id % 4 = 0
+      THEN 'Please enable javascript to view the content of this page.'
+      ELSE 'Another well formed sentence follows in document ' || CAST(doc_id AS STRING) || '.' END
+ || chr(10) || CASE WHEN doc_id % 6 = 0
+      THEN 'var config = { mode: production };'
+      ELSE substr(text, 1, 60) END
+ || CASE WHEN doc_id % 11 = 0
+      THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+      ELSE '' END"""
+
+HOST_CAP = 10
+TOKEN_BUDGET = 15_000
+
+
+def _enriched_docs(spark, sf_dir, text_sql):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(text_sql).alias("text"))
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII audit pass (emails/phones/IPv4 counts + flag) over doc_id-derived
+    PII-bearing text; pure regexp projections, no shuffle."""
+    return CU.pii_scan(_enriched_docs(spark, sf_dir, PII_TEXT_SQL))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction: typed placeholders for every email/phone/IPv4 match."""
+    return CU.pii_redact(_enriched_docs(spark, sf_dir, PII_TEXT_SQL))
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 §2.2 line filtering (terminal punctuation, >=5 words, no
+    'javascript'; doc-level lorem-ipsum/brace drop) over doc_id-derived
+    multi-line text; per-doc keep decision emitted for audit."""
+    return CU.c4_line_filter(_enriched_docs(spark, sf_dir, C4_TEXT_SQL))
+
+
+def q_host_downsample(spark, sf_dir):
+    """Deterministic per-host quota sampling: at most HOST_CAP docs per
+    source, drawn in md5(doc_id) order (stable across reruns/retries)."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.host_downsample(d, cap=HOST_CAP).select(
+        "source", "doc_id", F.col("pick").cast("long").alias("pick")
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Global token-budget subset via the two-pass distributed prefix sum
+    (256 md5-prefix buckets; no global sort)."""
+    return CU.token_budget_sample(_t(spark, sf_dir, "documents"), budget=TOKEN_BUDGET)
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -1523,6 +1589,74 @@ WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 
 
 ORACLE_DATASETS["embed_neardup"] = _embed_neardup_oracle()
+
+# Curation oracles: same derived-text SQL, same regex patterns (Java/RE2
+# intersection), replayed verbatim in DuckDB. regexp_replace needs the 'g'
+# flag (DuckDB replaces first match by default; Spark replaces all).
+ORACLE_DATASETS["pii_scan"] = (
+    "WITH d AS (SELECT doc_id, " + PII_TEXT_SQL + " AS text FROM documents)\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '" + CU.EMAIL_RE + "', 0)) AS BIGINT) AS n_emails,\n"
+    "  CAST(len(regexp_extract_all(text, '" + CU.PHONE_RE + "', 0)) AS BIGINT) AS n_phones,\n"
+    "  CAST(len(regexp_extract_all(text, '" + CU.IPV4_RE + "', 0)) AS BIGINT) AS n_ipv4,\n"
+    "  (len(regexp_extract_all(text, '" + CU.EMAIL_RE + "', 0)) > 0\n"
+    "   OR len(regexp_extract_all(text, '" + CU.PHONE_RE + "', 0)) > 0\n"
+    "   OR len(regexp_extract_all(text, '" + CU.IPV4_RE + "', 0)) > 0) AS has_pii\n"
+    "FROM d"
+)
+
+ORACLE_DATASETS["pii_redact"] = (
+    "WITH d AS (SELECT doc_id, " + PII_TEXT_SQL + " AS text FROM documents)\n"
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,\n"
+    "  '" + CU.EMAIL_RE + "', '<EMAIL>', 'g'),\n"
+    "  '" + CU.PHONE_RE + "', '<PHONE>', 'g'),\n"
+    "  '" + CU.IPV4_RE + "', '<IP>', 'g') AS clean_text\n"
+    "FROM d"
+)
+
+_C4_KEEP_LINE = (
+    "x -> regexp_matches(x, '[.!?\"'']$')"
+    " AND len(regexp_split_to_array(trim(x), ' +')) >= 5"
+    " AND NOT contains(lower(x), 'javascript')"
+)
+_C4_KEEP_DOC = (
+    "len(kept) >= 1 AND NOT contains(lower(text), 'lorem ipsum')"
+    " AND NOT contains(text, '{')"
+)
+ORACLE_DATASETS["c4_filter"] = f"""
+WITH d AS (SELECT doc_id, {C4_TEXT_SQL} AS text FROM documents),
+k AS (SELECT doc_id, text,
+  regexp_split_to_array(text, chr(10)) AS lines,
+  list_filter(regexp_split_to_array(text, chr(10)), {_C4_KEEP_LINE}) AS kept
+FROM d)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  ({_C4_KEEP_DOC}) AS keep_doc,
+  CASE WHEN ({_C4_KEEP_DOC}) THEN array_to_string(kept, chr(10)) END AS kept_text
+FROM k
+"""
+
+ORACLE_DATASETS["host_downsample"] = f"""
+WITH r AS (SELECT source, doc_id,
+  ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+FROM documents)
+SELECT source, doc_id, CAST(pick AS BIGINT) AS pick FROM r WHERE pick <= {HOST_CAP}
+"""
+
+# The oracle is the single-window spec the two-pass bucket plan must equal.
+ORACLE_DATASETS["token_budget"] = f"""
+WITH t AS (SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+  md5(CAST(doc_id AS VARCHAR)) AS key
+FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  SUM(n_tokens) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+FROM t)
+SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM c
+WHERE cum <= {TOKEN_BUDGET}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1746,6 +1880,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
         "boilerplate": q_boilerplate,
+        "pii_scan": q_pii_scan,
+        "pii_redact": q_pii_redact,
+        "c4_filter": q_c4_filter,
+        "host_downsample": q_host_downsample,
+        "token_budget": q_token_budget,
         "flagship_triples": flagship_triples,
     }
 
