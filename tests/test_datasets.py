@@ -425,3 +425,56 @@ def test_token_budget_two_pass_equals_single_scan(spark):
             break
         expected[i] = (n, cum)
     assert got == expected
+
+
+def test_line_dedup_hand_traced(spark):
+    """Lines shared by >= min_docs docs are struck everywhere; docs are
+    reassembled in original line order; unique lines survive."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [
+        (0, "alpha\ncookie banner\nbravo"),
+        (1, "cookie banner\ncharlie"),
+        (2, "delta\ncookie banner"),
+        (3, "echo\nfoxtrot"),
+        (4, "echo\ngolf"),  # "echo" appears in only 2 docs -> kept at min_docs=3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in CU.line_dedup(docs, min_docs=3).collect()}
+    assert len(got) == 5
+    assert (got[0].n_lines, got[0].n_dropped, got[0].clean_text) == (3, 1, "alpha\nbravo")
+    assert (got[1].n_lines, got[1].n_dropped, got[1].clean_text) == (2, 1, "charlie")
+    assert (got[2].n_lines, got[2].n_dropped, got[2].clean_text) == (2, 1, "delta")
+    assert (got[3].n_lines, got[3].n_dropped, got[3].clean_text) == (2, 0, "echo\nfoxtrot")
+    assert (got[4].n_lines, got[4].n_dropped, got[4].clean_text) == (2, 0, "echo\ngolf")
+    # min_docs=2 strikes "echo" too, and a fully-boilerplate doc ends empty
+    got2 = {r.doc_id: r for r in CU.line_dedup(docs, min_docs=2).collect()}
+    assert got2[4].clean_text == "golf"
+    only = spark.createDataFrame([(0, "x"), (1, "x")], "doc_id long, text string")
+    got3 = {r.doc_id: r for r in CU.line_dedup(only, min_docs=2).collect()}
+    assert got3[0].clean_text == "" and got3[0].n_dropped == 1
+
+
+def test_decontaminate_hand_traced(spark):
+    """A doc sharing any word k-gram with the benchmark is flagged; n_hits
+    counts its distinct overlapping shingles."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),     # shares "the quick brown", "quick brown fox"
+            (1, "completely different words here"),
+            (2, "quick brown fox runs far"),      # shares "quick brown fox"
+            (3, "aa bb"),                          # too short for a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in CU.decontaminate(docs, bench, k=3).collect()}
+    assert len(got) == 4
+    assert (got[0].n_hits, got[0].contaminated) == (2, True)
+    assert (got[1].n_hits, got[1].contaminated) == (0, False)
+    assert (got[2].n_hits, got[2].contaminated) == (1, True)
+    assert (got[3].n_hits, got[3].contaminated) == (0, False)

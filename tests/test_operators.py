@@ -180,3 +180,28 @@ def test_label_propagation_unweighted_default(spark):
     # the synchronous system reaches its 2-cycle phase deterministically
     assert set(got) == {1, 2, 3, 5}
     assert len(set(got.values())) <= 2
+
+
+def test_pagerank_fixed_point_hand_traced(spark):
+    """Spark pagerank equals a sequential pure-Python replay of the same
+    integer fixed-point recurrence on a 4-node graph with a dangling node."""
+    from web3_knowledge_graph_spark.operators.pagerank import SCALE, pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (1, 2)]  # dup edge collapses; 4 absent
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank_micro for r in pagerank(df, rounds=6).collect()}
+
+    e = sorted(set(edges))
+    nodes = sorted({n for ab in e for n in ab})
+    outd = {}
+    for s, _ in e:
+        outd[s] = outd.get(s, 0) + 1
+    r = {n: SCALE for n in nodes}
+    for _ in range(6):
+        c = {n: 0 for n in nodes}
+        for s, d in e:
+            c[d] += r[s] // outd[s]
+        r = {n: (15 * SCALE + 85 * c[n]) // 100 for n in nodes}
+    assert got == r
+    # ranks sum is bounded (dangling mass leaks; no teleport redistribution)
+    assert sum(got.values()) <= len(nodes) * SCALE

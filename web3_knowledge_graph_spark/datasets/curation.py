@@ -26,6 +26,14 @@ Scale notes per operator:
     size), turned into broadcast offsets, then a window partitioned BY
     BUCKET adds within-bucket running sums. No global sort, no single
     reducer; the same plan holds at 10^12 docs.
+  * line dedup — lines are aggregated by content (one partial-agg count
+    shuffle), only the duplicated subset joins back (build side =
+    boilerplate lines, tiny relative to the corpus), and each doc is
+    reassembled with one doc_id-keyed aggregation. Never quadratic.
+  * decontamination — the benchmark side is small by definition (eval
+    suites are KB-MB against a TB corpus), so its distinct shingles are
+    an explicit broadcast; the corpus side is one scan + one doc_id agg
+    of the (tiny) hit set. The corpus never shuffles its text.
 
 All regex patterns are restricted to the Java-regex / RE2 intersection
 (no lookaround, no backreference) so the DuckDB oracles run the literal
@@ -186,4 +194,108 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_offset"))
         .where(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-line removal (RefinedWeb §3.2 / CCNet-style):
+    a line that appears verbatim in >= ``min_docs`` distinct documents is
+    template/boilerplate text (navigation, cookie banners, footers) and is
+    struck from every document that contains it.
+
+    Plan: posexplode lines -> count distinct docs per line (partial-agg
+    shuffle on the line content) -> keep only the duplicated subset (small:
+    boilerplate lines, not the corpus) -> left-join it back onto the
+    exploded lines (AQE broadcasts the duplicated subset) -> reassemble
+    each doc with one doc_id-keyed aggregation, restoring original line
+    order via the carried position. Cost is linear in total lines; the
+    hottest line keys are collapsed map-side by the partial aggregation.
+
+    Returns (doc_id, n_lines, n_dropped, clean_text) for EVERY input doc
+    (drop decisions stay auditable; callers filter/replace text).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    dups = (
+        lines.select("line", "doc_id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("line", F.lit(True).alias("_dup"))
+    )
+    tagged = lines.join(dups, "line", "left")
+    kept_struct = F.when(
+        ~F.coalesce(F.col("_dup"), F.lit(False)),
+        F.struct(F.col("pos"), F.col("line")),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(kept_struct), lambda s: s.isNotNull()
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by word k-gram overlap (GPT-3 appendix C /
+    Gopher §A2 style, where k=13): a training document sharing any length-k
+    word n-gram with an eval-suite document is flagged so it can be dropped
+    before training.
+
+    Plan: the benchmark is small by definition, so its distinct k-shingles
+    are collected into an explicit broadcast; the corpus side is one scan
+    producing distinct per-doc shingles (dedup.shingle_array, the same
+    shingling MinHash uses), an inner join against the broadcast, and one
+    doc_id-keyed count of the (tiny) hit set, left-joined back so every
+    input doc is emitted with its decision. The corpus text itself never
+    shuffles.
+
+    Returns (doc_id, n_hits, contaminated) for EVERY input doc.
+    """
+    from .dedup import shingles
+
+    bench_grams = F.broadcast(
+        shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        shingles(docs, k=k, id_col=id_col, text_col=text_col)
+        .join(bench_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -34,6 +34,7 @@ from .operators import linking
 from .operators.canon import connected_components
 from .operators.communities import label_propagation, label_propagation_oracle_sql
 from .operators.holdings import rotate_holdings
+from .operators import pagerank as PR
 from .operators.projection import bipartite_project
 from .operators.rules import apply_rules, reputation_scores
 from .sources.pages import PAGES_SQL, synthesize_pages
@@ -1379,6 +1380,40 @@ def q_token_budget(spark, sf_dir):
     return CU.token_budget_sample(_t(spark, sf_dir, "documents"), budget=TOKEN_BUDGET)
 
 
+LINE_DEDUP_MIN_DOCS = 3
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide duplicated-line removal (RefinedWeb/CCNet-style) over the
+    doc_id-derived multi-line text: lines verbatim-shared by >=3 docs are
+    struck everywhere; docs reassembled in original line order."""
+    return CU.line_dedup(
+        _enriched_docs(spark, sf_dir, C4_TEXT_SQL), min_docs=LINE_DEDUP_MIN_DOCS
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C style): flag corpus docs
+    sharing any word k-gram with the benchmark subset (doc_id % 17 = 0
+    plays the eval suite). k=3 here so the oracle reuses the frozen shingle
+    SQL; production uses k=13 — the plan is identical."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    return CU.decontaminate(docs, bench, k=3)
+
+
+def q_pagerank(spark, sf_dir):
+    """Deterministic fixed-point PageRank (6 damped rounds, micro-unit
+    longs — see operators/pagerank.py for why not doubles) over the
+    directed user->prop-key graph from events."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    edges = e.select(
+        F.col("user_id").cast("long").alias("src"), (k + 1000000).alias("dst")
+    )
+    return PR.pagerank(edges, rounds=6)
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -1645,6 +1680,46 @@ FROM documents)
 SELECT source, doc_id, CAST(pick AS BIGINT) AS pick FROM r WHERE pick <= {HOST_CAP}
 """
 
+# Replays curation.line_dedup verbatim: posexplode ≡ the struct-unnest with
+# carried position; string_agg(ORDER BY pos) ≡ array_sort-then-join (positions
+# are unique per doc); aggregate NULL-skipping matches collect_list.
+ORACLE_DATASETS["line_dedup"] = f"""
+WITH d AS (SELECT doc_id, {C4_TEXT_SQL} AS text FROM documents),
+k AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM d),
+ln AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+        i -> {{'pos': i - 1, 'line': lines[i]}})) AS s FROM k),
+l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln),
+dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2)
+        GROUP BY line HAVING COUNT(*) >= {LINE_DEDUP_MIN_DOCS}),
+t AS (SELECT l2.doc_id, l2.pos, l2.line, dup.line IS NOT NULL AS isdup
+      FROM l2 LEFT JOIN dup ON l2.line = dup.line)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(COALESCE(SUM(CASE WHEN isdup THEN 1 END), 0) AS BIGINT) AS n_dropped,
+  COALESCE(string_agg(CASE WHEN NOT isdup THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+FROM t GROUP BY doc_id
+"""
+
+# Replays curation.decontaminate at k=3 (the frozen 3-shingle SQL shared with
+# the minhash oracle); the doc_id % 17 subset plays the benchmark suite.
+ORACLE_DATASETS["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SH3}) AS shingle FROM toks),
+bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+hits AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM sh JOIN bg USING (shingle) GROUP BY sh.doc_id)
+SELECT d.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+  COALESCE(n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+ORACLE_DATASETS["pagerank"] = PR.pagerank_oracle_sql(
+    "ed AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS s,"
+    " CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1000000 AS d"
+    " FROM events)",
+    rounds=6,
+)
+
 # The oracle is the single-window spec the two-pass bucket plan must equal.
 ORACLE_DATASETS["token_budget"] = f"""
 WITH t AS (SELECT doc_id,
@@ -1885,6 +1960,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "host_downsample": q_host_downsample,
         "token_budget": q_token_budget,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "pagerank": q_pagerank,
         "flagship_triples": flagship_triples,
     }
 
