@@ -478,3 +478,43 @@ def test_decontaminate_hand_traced(spark):
     assert (got[1].n_hits, got[1].contaminated) == (0, False)
     assert (got[2].n_hits, got[2].contaminated) == (1, True)
     assert (got[3].n_hits, got[3].contaminated) == (0, False)
+
+
+def test_curate_corpus_stage_composition(spark):
+    """The composed pipeline's audit equals applying the five stages
+    sequentially by hand on a small corpus that exercises every stage."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [
+        # doc 0/1: exact dup pair after c4 (identical multi-line text)
+        (0, "This pair is a duplicated page of boilerplate text.\nA second sentence keeps the page alive today."),
+        (1, "This pair is a duplicated page of boilerplate text.\nA second sentence keeps the page alive today."),
+        # 2/3/4: share a boilerplate line (struck by line dedup at min_docs=3)
+        (2, "Subscribe to our newsletter for updates every day.\nDocument two has its own unique closing sentence."),
+        (3, "Subscribe to our newsletter for updates every day.\nDocument three has its own unique closing sentence."),
+        (4, "Subscribe to our newsletter for updates every day.\nDocument four has its own unique closing sentence."),
+        # 5: contaminated (shares a 5-gram with the benchmark)
+        (5, "The held out benchmark sentence appears verbatim right here."),
+        # 6: dropped by c4 (no line with >= 5 words ending in punctuation)
+        (6, "short\nno punct line"),
+        # 7: survives everything
+        (7, "A perfectly ordinary document sails through every filter stage."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the held out benchmark sentence appears verbatim in the suite")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in CU.curate_corpus(
+        docs, bench, min_docs=3, k=5, budget=10_000).collect()}
+    assert len(got) == 8
+    assert not got[6].c4_keep and not got[6].selected
+    assert got[0].is_canonical and not got[1].is_canonical and not got[1].selected
+    for i in (2, 3, 4):
+        assert got[i].n_dropped_lines == 1  # the shared subscribe line
+    assert got[5].contaminated and not got[5].selected
+    assert got[7].c4_keep and got[7].is_canonical and not got[7].contaminated
+    assert got[7].selected and got[7].n_tokens == 9
+    # budget selection covers all survivors at this budget
+    survivors = [i for i in range(8) if got[i].selected]
+    assert sorted(survivors) == [0, 2, 3, 4, 7]

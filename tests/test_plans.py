@@ -96,3 +96,41 @@ def test_extract_reads_only_needed_columns(spark):
         # so a pruned scan must not read it — this guards against a
         # select(*) sneaking in upstream of the synthesis.
         assert "n_chars" not in line, line
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """PLANS.md: the benchmark shingle set is the broadcast build side —
+    the corpus never shuffles its text for the overlap join."""
+    from web3_knowledge_graph_spark.datasets.curation import decontaminate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(decontaminate(d, d.where(F.col("doc_id") % 17 == 0), k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_small_build_side(spark):
+    """PLANS.md: the duplicated-line subset (not the corpus) is the join
+    build side — at this scale AQE must finish with broadcast joins only —
+    and the plan has no cartesian product."""
+    from web3_knowledge_graph_spark.datasets.curation import line_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(line_dedup(d, min_docs=2))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_cartesian(spark):
+    """PLANS.md: every round is equi-join + groupBy on node ids — no
+    cartesian/nested-loop joins anywhere in the iterated plan."""
+    from web3_knowledge_graph_spark.operators.pagerank import pagerank
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    edges = e.select(
+        F.col("user_id").cast("long").alias("src"),
+        (F.col("event_id") % 50).cast("long").alias("dst"),
+    )
+    plan = _final_plan(pagerank(edges, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -299,3 +299,74 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_docs: int = 3,
+    k: int = 5,
+    budget: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full curation recipe COMPOSED into one DAG — the order real
+    corpus pipelines use (C4 -> RefinedWeb -> GPT-3 app. C -> budget):
+
+      1. C4 line filtering (c4_line_filter) — doc survives on keep_doc
+      2. exact dedup over the C4-kept text (dedup.exact_dedup) — only the
+         canonical doc of each fingerprint group continues
+      3. corpus-wide line dedup (line_dedup, >= min_docs docs share a line)
+      4. benchmark decontamination (decontaminate, word k-grams vs the
+         ``benchmark`` relation's text)
+      5. deterministic token-budget selection (token_budget_sample)
+
+    Emits ONE AUDIT ROW PER INPUT DOC — the decision of every stage is
+    visible (dropped docs carry -1 sentinels past their exit stage), so the
+    pipeline's yield is queryable at each step, not just the final subset.
+
+    Scale: each stage is the already-audited linear plan (PLANS.md); the
+    stages hand off (doc_id, text) relations and the final audit assembly
+    is doc_id-keyed left joins, co-partitioned after the first exchange.
+    Returns (doc_id, c4_keep, is_canonical, n_dropped_lines, contaminated,
+    selected, n_tokens, cum_tokens).
+    """
+    from .dedup import exact_dedup
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    c4 = c4_line_filter(base)
+    s1 = (
+        c4.where(F.col("keep_doc"))
+        .select("doc_id", F.col("kept_text").alias("text"))
+    )
+    ex = exact_dedup(s1)
+    s2 = s1.join(
+        ex.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    ld = line_dedup(s2, min_docs=min_docs)
+    s3 = ld.select("doc_id", F.col("clean_text").alias("text"))
+    dc = decontaminate(s3, benchmark, k=k)
+    s4 = s3.join(dc.where(~F.col("contaminated")).select("doc_id"), "doc_id")
+    tb = token_budget_sample(s4, budget=budget)
+    return (
+        base.select("doc_id")
+        .join(c4.select("doc_id", "keep_doc"), "doc_id", "left")
+        .join(
+            ex.select("doc_id", (~F.col("is_dup")).alias("is_canonical")),
+            "doc_id",
+            "left",
+        )
+        .join(ld.select("doc_id", "n_dropped"), "doc_id", "left")
+        .join(dc.select("doc_id", "contaminated"), "doc_id", "left")
+        .join(tb.select("doc_id", "n_tokens", "cum_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep_doc", F.lit(False)).alias("c4_keep"),
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+            F.coalesce("n_dropped", F.lit(-1)).cast("long").alias("n_dropped_lines"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.col("cum_tokens").isNotNull().alias("selected"),
+            F.coalesce("n_tokens", F.lit(-1)).cast("long").alias("n_tokens"),
+            F.coalesce("cum_tokens", F.lit(-1)).cast("long").alias("cum_tokens"),
+        )
+    )

@@ -1414,6 +1414,42 @@ def q_pagerank(spark, sf_dir):
     return PR.pagerank(edges, rounds=6)
 
 
+# Corpus for the composed curation pipeline: C4-shaped multi-line text with
+# deterministic boilerplate (%3), mirror/duplicate docs (%13), javascript
+# lines (%4), lorem-ipsum docs (%11), and an 80-char slice of the raw
+# document text (the decontamination surface — the benchmark is the RAW
+# docs, so template sentences never blanket-contaminate the corpus).
+CURATE_TEXT_SQL = """CASE WHEN doc_id % 13 = 0
+      THEN 'This mirrored document repeats shared template text verbatim.'
+      ELSE 'Document ' || CAST(doc_id AS STRING) || ' begins with a complete sentence.' END
+ || chr(10) || CASE WHEN doc_id % 13 = 0
+      THEN 'Mirrored summary text identical on every mirror page.'
+      WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter for updates every single day.'
+      ELSE 'A unique lede for document ' || CAST(doc_id AS STRING) || ' continues the page here.' END
+ || chr(10) || CASE WHEN doc_id % 4 = 0
+      THEN 'Please enable javascript to view the content of this page.'
+      WHEN doc_id % 13 = 0
+      THEN 'Shared mirrored body text repeated across mirror pages daily.'
+      ELSE substr(text, 1, 80) || ' and the page tail ends here.' END
+ || CASE WHEN doc_id % 11 = 0
+      THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+      ELSE '' END"""
+
+CURATE_BUDGET = 4000
+
+
+def q_curated_corpus(spark, sf_dir):
+    """The five-stage curation recipe composed into one DAG (C4 line filter
+    -> exact dedup -> corpus line dedup -> benchmark decontamination at
+    k=5 -> token-budget selection), emitting one audit row per input doc.
+    The benchmark suite is the RAW documents at doc_id % 17 = 0."""
+    docs = _enriched_docs(spark, sf_dir, CURATE_TEXT_SQL)
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    return CU.curate_corpus(
+        docs, bench, min_docs=LINE_DEDUP_MIN_DOCS, k=5, budget=CURATE_BUDGET
+    )
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -1720,6 +1756,79 @@ ORACLE_DATASETS["pagerank"] = PR.pagerank_oracle_sql(
     rounds=6,
 )
 
+# Word 5-shingles (decontamination in the composed pipeline): same form as
+# _SH3 with the window widened to 5 tokens.
+_SH5 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t)-4, 0)),"
+    " i -> array_to_string(t[i:i+4], ' ')))"
+)
+
+# Replays curate_corpus stage by stage: the c4/dedup/line-dedup/decontaminate/
+# token-budget CTEs are the per-stage oracles chained on (doc_id, text).
+ORACLE_DATASETS["curated_corpus"] = f"""
+WITH d AS (SELECT doc_id, {CURATE_TEXT_SQL} AS text FROM documents),
+c4 AS (SELECT doc_id, text,
+  regexp_split_to_array(text, chr(10)) AS lines,
+  list_filter(regexp_split_to_array(text, chr(10)), {_C4_KEEP_LINE}) AS kept
+FROM d),
+c4d AS (SELECT doc_id, ({_C4_KEEP_DOC}) AS keep_doc,
+        array_to_string(kept, chr(10)) AS kept_text FROM c4),
+s1 AS (SELECT doc_id, kept_text AS text FROM c4d WHERE keep_doc),
+fp AS (SELECT doc_id, md5(lower(text)) AS f, text FROM s1),
+cn AS (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f),
+ex AS (SELECT fp.doc_id, (fp.doc_id = cn.m) AS is_canonical
+       FROM fp JOIN cn USING (f)),
+s2 AS (SELECT fp.doc_id, fp.text FROM fp JOIN cn USING (f) WHERE fp.doc_id = cn.m),
+k2 AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM s2),
+ln2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+        i -> {{'pos': i - 1, 'line': lines[i]}})) AS s FROM k2),
+l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln2),
+dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2)
+        GROUP BY line HAVING COUNT(*) >= {LINE_DEDUP_MIN_DOCS}),
+t2 AS (SELECT l2.doc_id, l2.pos, l2.line, dup.line IS NOT NULL AS isdup
+       FROM l2 LEFT JOIN dup ON l2.line = dup.line),
+ld AS (SELECT doc_id,
+  CAST(COALESCE(SUM(CASE WHEN isdup THEN 1 END), 0) AS BIGINT) AS n_dropped,
+  COALESCE(string_agg(CASE WHEN NOT isdup THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+FROM t2 GROUP BY doc_id),
+stoks AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(lower(clean_text), '[^a-z0-9]+'), x -> len(x) > 0) AS t
+FROM ld),
+ssh AS (SELECT doc_id, unnest({_SH5}) AS shingle FROM stoks),
+btoks AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id % 17 = 0),
+bsh AS (SELECT doc_id, unnest({_SH5}) AS shingle FROM btoks),
+bg AS (SELECT DISTINCT shingle FROM bsh),
+hits AS (SELECT ssh.doc_id, COUNT(*) AS n FROM ssh JOIN bg USING (shingle)
+         GROUP BY ssh.doc_id),
+dc AS (SELECT ld.doc_id, COALESCE(n, 0) > 0 AS contaminated
+       FROM ld LEFT JOIN hits USING (doc_id)),
+s4 AS (SELECT ld.doc_id, ld.clean_text AS text FROM ld JOIN dc USING (doc_id)
+       WHERE NOT contaminated),
+tt AS (SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+  md5(CAST(doc_id AS VARCHAR)) AS key
+FROM s4),
+tc AS (SELECT doc_id, n_tokens,
+  SUM(n_tokens) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+FROM tt),
+tb AS (SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens FROM tc
+       WHERE cum <= {CURATE_BUDGET})
+SELECT d.doc_id,
+  COALESCE(c4d.keep_doc, FALSE) AS c4_keep,
+  COALESCE(ex.is_canonical, FALSE) AS is_canonical,
+  CAST(COALESCE(ld.n_dropped, -1) AS BIGINT) AS n_dropped_lines,
+  COALESCE(dc.contaminated, FALSE) AS contaminated,
+  (tb.cum_tokens IS NOT NULL) AS selected,
+  CAST(COALESCE(tb.n_tokens, -1) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(tb.cum_tokens, -1) AS BIGINT) AS cum_tokens
+FROM d
+LEFT JOIN c4d USING (doc_id)
+LEFT JOIN ex USING (doc_id)
+LEFT JOIN ld USING (doc_id)
+LEFT JOIN dc USING (doc_id)
+LEFT JOIN tb USING (doc_id)
+"""
+
 # The oracle is the single-window spec the two-pass bucket plan must equal.
 ORACLE_DATASETS["token_budget"] = f"""
 WITH t AS (SELECT doc_id,
@@ -1963,6 +2072,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pagerank": q_pagerank,
+        "curated_corpus": q_curated_corpus,
         "flagship_triples": flagship_triples,
     }
 
