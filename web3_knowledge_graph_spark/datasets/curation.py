@@ -334,18 +334,24 @@ def curate_corpus(
     from .dedup import exact_dedup
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    c4 = c4_line_filter(base)
+    # Every stage output below feeds BOTH the next stage and the final audit
+    # join — without a materialization boundary the audit's six-way fan-out
+    # would recompute stage i's whole upstream chain once per downstream
+    # branch (measured 30s vs 8s at sf0.1). localCheckpoint pins each stage
+    # to one computation; a persistent deployment would write each handoff
+    # to a checkpoint table instead (plans/pipeline.py does exactly that).
+    c4 = c4_line_filter(base).localCheckpoint()
     s1 = (
         c4.where(F.col("keep_doc"))
         .select("doc_id", F.col("kept_text").alias("text"))
     )
-    ex = exact_dedup(s1)
+    ex = exact_dedup(s1).localCheckpoint()
     s2 = s1.join(
         ex.where(~F.col("is_dup")).select("doc_id"), "doc_id"
     )
-    ld = line_dedup(s2, min_docs=min_docs)
+    ld = line_dedup(s2, min_docs=min_docs).localCheckpoint()
     s3 = ld.select("doc_id", F.col("clean_text").alias("text"))
-    dc = decontaminate(s3, benchmark, k=k)
+    dc = decontaminate(s3, benchmark, k=k).localCheckpoint()
     s4 = s3.join(dc.where(~F.col("contaminated")).select("doc_id"), "doc_id")
     tb = token_budget_sample(s4, budget=budget)
     return (
