@@ -518,3 +518,95 @@ def test_curate_corpus_stage_composition(spark):
     # budget selection covers all survivors at this budget
     survivors = [i for i in range(8) if got[i].selected]
     assert sorted(survivors) == [0, 2, 3, 4, 7]
+
+
+def test_lm_surprisal_hand_traced(spark):
+    """Reference-corpus bigrams are cheap, out-of-model bigrams expensive;
+    scores replayed exactly in integer micro-units."""
+    from web3_knowledge_graph_spark.datasets import textstats as T
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat sat down")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),          # both bigrams in the model
+            (1, "zebra quantum flux"),   # fully out-of-model
+            (2, "x"),                    # no bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.lm_surprisal(
+        docs, ref, min_count=1, threshold_micro=5_000_000).collect()}
+    # threshold mean-inverse-prob 5.0: doc0 scores 2.2, doc1 (out-of-model,
+    # every bigram IP = V*1e6 = 6e6) scores 6.0 — separated.
+    # replay: unigram counts over ref tokens:
+    # the(3) cat(2) sat(2) on(1) mat(1) down(1) => V=6
+    uni = {"the": 3, "cat": 2, "sat": 2, "on": 1, "mat": 1, "down": 1}
+    bi = {("the","cat"): 2, ("cat","sat"): 2, ("sat","on"): 1, ("on","the"): 1,
+          ("the","mat"): 1, ("sat","down"): 1}
+    V = len(uni)
+    def ip(w1, w2):
+        return (1_000_000 * (2 * uni.get(w1, 0) + V)) // (2 * bi.get((w1, w2), 0) + 1)
+    assert got[0].surprisal_micro == ip("the", "cat") + ip("cat", "sat")
+    assert got[1].surprisal_micro == ip("zebra", "quantum") + ip("quantum", "flux")
+    assert got[0].surprisal_micro < got[1].surprisal_micro
+    assert got[0].keep and not got[1].keep
+    assert got[2].n_bigrams == 0 and not got[2].keep and got[2].mean_inverse_prob == 0.0
+
+
+def test_distinctive_terms_hand_traced(spark):
+    """tf and rarity both raise the score; ties break on term asc; exactly
+    k rows per doc with enough vocabulary."""
+    from web3_knowledge_graph_spark.datasets import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common rare0"),
+            (1, "common rare1 rare1 rare1"),
+            (2, "common rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = T.distinctive_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.term, r.tf, r.df, r.score_micro))
+    n = 3
+    def score(tf, df):
+        return tf * ((1_000_000 * n) // df)
+    # doc 0: common tf=2 df=3 -> 2*1e6; rare0 tf=1 df=1 -> 3e6 => rare0 first
+    assert sorted(by_doc[0]) == [
+        (1, "rare0", 1, 1, score(1, 1)), (2, "common", 2, 3, score(2, 3))]
+    # doc 1: rare1 tf=3 df=1 -> 9e6 first; common 1e6 second
+    assert by_doc[1][0][1] == "rare1" if by_doc[1][0][0] == 1 else True
+    assert sorted(by_doc[1])[0] == (1, "rare1", 3, 1, score(3, 1))
+    # doc 2: rare2 3e6 beats common 1e6
+    assert sorted(by_doc[2]) == [
+        (1, "rare2", 1, 1, score(1, 1)), (2, "common", 1, 3, score(1, 3))]
+
+
+def test_semantic_dedup_hand_traced(spark):
+    """Within-cell lower-id representative keeps; near-identical vectors in
+    the same cell collapse; distinct directions survive."""
+    from web3_knowledge_graph_spark.datasets import similarity as SIM
+
+    # The codebook is the first n_centroids ids, so the three distinct
+    # directions come first (each its own cell) and the near-dups after
+    # (assigned to the matching cell, collapsed onto the centroid id).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.999, 0.01, 0.0]),   # ~same direction as 0 -> dup_of 0
+        (4, [0.01, 0.999, 0.0]),   # ~same as 1 -> dup_of 1
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in SIM.semantic_dedup(
+        vecs, threshold=0.95, n_centroids=3).collect()}
+    assert len(got) == 5
+    assert got[0].keep and got[1].keep and got[2].keep
+    assert not got[3].keep and got[3].dup_of == 0
+    assert not got[4].keep and got[4].dup_of == 1
+    assert got[0].dup_of == -1

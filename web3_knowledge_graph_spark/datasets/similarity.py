@@ -278,3 +278,86 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_centroids: int = 16,
+    cell_cap: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then WITHIN each cluster drop every vector lying
+    within cosine >= ``threshold`` of a lower-id vector (the kept
+    representative). The paper keeps a random representative per
+    epsilon-ball; id order makes the same decision deterministically.
+
+    Plan: the centroid set is the deterministic id-sample ivf_topk uses (a
+    trained codebook in production) — broadcast, so assignment is one scan
+    + a per-vector top-1 window. Candidate pairs come from a within-cell
+    self-join only: cost is sum(cell_size^2), bounded by the codebook
+    granularity, never corpus-quadratic; cells larger than ``cell_cap``
+    are excluded from pairing (members all kept — the hot-bucket guard
+    lsh_buckets uses, recall loss documented over silent blowup).
+
+    Returns (vec_id, cell, dup_of, keep) for EVERY input vector;
+    ``dup_of`` is the smallest same-cell id within threshold (-1 for
+    keepers — sentinel, not NULL, for oracle hash stability).
+    """
+    cents = F.broadcast(
+        with_norm(corpus.orderBy(id_col).limit(n_centroids), vec_col).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("_pv"),
+            F.col("_norm").alias("_pn"),
+        )
+    )
+    v = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), F.col("_norm").alias("_n")
+    )
+    scored = v.crossJoin(cents).select(
+        v["*"],
+        F.col("cent_id"),
+        (_dot(F.col("_v"), F.col("_pv")) / (F.col("_n") * F.col("_pn"))).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "_v", "_n", F.col("cent_id").alias("cell"))
+        .localCheckpoint()
+    )
+    ok = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz")).where(
+        F.col("_sz") <= cell_cap
+    )
+    pairable = cells.join(F.broadcast(ok.select("cell")), "cell")
+    a, b = pairable.alias("a"), pairable.alias("b")
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("cand"),
+            (
+                _dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("cand").cast("long").alias("dup_of"))
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(dup_of, "vec_id", "left")
+        .select(
+            F.col("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

@@ -233,3 +233,157 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def lm_surprisal(
+    docs: DataFrame,
+    reference: DataFrame,
+    min_count: int = 1,
+    threshold_micro: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring: fit a bigram model on a trusted
+    ``reference`` corpus (CCNet trains KenLM on Wikipedia — ccnet §3.3),
+    then score every document by how surprising its bigrams are under that
+    model; high-surprisal docs are the low-quality tail a pipeline drops.
+
+    DIVERGENCE from CCNet, on purpose: the score is the mean INVERSE
+    PROBABILITY (arithmetic mean of 1/p in exact integer micro-units), not
+    log-perplexity (geometric). Cross-engine `ln` is not bit-stable
+    (JVM Math.log vs libm), so a log-based score could never pass a
+    value-hash oracle; inverse probability needs only integer arithmetic
+    — (2*c_uni + V) scaled by 1e6, integer-divided by (2*c_bi + 1), i.e.
+    add-1/2 smoothing — and orders documents by the same "how well does
+    the reference LM predict this text" signal.
+
+    Plan: reference bigram/unigram counts are vocab-sized aggregates →
+    explicit broadcasts (bigrams pruned to count >= min_count, the KenLM
+    pruning analog); the corpus side is one scan exploding bigrams, two
+    broadcast joins, one doc_id-keyed exact long sum. The corpus never
+    shuffles its text. Returns (doc_id, n_bigrams, surprisal_micro,
+    mean_inverse_prob, keep) for EVERY input doc; ``keep`` is NULL-safe
+    false when threshold_micro is None.
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array())
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
+        ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    ref_bi = bigrams(reference)
+    bi_counts = (
+        ref_bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
+        .where(F.col("c_bi") >= min_count)
+    )
+    uni_counts = (
+        reference.select(F.explode(tokens_col(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
+    )
+    vocab = F.broadcast(uni_counts.agg(F.count(F.lit(1)).cast("long").alias("v")))
+
+    scored = (
+        bigrams(docs)
+        .join(F.broadcast(bi_counts), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_counts), ["w1"], "left")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(1000000 * (2 * coalesce(c_uni, 0) + v) AS BIGINT)"
+                " div CAST(2 * coalesce(c_bi, 0) + 1 AS BIGINT)"
+            ).alias("ip_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("ip_micro").cast("long").alias("surprisal_micro"),
+        )
+    )
+    keep = (
+        F.lit(False)
+        if threshold_micro is None
+        else (F.col("surprisal_micro") <= F.lit(threshold_micro) * F.col("n_bigrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprisal_micro", F.lit(0)).cast("long").alias("surprisal_micro"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("surprisal_micro") / (F.col("n_bigrams") * F.lit(1_000_000.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_inverse_prob"),
+            F.coalesce(keep & (F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0), F.lit(False)).alias("keep"),
+        )
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k distinctive terms per document by tf × inverse document
+    frequency — the corpus-exploration op behind keyword extraction and
+    topic labeling.
+
+    DIVERGENCE from textbook TF-IDF, on purpose: idf is the exact integer
+    rarity ratio (1e6 * N_docs div df), not ln(N/df) — cross-engine ``ln``
+    is not bit-stable (see lm_surprisal), and for a fixed tf both order
+    terms identically (monotone decreasing in df). Across mixed tf the
+    log-damped and linear scores can rank differently; this op surfaces
+    doc-discriminative vocabulary, it does not feed cosine scoring.
+
+    Plan: one explode → per-doc tf (one (doc_id, term) exchange); the df
+    relation is vocab-sized → broadcast join back on term; N_docs is a
+    1-row broadcast cross join; top-k per doc via row_number, which Spark 4
+    executes as WindowGroupLimit BELOW the exchange (only k rows per doc
+    travel). Ties break on term asc — fully deterministic.
+    Returns (doc_id, term, tf, df, score_micro, rnk).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = F.broadcast(
+        docs.agg(F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(
+                "CAST(tf * (CAST(1000000 * n_docs AS BIGINT) div df) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

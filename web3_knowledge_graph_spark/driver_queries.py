@@ -1450,6 +1450,46 @@ def q_curated_corpus(spark, sf_dir):
     )
 
 
+LM_MIN_COUNT = 2
+LM_KEEP_MICRO = 60_000_000  # keep docs with mean inverse prob <= 60
+
+
+def q_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality filter: bigram model fit on the trusted
+    subset (doc_id % 7 = 0 plays Wikipedia), every doc scored by exact
+    integer mean-inverse-probability (see textstats.lm_surprisal for why
+    not log-perplexity), kept under the threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    return TS.lm_surprisal(
+        docs, ref, min_count=LM_MIN_COUNT, threshold_micro=LM_KEEP_MICRO
+    )
+
+
+TERMS_TOP_K = 3
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc by tf × integer inverse document
+    frequency (linear idf — see textstats.distinctive_terms for why not
+    ln); WindowGroupLimit keeps only k rows per doc below the exchange."""
+    return TS.distinctive_terms(_t(spark, sf_dir, "documents"), k=TERMS_TOP_K)
+
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: 16-cell
+    codebook assignment, within-cell lower-id representative wins at
+    cosine >= 0.35."""
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=SEMDEDUP_THRESHOLD,
+        n_centroids=16,
+    )
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -1829,6 +1869,73 @@ LEFT JOIN dc USING (doc_id)
 LEFT JOIN tb USING (doc_id)
 """
 
+# Replays textstats.lm_surprisal: integer-only add-1/2-smoothed inverse
+# probability, so every value (including the final double) is bit-exact.
+ORACLE_DATASETS["lm_quality"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+        i -> {{'w1': t[i], 'w2': t[i+1]}})) AS s FROM toks),
+bg AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg0),
+bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi FROM bg
+       WHERE doc_id % 7 = 0 GROUP BY w1, w2 HAVING COUNT(*) >= {LM_MIN_COUNT}),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_uni
+        FROM (SELECT doc_id, unnest(t) AS w1 FROM toks) u
+        WHERE doc_id % 7 = 0 GROUP BY w1),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+sc AS (SELECT bg.doc_id,
+  CAST(1000000 * (2 * COALESCE(c_uni, 0) + vv.v) AS BIGINT)
+    // CAST(2 * COALESCE(c_bi, 0) + 1 AS BIGINT) AS ip
+ FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1) CROSS JOIN vv),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ip) AS BIGINT) AS s
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s, 0) AS BIGINT) AS surprisal_micro,
+  CASE WHEN COALESCE(n, 0) > 0 THEN CAST(s AS DOUBLE) / (n * 1000000.0)
+       ELSE 0.0 END AS mean_inverse_prob,
+  COALESCE(s <= {LM_KEEP_MICRO} * n AND n > 0, FALSE) AS keep
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+# Replays textstats.distinctive_terms (integer linear-idf, deterministic
+# term-asc tie-break).
+ORACLE_DATASETS["distinctive_terms"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, tf, df,
+  CAST(tf * (CAST(1000000 * n_docs AS BIGINT) // df) AS BIGINT) AS score_micro
+ FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score_micro DESC, term ASC) AS rn FROM sc)
+SELECT doc_id, term, tf, df, score_micro, CAST(rn AS BIGINT) AS rnk
+FROM r WHERE rn <= {TERMS_TOP_K}
+"""
+
+# Replays similarity.semantic_dedup (same codebook + assignment SQL as the
+# ivf_knn oracle; list_cosine_similarity ≡ the Spark double fold).
+ORACLE_DATASETS["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS pv FROM e ORDER BY vec_id LIMIT 16),
+cassign AS (SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.v, c.pv) DESC, c.cent_id) AS r
+    FROM e, cents c) WHERE r = 1),
+ok AS (SELECT cell FROM cassign GROUP BY cell HAVING COUNT(*) <= 100000),
+p AS (SELECT ca.vec_id, ca.cell FROM cassign ca JOIN ok USING (cell)),
+d AS (SELECT b.vec_id AS vec_id, CAST(MIN(a.vec_id) AS BIGINT) AS dup_of
+      FROM p a JOIN p b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id)
+SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell,
+  COALESCE(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS keep
+FROM cassign ca LEFT JOIN d USING (vec_id)
+"""
+
 # The oracle is the single-window spec the two-pass bucket plan must equal.
 ORACLE_DATASETS["token_budget"] = f"""
 WITH t AS (SELECT doc_id,
@@ -2073,6 +2180,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pagerank": q_pagerank,
         "curated_corpus": q_curated_corpus,
+        "lm_quality": q_lm_quality,
+        "distinctive_terms": q_distinctive_terms,
+        "semantic_dedup": q_semantic_dedup,
         "flagship_triples": flagship_triples,
     }
 
