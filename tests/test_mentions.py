@@ -140,3 +140,42 @@ def test_dictionary_mentions_chunked_large_dict(spark):
     # alias600 doesn't exist; embedded/suffixed/charset-joined forms don't
     # match (x-prefix, x-suffix, '.'-joined stays one token)
     assert got == {("eid000", 1), ("eid299", 2), ("eid599", 1)}
+
+
+def test_positive_complement_equivalence(spark):
+    """positive_complement_class(X) denotes EXACTLY the codepoints of
+    [^X]: equal match counts on adversarial strings (unicode, astral,
+    boundary chars) for every hot charset, Java-regex side."""
+    from pyspark.sql import functions as F
+
+    from web3_knowledge_graph_spark.functions.charclass import (
+        ASCII_LOWER,
+        ASCII_UPPER,
+        DIGITS,
+        JAVA_WS,
+        positive_complement_class,
+    )
+
+    cases = [
+        ("a-z0-9_.@-", ASCII_LOWER + DIGITS + "_.@-"),
+        ("a-z0-9", ASCII_LOWER + DIGITS),
+        (r"A-Za-z0-9\s", ASCII_UPPER + ASCII_LOWER + DIGITS + JAVA_WS),
+        ("\\s<>\"'", JAVA_WS + "<>\"'"),
+    ]
+    texts = [
+        "plain words 0x123 under_score dot.dash-at@ MIX eD",
+        "unicode: émoji 🎉 «quotes» – dash\u2014em \u00a0nbsp \uffff high",
+        "edge`~!#$%^&*()[]{}|;:,/?\\+=",
+        "",
+        " \t\n\x0b\f\r",
+        "\U0001F600\U0010FFFF astral",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for neg_body, chars in cases:
+        neg = f"[^{neg_body}]"
+        pos = positive_complement_class(chars)
+        row = df.select(
+            F.sum(F.regexp_count(F.col("t"), F.lit(neg))).alias("a"),
+            F.sum(F.regexp_count(F.col("t"), F.lit(pos))).alias("b"),
+        ).collect()[0]
+        assert row.a == row.b, (neg_body, row.a, row.b)

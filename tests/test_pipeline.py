@@ -278,3 +278,47 @@ def test_author_first_valid_vs_first_raw(spark):
     reg, th = _page_alias_relations(spark, None, pages=pages)
     # first RAW match is the 41-char candidate → page excluded entirely
     assert reg.count() == 0 and th.count() == 0
+
+
+def test_extract_stage_fused_equals_branch_union(spark):
+    """The fused single-pass extract stage emits exactly the rows of the
+    former 3-branch union (regex + dictionary + author), on both sides of
+    the FUSE_DICT_MAX_ALIASES cutover."""
+    import web3_knowledge_graph_spark.plans.pipeline as P
+    from web3_knowledge_graph_spark.functions import mentions as M
+    from web3_knowledge_graph_spark.functions.extraction import with_extracted_text
+
+    pages = corpus.pages_df(spark, 120, partitions=4)
+    texted = with_extracted_text(pages).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+
+    def union_ref(vocab):
+        return (
+            M.extract_mentions(texted)
+            .unionByName(M.dictionary_mentions(texted, vocab))
+            .unionByName(P._author_mentions(texted))
+        )
+
+    small = spark.createDataFrame(corpus.alias_dict_pdf())
+    got, want = P.extract_stage(pages, small), union_ref(small)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # force the >FUSE_DICT_MAX_ALIASES broadcast-join branch: pad the dict
+    # with aliases that never occur, plus the real ones.
+    pad = [("pad%04d" % i, "token", ["zzpad%04d" % i]) for i in range(600)]
+    rows = [
+        (r.entity_id, r.kind, list(r.aliases))
+        for r in small.collect()
+    ] + pad
+    bigd = spark.createDataFrame(
+        rows, "entity_id string, kind string, aliases array<string>"
+    )
+    got2, want2 = P.extract_stage(pages, bigd), union_ref(bigd)
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+    # and the two dict sizes agree on everything except nothing (pads
+    # never match): fused small-dict output == fallback big-dict output
+    assert got.exceptAll(got2).count() == 0
+    assert got2.exceptAll(got).count() == 0

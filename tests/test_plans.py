@@ -64,10 +64,11 @@ def test_two_hop_no_cartesian(spark):
 
 def test_extract_carry_cols_no_corpus_join(spark):
     """PLANS.md: the date-partitioned extract threads the partition date
-    through the extract's own groupBy (carry_cols) — the plan must contain
-    NO join against the corpus to recover it (the old shape joined mentions
-    back to a dropDuplicates(url) of every page: a corpus-sized shuffle at
-    10^12 pages). The only join allowed is the broadcast dictionary join."""
+    through the stage itself (carry_cols) — the plan must contain NO join
+    against the corpus to recover it (the old shape joined mentions back
+    to a dropDuplicates(url) of every page: a corpus-sized shuffle at
+    10^12 pages). With a driver-sized dictionary the fused stage is a pure
+    map: no joins AND no exchange of any kind (counts fold row-locally)."""
     from web3_knowledge_graph_spark.plans.pipeline import extract_stage
 
     pages = _pages(spark, SF).withColumn(
@@ -76,10 +77,28 @@ def test_extract_carry_cols_no_corpus_join(spark):
     df = extract_stage(pages, _vocab_dict(spark), carry_cols=("_d",))
     assert "_d" in df.columns
     plan = _final_plan(df)
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "Exchange"):
+        assert op not in plan, op
+
+
+def test_extract_large_dict_broadcast_only(spark):
+    """Above FUSE_DICT_MAX_ALIASES the dictionary branch falls back to the
+    broadcast join — hits-sized build side, still no shuffled join and no
+    corpus exchange."""
+    from web3_knowledge_graph_spark.plans import pipeline as P
+
+    vocab = _vocab_dict(spark)
+    pad = spark.createDataFrame(
+        [("pad%04d" % i, "token", ["zzpad%04d" % i])
+         for i in range(P.FUSE_DICT_MAX_ALIASES + 8)],
+        "entity_id string, kind string, aliases array<string>",
+    )
+    df = P.extract_stage(_pages(spark, SF), vocab.unionByName(pad))
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    # exactly the dictionary joins remain, all broadcast
-    assert "BroadcastHashJoin" in plan
 
 
 def test_extract_reads_only_needed_columns(spark):

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+from ..functions.charclass import ASCII_LOWER, DIGITS, positive_complement_class
+
+# Complement of [a-z0-9] written as positive ranges: identical split
+# semantics to "[^a-z0-9]+" (the DuckDB-oracle spelling) but ~20x faster
+# on this JVM (functions/charclass.py — negated-class pathology).
+TOKEN_SPLIT_RE = positive_complement_class(ASCII_LOWER + DIGITS) + "+"
 
 
 def _hash60(col: F.Column) -> F.Column:

@@ -15,11 +15,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..fixtures.dictionaries import LANGS, STOPWORDS
+from ..functions.charclass import (
+    ASCII_LOWER,
+    ASCII_UPPER,
+    DIGITS,
+    JAVA_WS,
+    positive_complement_class,
+)
 from .dedup import tokens_col
 
 # BPE-ish lexer: letter runs | digit runs | any single non-space symbol.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-PUNCT_RE = r"[^A-Za-z0-9\s]"
+# The symbol class is the positive complement of [A-Za-z0-9\s] (the
+# DuckDB-oracle spelling) — same codepoint set, ~20x faster on this JVM
+# (functions/charclass.py negated-class pathology).
+_SYMBOL_CLASS = positive_complement_class(
+    ASCII_UPPER + ASCII_LOWER + DIGITS + JAVA_WS
+)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|" + _SYMBOL_CLASS
+PUNCT_RE = _SYMBOL_CLASS
 
 
 def stopword_rows() -> list[tuple[str, str]]:

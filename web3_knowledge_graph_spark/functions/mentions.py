@@ -28,13 +28,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .charclass import (
+    ASCII_LOWER,
+    ASCII_UPPER,
+    DIGITS,
+    JAVA_WS,
+    positive_complement_class,
+)
+
 # Candidate-then-filter pairs (RE2-safe; see module docstring).
 WALLET_CANDIDATE_RE = r"0x[a-fA-F0-9]+"
 WALLET_LEN = 42  # 0x + 40 hex
 ENS_TOKEN_RE = r"[-a-zA-Z0-9@:%._+~#=]+"
 ENS_FULL_RE = r"^[-a-zA-Z0-9@:%._+~#=]{1,256}\.eth$"
 HANDLE_CANDIDATE_RE = r"@\w+"
-URL_RE = r"https?://[^\s<>\"']+"
+# URL body: any char but whitespace/<>/quotes — the complement written as
+# positive ranges (charclass.py: negated classes are ~20x slower on this
+# JVM). DuckDB oracles keep the equivalent [^\s<>"'] spelling.
+URL_BODY_CLASS = positive_complement_class(JAVA_WS + "<>\"'")
+URL_RE = r"https?://" + URL_BODY_CLASS + "+"
 MEDIA_URL_RE = r"\.(gif|jpg|jpeg|png|mp4|mp3)"
 MEDIA_EXTS = (".gif", ".jpg", ".png", ".jpeg", ".mp4", ".mp3")
 TWITTER_MENTION_RE = r"twitter\.com/(\w+)"
@@ -181,43 +193,123 @@ _KIND_EXTRACTORS = {
 }
 
 
+def tagged_mention_array(
+    text: Column, kinds: tuple[str, ...] = ("wallet", "ens", "handle", "url", "twitter")
+) -> Column:
+    """array<struct<kind,value>> of every mention of every requested kind —
+    the one-projection form all extractors share (extract_mentions and the
+    fused pipeline extract stage), so the corpus is scanned once however
+    many kinds are requested."""
+
+    def _tag(kind: str):
+        return lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("value"))
+
+    return F.concat(*[F.transform(_KIND_EXTRACTORS[k](text), _tag(k)) for k in kinds])
+
+
+def _count_runs(srt: Column, starts: Column) -> Column:
+    """array<struct<kind,value>> (SORTED) + its run-start positions →
+    array<struct<kind,value,n>>: the per-array equivalent of
+    GROUP BY (kind, value) COUNT(*). ``starts`` must be
+    ``_run_starts(srt)``; split out so callers can materialize both as
+    columns (one evaluation each) before this final transform."""
+    return F.transform(
+        starts,
+        lambda s, j: F.struct(
+            F.try_element_at(srt, s)["kind"].alias("kind"),
+            F.try_element_at(srt, s)["value"].alias("value"),
+            (F.coalesce(F.try_element_at(starts, j + F.lit(2)), F.size(srt) + 1) - s)
+            .cast("long")
+            .alias("n"),
+        ),
+    )
+
+
+def _run_starts(srt: Column) -> Column:
+    """1-based positions where a new (kind, value) run begins in the sorted
+    tagged array. greatest(size, 1) keeps ANSI ``sequence`` from producing
+    a DESCENDING [1, 0] on empty arrays; the i <= size guard then empties
+    the result (typed correctly) for zero-mention pages."""
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(srt), F.lit(1))),
+        lambda i: (i <= F.size(srt))
+        & ((i == F.lit(1)) | (F.try_element_at(srt, i) != F.try_element_at(srt, i - 1))),
+    )
+
+
 def extract_mentions(
     df: DataFrame,
     text_col: str = "text",
     key_col: str = "url",
     kinds: tuple[str, ...] = ("wallet", "ens", "handle", "url", "twitter"),
     carry_cols: tuple[str, ...] = (),
+    key_is_unique: bool = True,
 ) -> DataFrame:
     """pages → mentions(url, [carry...,] kind, value, n).
 
     ONE scan: all extractors run in a single projection, their results
-    tagged (kind, value) and concatenated, then one explode + one groupBy
-    to fold occurrence counts. (A union of per-kind projections — the naive
-    shape — scans the corpus len(kinds)×; at 100 TB that is 5 corpus reads
-    and 5× the map tasks.) Map-side partial aggregation keeps the shuffle
-    small; the shuffle key (url, kind, value) is near-unique so the partial
-    agg removes only in-page repeats — exactly the data that skews.
+    tagged (kind, value) and concatenated. (A union of per-kind
+    projections — the naive shape — scans the corpus len(kinds)×; at
+    100 TB that is 5 corpus reads and 5× the map tasks.)
 
-    ``carry_cols`` are threaded through the groupBy: they must be
-    functionally dependent on ``key_col`` (constant per page, e.g. the
-    page's ingest date), so they add no group cardinality — a free
-    passthrough that lets callers partition the output without joining it
+    Occurrence counts fold WITHOUT A SHUFFLE when ``key_is_unique`` (the
+    default — ``key_col`` is the page primary key, one input row each):
+    the groupBy key (url, kind, value) is then functionally row-local, so
+    a corpus-wide exchange computes something each row already knows. The
+    tagged array is sorted and run-length-encoded in place (array_sort →
+    run starts → counts), turning the whole mention stage into a pure map
+    — the exchange this removes was the full pipeline's only
+    corpus-proportional shuffle, the term that capped N→4N scaling.
+    The three HOF lambdas run interpreted, but over ~tens-of-element
+    arrays; A/B vs the explode→groupBy shape is recorded in PLANS.md.
+
+    With ``key_is_unique=False`` (duplicate keys possible — e.g. a
+    tweet-keyed corpus with retweets) the classic explode → groupBy path
+    runs instead: same output, counts summed across rows per key.
+
+    ``carry_cols`` must be functionally dependent on ``key_col``
+    (constant per page, e.g. the page's ingest date): they thread through
+    either path so callers can partition the output without joining it
     back to the corpus (a corpus-sized shuffle join at 10^12 pages).
     """
-    text = F.col(text_col)
-
-    def _tag(kind: str):
-        return lambda v: F.struct(F.lit(kind).alias("kind"), v.alias("value"))
-
-    combined = F.concat(
-        *[F.transform(_KIND_EXTRACTORS[k](text), _tag(k)) for k in kinds]
+    combined = tagged_mention_array(F.col(text_col), kinds)
+    if not key_is_unique:
+        return (
+            df.select(F.col(key_col).alias("url"), *carry_cols, F.explode(combined).alias("m"))
+            .select("url", *carry_cols, F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
+            .groupBy("url", *carry_cols, "kind", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    # staged projections: each intermediate is a materialized column, so
+    # the regex extractors and the sort run ONCE per row even though the
+    # downstream expressions reference them repeatedly (CollapseProject
+    # keeps multiply-referenced non-cheap aliases un-inlined).
+    srt = df.select(
+        F.col(key_col).alias("url"), *carry_cols, F.array_sort(combined).alias("_srt")
+    )
+    runs = srt.select(
+        "url", *carry_cols, "_srt", _run_starts(F.col("_srt")).alias("_starts")
     )
     return (
-        df.select(F.col(key_col).alias("url"), *carry_cols, F.explode(combined).alias("m"))
-        .select("url", *carry_cols, F.col("m.kind").alias("kind"), F.col("m.value").alias("value"))
-        .groupBy("url", *carry_cols, "kind", "value")
-        .agg(F.count(F.lit(1)).alias("n"))
+        runs.select(
+            "url",
+            *carry_cols,
+            F.explode(_count_runs(F.col("_srt"), F.col("_starts"))).alias("m"),
+        )
+        .select(
+            "url",
+            *carry_cols,
+            F.col("m.kind").alias("kind"),
+            F.col("m.value").alias("value"),
+            F.col("m.n").alias("n"),
+        )
     )
+
+
+# Dictionary-token charset (the tokenizer the boundary guards reproduce);
+# its complement is written positively — charclass.py pathology.
+DICT_TOKEN_CHARS = ASCII_LOWER + DIGITS + "_.@-"
+DICT_BOUNDARY_CLASS = positive_complement_class(DICT_TOKEN_CHARS)
 
 
 def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
@@ -232,7 +324,9 @@ def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
     — F.filter(tokens, isin(set)) — is a higher-order function with no
     codegen (BENCH.md finding: 3-8x slower); chunking keeps the
     alternation small enough for the JVM regex compiler while never
-    leaving the codegen path.
+    leaving the codegen path. The guard classes are positive complements
+    of the token charset ([^a-z0-9_.@-] in the DuckDB replay) — measured
+    ~18x faster per pass on this JVM (charclass.py).
     """
     import re as _re
 
@@ -244,9 +338,9 @@ def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
     arrays = []
     for i in range(0, len(alias_set), chunk):
         pat = (
-            "(?:^|[^a-z0-9_.@-])("
+            f"(?:^|{DICT_BOUNDARY_CLASS})("
             + "|".join(_re.escape(a) for a in alias_set[i : i + chunk])
-            + ")(?=$|[^a-z0-9_.@-])"
+            + f")(?=$|{DICT_BOUNDARY_CLASS})"
         )
         arrays.append(F.regexp_extract_all(F.lower(text), F.lit(pat), 1))
     return arrays

@@ -68,32 +68,115 @@ def _author_mentions(pages: DataFrame, carry_cols: tuple[str, ...] = ()) -> Data
     )
 
 
+# Above this alias count the fused stage's literal alias→entity maps stop
+# being sensible expression trees and the broadcast-join branch takes over.
+FUSE_DICT_MAX_ALIASES = 512
+
+
 def extract_stage(
     pages: DataFrame, alias_dict: DataFrame, carry_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """pages (html/text) → mentions(url, [carry...,] kind, value, n).
 
     ``carry_cols`` (must be functionally dependent on url — e.g. the page's
-    ingest date) thread through every branch's groupBy so the caller can
-    partition the output directly instead of joining mentions back to the
-    corpus for the partition key — at 10^12 pages that join is a
-    corpus-sized shuffle; the passthrough is free (no added cardinality).
+    ingest date) thread through every branch so the caller can partition
+    the output directly instead of joining mentions back to the corpus for
+    the partition key — at 10^12 pages that join is a corpus-sized shuffle;
+    the passthrough is free (no added cardinality).
 
-    Three branches over one input: the fused five-regex single-projection
-    extractor, the dictionary alternation pass, and the author pass (a
-    pure projection, no shuffle). A fully-fused variant (dict alternation
-    tagged into the same explode + broadcast-mapped to entities before one
-    shared groupBy) was A/B-measured 15-20% SLOWER at local scale — the
-    corpus is page-cached so regex CPU, not scan bandwidth, dominates, and
-    the per-row join + larger expression tree cost more than the saved
-    column access — so the separate shape is kept deliberately."""
+    FUSED single pass (dictionaries up to FUSE_DICT_MAX_ALIASES): the
+    five-regex tagged array, the dictionary hits (translated alias →
+    (dict:<kind>, entity_id) IN-ROW through literal maps — the dict is
+    driver-sized by contract), and the author entry are produced in ONE
+    projection over ONE HTML→text extraction, then occurrence counts fold
+    row-locally (array_sort → run-length, see extract_mentions) and a
+    single explode emits the stage. Zero joins, zero shuffles, one corpus
+    scan. The previous shape — a 3-branch union — ran the Arrow
+    extraction UDF once PER BRANCH (a union shares no subtree), which was
+    ~60% of the stage's wall time once the regex passes were fixed
+    (charclass.py); fusing removes two full extraction+scan passes.
+
+    Dictionaries larger than the literal-map bound keep the broadcast-join
+    branch (union with the fused regex+author pass): alias translation
+    joins only the matched hits (~1/doc), so its exchange stays
+    hits-sized, never corpus-sized.
+    """
     texted = with_extracted_text(pages).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    regex_mentions = M.extract_mentions(texted, carry_cols=carry_cols)
-    dict_mentions = M.dictionary_mentions(texted, alias_dict, carry_cols=carry_cols)
-    authors = _author_mentions(texted, carry_cols=carry_cols)
-    return regex_mentions.unionByName(dict_mentions).unionByName(authors)
+    alias_rows = alias_dict.select(
+        F.explode("aliases").alias("a"), "entity_id", "kind"
+    ).collect()
+    amap = {r.a.lower(): ("dict:" + r.kind, r.entity_id) for r in alias_rows}
+
+    text = F.col("text")
+    regex_tagged = M.tagged_mention_array(text)
+    author_cands = F.regexp_extract_all(text, F.lit(AUTHOR_RE), 1)
+    author_wallets = F.transform(
+        F.filter(author_cands, lambda x: F.length(x) == 42), F.lower
+    )
+    author_struct = F.struct(
+        F.lit("author").alias("kind"),
+        F.try_element_at(author_wallets, F.lit(1)).alias("value"),
+        F.size(author_wallets).cast("long").alias("n"),
+    )
+    author_counted = F.filter(F.array(author_struct), lambda s: s["n"] > 0)
+
+    if len(amap) > FUSE_DICT_MAX_ALIASES:
+        dict_m = M.dictionary_mentions(texted, alias_dict, carry_cols=carry_cols)
+        srt0 = texted.select(
+            F.col("url"), *carry_cols,
+            F.array_sort(regex_tagged).alias("_srt"),
+            author_counted.alias("_extra"),
+        )
+        fused = _counted_explode(srt0, carry_cols)
+        return fused.unionByName(dict_m)
+
+    items = sorted(amap.items())
+    kind_map = F.create_map(*[x for a, (k, _) in items for x in (F.lit(a), F.lit(k))])
+    ent_map = F.create_map(*[x for a, (_, e) in items for x in (F.lit(a), F.lit(e))])
+    hit_arrays = M._dict_hit_arrays(alias_dict, text)
+    hits = F.concat(*hit_arrays) if len(hit_arrays) > 1 else hit_arrays[0]
+    dict_tagged = F.transform(
+        hits,
+        lambda a: F.struct(
+            F.element_at(kind_map, a).alias("kind"),
+            F.element_at(ent_map, a).alias("value"),
+        ),
+    )
+    srt0 = texted.select(
+        F.col("url"), *carry_cols,
+        F.array_sort(F.concat(regex_tagged, dict_tagged)).alias("_srt"),
+        author_counted.alias("_extra"),
+    )
+    return _counted_explode(srt0, carry_cols)
+
+
+def _counted_explode(srt0: DataFrame, carry_cols: tuple[str, ...]) -> DataFrame:
+    """(url, carry..., _srt sorted tagged array, _extra pre-counted
+    structs) → exploded mentions rows. Staged projections keep each
+    intermediate a materialized column (single evaluation, see
+    extract_mentions)."""
+    runs = srt0.select(
+        "url", *carry_cols, "_srt", "_extra",
+        M._run_starts(F.col("_srt")).alias("_starts"),
+    )
+    return (
+        runs.select(
+            "url", *carry_cols,
+            F.explode(
+                F.concat(
+                    M._count_runs(F.col("_srt"), F.col("_starts")), F.col("_extra")
+                )
+            ).alias("m"),
+        )
+        .select(
+            "url", *carry_cols,
+            F.col("m.kind").alias("kind"),
+            F.col("m.value").alias("value"),
+            F.col("m.n").alias("n"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
