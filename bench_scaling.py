@@ -16,21 +16,31 @@ Levels are N=2 → 4N=8: this VM advertises 32 vCPUs but reliably backs ~8
 holder preemption; even pure-math Spark jobs run SLOWER at local[32] than
 local[8]). 2→8 measures the engine on honestly-provisioned cores.
 
-Two jobs:
+Three jobs:
   * map stage — the throughput-critical path: page scan → all 5 mention
     regex extractors, summed match counts. Embarrassingly parallel; this is
     the per-executor shape of the 10^12-doc pipeline.
-  * full stage — map + explode + (url, kind, value) count aggregation. On
-    ONE box the shuffle is bound by the single shared disk/memory bus, so
-    it cannot scale with threads; on a real cluster every added executor
-    brings its own disk+NIC, which is precisely why the N→4N criterion is
-    stated over executors. Reported for transparency.
+  * full stage — the production extract stage (HTML→text Arrow UDF + fused
+    regex/dictionary/author mention pass). Since the run-length-count
+    rewrite this stage has NO corpus shuffle (extract_mentions docstring,
+    PLANS.md): per-page counts fold row-locally, so the whole stage is a
+    pure map and only partial counts cross the wire.
+  * shuffle stage — the classic explode → (url, kind, value) groupBy path
+    (key_is_unique=False), kept for corpora whose key is not unique. This
+    is the worst-case corpus-proportional exchange, measured explicitly so
+    the criterion's shuffle term is evidenced, not argued.
 
-Cross-check: the same two jobs also run on Spark's local-cluster[n,2,3072]
+Cross-check: the same jobs also run on Spark's local-cluster[n,2,3072]
 master — n separate executor JVM PROCESSES with 2 cores each, the literal
-"N executors vs 4N executors" of the criterion — at n=1 vs n=4. This
-measures the executor-process scaling of BOTH the map path and the
-shuffle (full) path, not just threads in one JVM.
+"N executors vs 4N executors" of the criterion — at n=1 vs n=4.
+
+Reported ratio: each sweep times every configuration once, back-to-back
+(INTERLEAVED — the two sides of a ratio measured minutes apart on a ±30%
+multi-tenant host are not comparable), each speedup is the matched ratio
+within one sweep, and the MEDIAN sweep is reported, calibrated by the
+same sweep's machine ceiling. (Earlier revisions reported the best sweep;
+on this host that occasionally selects a super-linear outlier — the
+median is robust to single-sweep noise in either direction.)
 
 Usage:
     python bench_scaling.py                          # everything → BENCH.md
@@ -43,6 +53,7 @@ import json
 import math
 import multiprocessing as mp
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -51,9 +62,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LEVELS = (2, 8)
 REP_MAP = 256
 REP_FULL = 64
-# interleaved sweeps; more sweeps = more chances one lands in a quiet host
-# window (the reported ratio is the best matched sweep)
-TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+MODES = ("map", "full", "shuffle")
+# interleaved sweeps; the reported ratio is the MEDIAN matched sweep
+TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "5"))
 
 
 def _burn(n: int) -> float:
@@ -78,11 +89,12 @@ def machine_calibration() -> dict[int, float]:
     return out
 
 
-def worker(cores: int, mode: str, master: str | None = None, trials: int = TRIALS) -> None:
+def worker(cores: int, mode: str, master: str | None = None, trials: int = 1) -> None:
     from pyspark.sql import functions as F
 
     from web3_knowledge_graph_spark.driver_queries import _vocab_dict
     from web3_knowledge_graph_spark.functions import mentions as M
+    from web3_knowledge_graph_spark.functions.extraction import with_extracted_text
     from web3_knowledge_graph_spark.plans.pipeline import extract_stage
     from web3_knowledge_graph_spark.session import (
         get_spark,
@@ -133,18 +145,24 @@ def worker(cores: int, mode: str, master: str | None = None, trials: int = TRIAL
         + F.size(M.extract_urls(text))
         + F.size(M.extract_twitter_handles(text))
     )
+
+    def job(df):
+        if mode == "map":
+            return df.select(F.sum(map_expr)).collect()
+        if mode == "full":
+            return extract_stage(df, _vocab_dict(spark)).count()
+        # shuffle: the classic corpus-proportional exchange path
+        texted = with_extracted_text(df).where(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        return M.extract_mentions(texted, key_is_unique=False).count()
+
     # one untimed warm-up evaluates codegen/JIT outside the measurement
-    if mode == "map":
-        big.limit(2000).select(F.sum(map_expr)).collect()
-    else:
-        extract_stage(big.limit(2000), _vocab_dict(spark)).count()
+    job(big.limit(2000).localCheckpoint())
     times = []
     for _ in range(trials):
         t0 = time.time()
-        if mode == "map":
-            big.select(F.sum(map_expr)).collect()
-        else:
-            extract_stage(big, _vocab_dict(spark)).count()
+        job(big)
         times.append(time.time() - t0)
     dt = min(times)  # best-of: multi-tenant host noise only ever adds time
     print(json.dumps({
@@ -181,21 +199,21 @@ def _cluster_master(n: int) -> str:
 def main() -> None:
     lo, hi = LEVELS
     n_lo, n_hi = CLUSTER_EXECS
-    # INTERLEAVED trials: the host is multi-tenant with ±30% load swings on
+    # INTERLEAVED sweeps: the host is multi-tenant with ±30% load swings on
     # ~10-minute scales, so running all trials of one level consecutively
     # lets a noise burst land entirely on one side of the N-vs-4N ratio (a
-    # measured failure mode). Instead each sweep times every configuration
-    # once, back-to-back, and the per-config best is taken across sweeps —
-    # noise shifts a sweep, not one side of a ratio. The machine ceiling is
-    # likewise re-measured per sweep and the best ceiling kept.
-    configs = [
-        ("map", lo, None), ("map", hi, None),
-        ("full", lo, None), ("full", hi, None),
-        ("map", 2 * n_lo, _cluster_master(n_lo)),
-        ("map", 2 * n_hi, _cluster_master(n_hi)),
-        ("full", 2 * n_lo, _cluster_master(n_lo)),
-        ("full", 2 * n_hi, _cluster_master(n_hi)),
-    ]
+    # measured failure mode). Each sweep times every configuration once,
+    # back-to-back; speedups are matched within a sweep and the median
+    # sweep is reported. The machine ceiling is re-measured per sweep so
+    # calibration divides by the same window's hardware behavior.
+    configs = []
+    for m in MODES:
+        configs += [(m, lo, None), (m, hi, None)]
+    for m in MODES:
+        configs += [
+            (m, 2 * n_lo, _cluster_master(n_lo)),
+            (m, 2 * n_hi, _cluster_master(n_hi)),
+        ]
     runs: dict[tuple, list[dict]] = {c: [] for c in configs}
     ceilings: list[float] = []
     machine_speedup, cal = 0.0, None
@@ -213,32 +231,31 @@ def main() -> None:
         best = min(rs, key=lambda r: r["secs"])
         return {**best, "all_secs": [r["secs"] for r in rs]}
 
-    res = {
-        m: {c: _merge(runs[(m, c, None)]) for c in LEVELS} for m in ("map", "full")
-    }
+    res = {m: {c: _merge(runs[(m, c, None)]) for c in LEVELS} for m in MODES}
     clus = {
         m: {n: _merge(runs[(m, 2 * n, _cluster_master(n))]) for n in CLUSTER_EXECS}
-        for m in ("map", "full")
+        for m in MODES
     }
+
     # Speedups are MATCHED WITHIN A SWEEP (lo_secs[i] / hi_secs[i], same i)
-    # and the best sweep is reported: the two sides of a ratio measured
-    # minutes apart on a ±30% multi-tenant host aren't comparable, and the
-    # naive ratio-of-bests pairs a lucky slow-side run with an unrelated
-    # fast-side run (measured to understate the full-stage ratio by ~25%).
-    # Calibration divides by the SAME sweep's machine ceiling.
+    # and the MEDIAN sweep is reported: matched ratios because the two
+    # sides of a ratio measured minutes apart on a ±30% host aren't
+    # comparable; median because best-sweep selection can pick a
+    # super-linear noise outlier (observed) and ratio-of-bests pairs
+    # unrelated windows. Calibration divides by the SAME sweep's ceiling.
     def _matched(lo_runs, hi_runs):
-        sweeps = [
-            (lo_runs[i]["secs"] / hi_runs[i]["secs"],
-             lo_runs[i]["secs"] / hi_runs[i]["secs"] / ceilings[i])
-            for i in range(len(lo_runs))
+        sp_sweeps = [
+            lo_runs[i]["secs"] / hi_runs[i]["secs"] for i in range(len(lo_runs))
         ]
-        sp = max(s for s, _ in sweeps)
-        calped = max(c for _, c in sweeps)
-        return sp, calped, [round(s, 3) for s, _ in sweeps]
+        cal_sweeps = [s / ceilings[i] for i, s in enumerate(sp_sweeps)]
+        return (
+            statistics.median(sp_sweeps),
+            statistics.median(cal_sweeps),
+            [round(s, 3) for s in sp_sweeps],
+        )
 
     stats = {}
-    n_lo, n_hi = CLUSTER_EXECS
-    for m in ("map", "full"):
+    for m in MODES:
         sp, calped, per = _matched(runs[(m, lo, None)], runs[(m, hi, None)])
         csp, ccal, cper = _matched(
             runs[(m, 2 * n_lo, _cluster_master(n_lo))],
@@ -283,26 +300,38 @@ def _write_bench_md(res, stats, cal, machine_speedup, clus, ceilings) -> None:
         return (f"| {_cluster_master(n)} ({n} exec × 2 cores) | {r['docs']:,} | "
                 f"{r['secs']} | {r['docs_per_sec']:,.0f} | {r['all_secs']} |")
 
+    def verdictline(s):
+        return (f"matched speedup {s['speedup']:.2f}× (median sweep; per sweep "
+                f"{s['per_sweep_speedups']}) → raw efficiency "
+                f"{s['raw_efficiency']}, machine-calibrated "
+                f"**{s['calibrated_efficiency']}**")
+
+    def cverdictline(s):
+        return (f"executor-process matched speedup {s['cluster_speedup']:.2f}× "
+                f"(median sweep; per sweep {s['cluster_per_sweep_speedups']}) → raw "
+                f"{s['cluster_raw_efficiency']}, machine-calibrated "
+                f"**{s['cluster_calibrated_efficiency']}**")
+
     md = f"""# BENCH — throughput & scaling evidence
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency ≥ 0.8
 from N to 4N executors. Sandbox stand-in (no real cluster): the same job at
 local[{lo}] (N) vs local[{hi}] (4N), fresh JVM each, over {TRIALS}
-INTERLEAVED trial sweeps: each sweep times every configuration once,
-back-to-back, each speedup is the MATCHED ratio within one sweep (the two
+INTERLEAVED trial sweeps. Each sweep times every configuration once,
+back-to-back; each speedup is the MATCHED ratio within one sweep (the two
 sides of a ratio measured minutes apart on a ±30% multi-tenant host are
-not comparable — ratio-of-bests was measured to understate the full-stage
-ratio ~25%), and the best sweep's ratio is reported, calibrated by that
-same sweep's machine ceiling. Per-sweep ceilings this run:
-{[round(c, 2) for c in ceilings]}.
+not comparable), and the MEDIAN sweep's ratio is reported, calibrated by
+that same sweep's machine ceiling. (Best-sweep selection was dropped: it
+occasionally picked super-linear noise outliers.) Per-sweep ceilings this
+run: {[round(c, 2) for c in ceilings]}.
 
 ## Machine ceiling (no engine)
 
 Pure-Python process pool (no JVM/Spark): {cal[lo] / 1e6:.1f}M ops/s at {lo}
 procs → {cal[hi] / 1e6:.1f}M ops/s at {hi} procs = **{machine_speedup:.2f}×
-for 4× cores**. The host itself delivers at most {machine_speedup / 4:.2f}
-efficiency (turbo droop + shared memory bandwidth on a multi-tenant VM) —
-the ceiling any engine can reach here.
+for 4× cores** (best sweep). The host itself delivers at most
+{machine_speedup / 4:.2f} efficiency (turbo droop + shared memory bandwidth
+on a multi-tenant VM) — the ceiling any engine can reach here.
 
 ## Map stage — mention extraction (the 10^12-doc throughput path)
 
@@ -313,37 +342,52 @@ pages ×{REP_MAP} from sf0.1; 5 native-regex mention extractors per page.
 {row("map", lo)}
 {row("map", hi)}
 
-matched speedup {stats["map"]["speedup"]}× (per sweep:
-{stats["map"]["per_sweep_speedups"]}) → raw efficiency
-{stats["map"]["raw_efficiency"]}, **machine-calibrated efficiency
-{stats["map"]["calibrated_efficiency"]}** (job speedup ÷ same-sweep
-machine ceiling; target ≥ 0.8). The stage is embarrassingly parallel — per-doc
-regex work with no shared state — so on a real cluster, where each
-executor brings its own cores/memory/disk, it scales with executor count
-by construction.
+{verdictline(stats["map"])} (target ≥ 0.8). The stage is embarrassingly
+parallel — per-doc regex work with no shared state — so on a real cluster,
+where each executor brings its own cores/memory/disk, it scales with
+executor count by construction.
 
-## Full stage — extraction + mention-count shuffle (reference)
+## Full stage — the production extract stage (now shuffle-free)
 
-pages ×{REP_FULL}; map stage + explode + (url, kind, value) partial-agg
-count.
+pages ×{REP_FULL}; HTML→text Arrow UDF + fused regex/dictionary/author
+mention pass + count. Since the run-length-count rewrite
+(functions/mentions.py, PLANS.md "Mention extraction") this stage has NO
+corpus-proportional shuffle: per-page mention counts fold row-locally
+(array_sort → run-length encode), so the only exchange is the final
+partial-count reduction (one row per task). The pipeline's former
+bottleneck term was removed, not just measured.
 
 | level | docs | wall (s) | docs/sec | trials (s) |
 |---|---|---|---|---|
 {row("full", lo)}
 {row("full", hi)}
 
-matched speedup {stats["full"]["speedup"]}× (per sweep:
-{stats["full"]["per_sweep_speedups"]}; raw {stats["full"]["raw_efficiency"]},
-calibrated {stats["full"]["calibrated_efficiency"]}). On ONE box every
-thread shares a single disk + memory bus, so the shuffle phase is a fixed
-serial resource — Amdahl caps thread-scaling regardless of engine. On a
-real N→4N executor cluster each added node adds its own shuffle disk and
-NIC; shuffle bandwidth scales with the cluster, which is exactly why the
-criterion is stated over executors, not threads.
+{verdictline(stats["full"])}. Residual sub-ceiling scaling is the Arrow
+Python workers' memory-bandwidth footprint (HTML→text over MB-scale
+strings), a per-node resource a real cluster adds with every executor.
+
+## Shuffle stage — classic explode → (url, kind, value) exchange
+
+The `key_is_unique=False` path of `extract_mentions` (kept for corpora
+with duplicate keys): extraction + explode + corpus-proportional groupBy
+count. This is the worst-case shuffle term, measured explicitly.
+
+| level | docs | wall (s) | docs/sec | trials (s) |
+|---|---|---|---|---|
+{row("shuffle", lo)}
+{row("shuffle", hi)}
+
+{verdictline(stats["shuffle"])}. On ONE box every thread shares a single
+disk + memory bus, so the exchange is a fixed serial resource — Amdahl
+caps thread-scaling regardless of engine. On a real N→4N executor cluster
+each added node adds its own shuffle disk and NIC; shuffle bandwidth
+scales with the cluster, which is why the criterion is stated over
+executors, not threads — and why the production path above removes this
+exchange entirely.
 
 ## Cross-check: real executor processes (local-cluster mode, measured)
 
-The same two jobs on Spark's `local-cluster[n,2,3072]` master — n separate
+The same jobs on Spark's `local-cluster[n,2,3072]` master — n separate
 executor JVM PROCESSES with 2 cores each, the literal "N executors vs 4N
 executors" of the criterion — at n={n_lo} (N) vs n={n_hi} (4N). These
 numbers are measured by every `python bench_scaling.py` run, not quoted.
@@ -355,26 +399,28 @@ Map stage:
 {crow("map", n_lo)}
 {crow("map", n_hi)}
 
-executor-process matched speedup {stats["map"]["cluster_speedup"]}× (per
-sweep: {stats["map"]["cluster_per_sweep_speedups"]}) → raw
-{stats["map"]["cluster_raw_efficiency"]}, machine-calibrated
-**{stats["map"]["cluster_calibrated_efficiency"]}**.
+{cverdictline(stats["map"])}.
 
-Full stage (extraction + shuffle — the path the thread-mode run cannot
-scale on one box):
+Full stage (production fused extract, shuffle-free):
 
 | level | docs | wall (s) | docs/sec | trials (s) |
 |---|---|---|---|---|
 {crow("full", n_lo)}
 {crow("full", n_hi)}
 
-executor-process matched speedup {stats["full"]["cluster_speedup"]}× (per
-sweep: {stats["full"]["cluster_per_sweep_speedups"]}) → raw
-{stats["full"]["cluster_raw_efficiency"]}, machine-calibrated
-**{stats["full"]["cluster_calibrated_efficiency"]}**. Executor processes
-bring their own heaps, GC threads, and shuffle-file writers, so this is
-the closest this sandbox gets to the multi-executor criterion. Shuffle
-scratch (`spark.local.dir`) goes to tmpfs when the host has one
+{cverdictline(stats["full"])}.
+
+Shuffle stage (explode → corpus-proportional exchange):
+
+| level | docs | wall (s) | docs/sec | trials (s) |
+|---|---|---|---|---|
+{crow("shuffle", n_lo)}
+{crow("shuffle", n_hi)}
+
+{cverdictline(stats["shuffle"])}. Executor processes bring their own
+heaps, GC threads, and shuffle-file writers, so this is the closest this
+sandbox gets to the multi-executor criterion. Shuffle scratch
+(`spark.local.dir`) goes to tmpfs when the host has one
 (session.local_dir_conf, applied identically at N and 4N): a real cluster
 gives every node its own NVMe scratch, so granting all co-located
 executors one shared *block device* — journaling and queueing included —
@@ -407,7 +453,7 @@ Regenerate this file with `python bench_scaling.py`.
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[1] == "--worker":
         m = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] != "-" else None
-        t = int(sys.argv[5]) if len(sys.argv) > 5 else TRIALS
+        t = int(sys.argv[5]) if len(sys.argv) > 5 else 1
         worker(int(sys.argv[2]), sys.argv[3], m, t)
     else:
         main()

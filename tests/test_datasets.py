@@ -610,3 +610,116 @@ def test_semantic_dedup_hand_traced(spark):
     assert not got[3].keep and got[3].dup_of == 0
     assert not got[4].keep and got[4].dup_of == 1
     assert got[0].dup_of == -1
+
+
+def test_tfidf_similar_pairs_vs_python(spark, docs):
+    """Inverted-index tf-idf cosine equals the brute-force Python replay
+    (integer weights w = tf * (100000 // df), df-pruned vocabulary)."""
+    max_df, threshold = 5, 0.3
+    texts = {i: t for i, t in DOCS}
+    tf = {i: {} for i in texts}
+    for i, t in texts.items():
+        for tok in py_tokens(t):
+            tf[i][tok] = tf[i].get(tok, 0) + 1
+    df = {}
+    for i in texts:
+        for tok in tf[i]:
+            df[tok] = df.get(tok, 0) + 1
+    w = {
+        i: {
+            tok: c * (100000 // df[tok])
+            for tok, c in tf[i].items()
+            if df[tok] <= max_df
+        }
+        for i in texts
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+        ssa, ssb = sum(x * x for x in w[a].values()), sum(x * x for x in w[b].values())
+        if dot and ssa and ssb:
+            cos = dot / math.sqrt(float(ssa) * float(ssb))
+            if cos >= threshold:
+                expect[(a, b)] = (dot, cos)
+    got = {
+        (r.doc_a, r.doc_b): (r.dot, r.cosine)
+        for r in TS.tfidf_similar_pairs(
+            docs, threshold=threshold, max_df=max_df
+        ).collect()
+    }
+    assert got.keys() == expect.keys() and len(got) > 0
+    for k in got:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1], abs=0)
+
+
+def test_tfidf_max_df_prunes_hot_terms(spark, docs):
+    """A df cap of 1 keeps only unique-to-one-doc terms -> no pair can
+    share a term -> empty output (the posting-list quadratic is bounded)."""
+    assert TS.tfidf_similar_pairs(docs, threshold=0.0, max_df=1).count() == 0
+
+
+def _py_kmeans(rows, k, iters):
+    """Reference Lloyd's with the same floor-micro integer arithmetic."""
+    vm = {i: [math.floor(x * 1_000_000) for x in v] for i, v in rows}
+    cents = {i: list(vm[i]) for i in sorted(vm)[:k]}
+
+    def assign():
+        out = {}
+        for i, v in vm.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+                for cid, c in cents.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        member = {}
+        for i, (cid, _) in a.items():
+            member.setdefault(cid, []).append(vm[i])
+        cents = {
+            cid: [
+                math.floor(sum(col) * 1.0 / len(vs))
+                for col in zip(*vs)
+            ]
+            for cid, vs in member.items()
+        }
+    return assign()
+
+
+def test_kmeans_vs_python(spark):
+    from web3_knowledge_graph_spark.datasets import clustering as CL
+
+    rows = [
+        (0, [0.0, 0.1]), (1, [10.0, 10.2]), (2, [0.2, -0.1]),
+        (3, [9.8, 10.0]), (4, [0.05, 0.0]), (5, [10.1, 9.9]),
+        (6, [-5.0, -5.1]), (7, [-4.9, -5.3]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cluster, r.dist) for r in CL.kmeans_assign(
+        vecs, k=3, iters=2).collect()}
+    expect = _py_kmeans(rows, k=3, iters=2)
+    assert got == expect
+    # the three planted blobs separate
+    clusters = {got[i][0] for i in (0, 2, 4)}
+    assert len(clusters) == 1
+    assert len({got[1][0], got[3][0], got[5][0]}) == 1
+    assert len({got[0][0], got[1][0], got[6][0]}) == 3
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """A centroid that attracts no members disappears; remaining clusters
+    still partition every vector (standard Lloyd's, mirrored by the
+    oracle)."""
+    from web3_knowledge_graph_spark.datasets import clustering as CL
+
+    # ids 0,1 initialize two centroids at nearly the same point: one loses
+    # all members after the first assignment
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.001]), (2, [0.1, 0.0]), (3, [5.0, 5.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in CL.kmeans_assign(
+        vecs, k=2, iters=2).collect()}
+    expect = {i: c for i, (c, _) in _py_kmeans(rows, k=2, iters=2).items()}
+    assert got == expect and len(got) == 4

@@ -205,3 +205,35 @@ def test_pagerank_fixed_point_hand_traced(spark):
     assert got == r
     # ranks sum is bounded (dangling mass leaks; no teleport redistribution)
     assert sum(got.values()) <= len(nodes) * SCALE
+
+
+def test_triangles_vs_python(spark):
+    """Degree-ordered orientation enumerates each triangle exactly once,
+    matching the brute-force itertools replay; hub skew doesn't duplicate."""
+    import itertools
+
+    from web3_knowledge_graph_spark.operators import triangles as TR
+
+    # K4 on a-d (4 triangles), a pendant, a hub 'h' tied into one triangle,
+    # duplicate + reversed + self-loop edges that must canonicalize away
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+        ("b", "d"), ("c", "d"), ("d", "e"), ("h", "a"), ("h", "b"),
+        ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expect = {
+        (x, y, z)
+        for x, y, z in itertools.combinations(nodes, 3)
+        if {(x, y), (x, z), (y, z)} <= und
+    }
+    got = {(r.node_a, r.node_b, r.node_c) for r in TR.triangles(df).collect()}
+    assert got == expect and len(got) == 5
+    counts = {r.node: r.tri_count for r in TR.triangle_counts(df).collect()}
+    py_counts = {}
+    for t in expect:
+        for n in t:
+            py_counts[n] = py_counts.get(n, 0) + 1
+    assert counts == py_counts

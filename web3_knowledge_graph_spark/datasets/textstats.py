@@ -400,3 +400,84 @@ def distinctive_terms(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+TFIDF_SCALE = 100_000
+
+
+def tfidf_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_df: int = 1_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs (a<b) with tf-idf cosine >= threshold, via a
+    df-pruned INVERTED INDEX — the classic sparse-vector similarity join
+    (term-partitioned posting lists), never an all-pairs product.
+
+    Weights are exact integers so every cross-row sum is order-free (long
+    addition is associative; float groupBy sums are not — the same
+    bit-stability contract as lm_surprisal/distinctive_terms):
+    w = tf * (TFIDF_SCALE div df). The linear integer idf diverges from
+    textbook ln(N/df) deliberately (cross-engine ln is not bit-stable);
+    N cancels out of cosine entirely, so it is dropped. Magnitudes:
+    w <= tf * 1e5, dot-product partials <= ~1e17 — inside long range.
+
+    Plan shape and why it scales:
+      * terms with df > max_df are pruned BEFORE the self-join — posting
+        lists are the join blocks, so cost is sum(df^2) over surviving
+        terms; unpruned stopword lists are the quadratic blowup. This is
+        the standard recall contract of df-pruned indexes (ubiquitous
+        terms carry ~no cosine signal; documented, not silent — the df
+        relation is emitted by the same aggregation).
+      * norms fold per doc from exact integer sum-of-squares, one
+        (doc_id) exchange; the pair dot product is one (term) exchange +
+        one (doc_a, doc_b) exchange with map-side partial sums.
+      * residual hot terms under the cap are AQE-skew-split.
+
+    Returns (doc_a, doc_b, dot, cosine).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr(f"{TFIDF_SCALE} div df")).cast("long").alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("ssq")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ssq").alias("_sa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ssq").alias("_sb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot")
+                / F.sqrt(F.col("_sa").cast("double") * F.col("_sb").cast("double"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

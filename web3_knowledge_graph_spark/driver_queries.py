@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .datasets import clustering as CL
 from .datasets import curation as CU
 from .datasets import dedup as D
 from .datasets import similarity as S
@@ -35,6 +36,7 @@ from .operators.canon import connected_components
 from .operators.communities import label_propagation, label_propagation_oracle_sql
 from .operators.holdings import rotate_holdings
 from .operators import pagerank as PR
+from .operators import triangles as TR
 from .operators.projection import bipartite_project
 from .operators.rules import apply_rules, reputation_scores
 from .sources.pages import PAGES_SQL, synthesize_pages
@@ -1490,6 +1492,70 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+TFIDF_THRESHOLD = 0.5
+TFIDF_MAX_DF = 100
+
+
+def q_tfidf_pairs(spark, sf_dir):
+    """Sparse tf-idf cosine pairs via df-pruned inverted index — the
+    template-vocabulary terms (df > 100) prune out, leaving genuinely
+    content-similar pairs (see textstats.tfidf_similar_pairs)."""
+    return TS.tfidf_similar_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=TFIDF_THRESHOLD,
+        max_df=TFIDF_MAX_DF,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embeddings table: id-sample
+    init, 3 fixed iterations, integer-micro arithmetic throughout (see
+    datasets/clustering.py)."""
+    return CL.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
+def _alias_graph_edges(spark, sf_dir):
+    """Undirected alias graph: Wallet—Ens, Twitter—Ens (HAS_ALIAS) and
+    Wallet—Twitter (HAS_ACCOUNT via shared ens) — closed wallet-ens-twitter
+    loops corroborate an identity link."""
+    reg, th = _page_alias_relations(spark, sf_dir)
+    wallet_ens = reg.select(
+        F.concat(F.lit("Wallet:"), "wallet").alias("src"),
+        F.concat(F.lit("Ens:"), "ens").alias("dst"),
+    )
+    tw_ens = th.select(
+        F.concat(F.lit("Twitter:"), "handle").alias("src"),
+        F.concat(F.lit("Ens:"), "ens").alias("dst"),
+    )
+    wallet_tw = (
+        reg.join(th, "ens")
+        .select(
+            F.concat(F.lit("Wallet:"), "wallet").alias("src"),
+            F.concat(F.lit("Twitter:"), "handle").alias("dst"),
+        )
+        .distinct()
+    )
+    return wallet_ens.unionByName(tw_ens).unionByName(wallet_tw)
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle enumeration (degree-ordered orientation, Suri &
+    Vassilvitskii WWW'11) over the alias graph."""
+    return TR.triangles(_alias_graph_edges(spark, sf_dir))
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation — the local clustering-coefficient
+    numerator over the alias graph."""
+    return TR.triangle_counts(_alias_graph_edges(spark, sf_dir))
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -2113,6 +2179,104 @@ SELECT subj, pred, obj FROM (
 
 ORACLE_DATASETS["flagship_triples"] = _flagship_oracle()
 
+ORACLE_DATASETS["tfidf_pairs"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY term HAVING COUNT(*) <= {TFIDF_MAX_DF}),
+w AS (SELECT doc_id, term, CAST(tf * (100000 // df) AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (term)),
+norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS ssq FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, dot,
+  dot / sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)) AS cosine
+FROM dots JOIN norms na ON doc_a = na.doc_id JOIN norms nb ON doc_b = nb.doc_id
+WHERE dot / sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)) >= {TFIDF_THRESHOLD}
+"""
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = 64) -> str:
+    """Unrolled-iteration DuckDB replay of kmeans_assign: the fixed
+    iteration count makes Lloyd's loop a static CTE chain; all arithmetic
+    is the same integer-micro fixed-point as the Spark side."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS vm FROM embeddings)",
+        f"dm AS (SELECT vec_id, g.i AS i, vm[CAST(g.i AS INT)] AS x"
+        f" FROM v, generate_series(1, {dim}) AS g(i))",
+        f"c0 AS (SELECT vec_id AS cid, i, x AS cx FROM dm WHERE vec_id IN"
+        f" (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for t in range(iters):
+        parts += [
+            f"dist{t} AS (SELECT vec_id, cid,"
+            f" CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS d"
+            f" FROM dm JOIN c{t} USING (i) GROUP BY vec_id, cid)",
+            f"a{t} AS (SELECT vec_id, cid AS cluster, d FROM ("
+            f"SELECT vec_id, cid, d, ROW_NUMBER() OVER ("
+            f"PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dist{t}) WHERE rn = 1)",
+            f"c{t + 1} AS (SELECT cluster AS cid, i,"
+            f" CAST(FLOOR(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS cx"
+            f" FROM a{t} JOIN dm USING (vec_id) GROUP BY cluster, i)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+distF AS (SELECT vec_id, cid, CAST(SUM((x - cx) * (x - cx)) AS BIGINT) AS d
+  FROM dm JOIN c{iters} USING (i) GROUP BY vec_id, cid)
+SELECT vec_id, cluster, dist FROM (
+  SELECT vec_id, cid AS cluster, d AS dist,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM distF) WHERE rn = 1
+"""
+    )
+
+
+ORACLE_DATASETS["kmeans"] = _kmeans_oracle()
+
+_ALIAS_GRAPH_WITH = f"""
+{PAGES_WITH},
+sel AS (
+  SELECT lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1)) AS wallet,
+         {_ENS_L} AS ens_l, {_HANDLE_L} AS handle_l
+  FROM pages),
+base AS (SELECT * FROM sel WHERE len(wallet) = 42),
+reg AS (SELECT DISTINCT wallet, unnest(ens_l) AS ens FROM base),
+th0 AS (SELECT unnest(handle_l) AS handle, ens_l FROM base),
+th AS (SELECT DISTINCT handle, unnest(ens_l) AS ens FROM th0),
+e AS (
+  SELECT 'Wallet:' || wallet AS p, 'Ens:' || ens AS q FROM reg
+  UNION
+  SELECT 'Twitter:' || handle, 'Ens:' || ens FROM th
+  UNION
+  SELECT DISTINCT 'Wallet:' || reg.wallet, 'Twitter:' || th.handle
+  FROM reg JOIN th USING (ens)),
+und AS (SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v FROM e WHERE p != q),
+tri AS (
+  SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+  FROM und e1
+  JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+"""
+
+ORACLE_DATASETS["triangles"] = (
+    _ALIAS_GRAPH_WITH + "SELECT node_a, node_b, node_c FROM tri"
+)
+ORACLE_DATASETS["triangle_counts"] = (
+    _ALIAS_GRAPH_WITH
+    + """, corners AS (
+  SELECT node_a AS node FROM tri
+  UNION ALL SELECT node_b FROM tri
+  UNION ALL SELECT node_c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM corners GROUP BY node
+"""
+)
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -2183,6 +2347,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "distinctive_terms": q_distinctive_terms,
         "semantic_dedup": q_semantic_dedup,
+        "tfidf_pairs": q_tfidf_pairs,
+        "kmeans": q_kmeans,
+        "triangles": q_triangles,
+        "triangle_counts": q_triangle_counts,
         "flagship_triples": flagship_triples,
     }
 
