@@ -237,3 +237,22 @@ def test_triangles_vs_python(spark):
         for n in t:
             py_counts[n] = py_counts.get(n, 0) + 1
     assert counts == py_counts
+
+
+def test_clustering_coefficient(spark):
+    from web3_knowledge_graph_spark.operators import triangles as TR
+
+    # square a-b-c-d-a plus one diagonal a-c: two triangles
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.deg, r.tri_count, r.clustering)
+           for r in TR.clustering_coefficient(df).collect()}
+    assert got["a"] == (3, 2, 2 * 2.0 / (3 * 2))
+    assert got["c"] == (3, 2, 2 * 2.0 / (3 * 2))
+    assert got["b"] == (2, 1, 1.0)
+    assert got["d"] == (2, 1, 1.0)
+    # pendant node: degree 1, zero triangles, coefficient 0.0
+    df2 = spark.createDataFrame(edges + [("d", "e")], "src string, dst string")
+    got2 = {r.node: (r.deg, r.tri_count, r.clustering)
+            for r in TR.clustering_coefficient(df2).collect()}
+    assert got2["e"] == (1, 0, 0.0)

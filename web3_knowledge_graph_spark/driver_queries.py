@@ -1556,6 +1556,12 @@ def q_triangle_counts(spark, sf_dir):
     return TR.triangle_counts(_alias_graph_edges(spark, sf_dir))
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node (2·tri / deg·(deg−1)) over
+    the alias graph — the graph-cohesion metric downstream of triangles."""
+    return TR.clustering_coefficient(_alias_graph_edges(spark, sf_dir))
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -2276,6 +2282,25 @@ ORACLE_DATASETS["triangle_counts"] = (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM corners GROUP BY node
 """
 )
+ORACLE_DATASETS["clustering_coeff"] = (
+    _ALIAS_GRAPH_WITH
+    + """, corners AS (
+  SELECT node_a AS node FROM tri
+  UNION ALL SELECT node_b FROM tri
+  UNION ALL SELECT node_c FROM tri),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count
+  FROM corners GROUP BY node),
+ends AS (SELECT u AS node FROM und UNION ALL SELECT v FROM und),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM ends GROUP BY node)
+SELECT deg.node AS node, deg,
+  CAST(COALESCE(tri_count, 0) AS BIGINT) AS tri_count,
+  CASE WHEN deg > 1 THEN
+    CAST(COALESCE(tri_count, 0) AS DOUBLE) * 2.0
+      / CAST(deg * (deg - 1) AS DOUBLE)
+  ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tc USING (node)
+"""
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2351,6 +2376,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "triangles": q_triangles,
         "triangle_counts": q_triangle_counts,
+        "clustering_coeff": q_clustering_coeff,
         "flagship_triples": flagship_triples,
     }
 

@@ -93,3 +93,35 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("tri_count"))
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: 2·tri / (deg·(deg−1)),
+    0.0 for degree-1 nodes. One row per node of the undirected graph.
+
+    The double is a single division of exact integers (both engines
+    evaluate the identical IEEE expression) — no accumulated float sums,
+    so the value is bit-reproducible like every other op here."""
+    und = undirected_edges(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("tri_count", F.lit(0)).cast("long").alias("tri_count"),
+        F.when(
+            F.col("deg") > 1,
+            F.coalesce("tri_count", F.lit(0)).cast("double")
+            * F.lit(2.0)
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
