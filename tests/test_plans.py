@@ -153,3 +153,39 @@ def test_pagerank_no_cartesian(spark):
     plan = _final_plan(pagerank(edges, rounds=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_df_relation(spark):
+    """PLANS.md: the document-frequency relation is vocabulary-sized and
+    must be the broadcast build side; the posting-list self-join is an
+    equi-join on term — no cartesian anywhere."""
+    from web3_knowledge_graph_spark.datasets.textstats import tfidf_similar_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(tfidf_similar_pairs(d, threshold=0.5, max_df=100))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_pure_map(spark):
+    """PLANS.md: centroids are literal expression trees — the returned
+    assignment plan is one scan with NO exchange and NO join of any kind
+    (the corpus never shuffles for scoring)."""
+    from web3_knowledge_graph_spark.datasets.clustering import kmeans_assign
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _final_plan(kmeans_assign(e, k=4, iters=1))
+    for op in ("Exchange", "SortMergeJoin", "ShuffledHashJoin",
+               "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_triangles_no_cartesian(spark):
+    """PLANS.md: orientation, wedge, and closing joins are all equi-joins
+    (node- or pair-keyed) — no cartesian/nested-loop term anywhere."""
+    from web3_knowledge_graph_spark.driver_queries import q_triangles
+
+    plan = _final_plan(q_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
