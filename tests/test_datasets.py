@@ -723,3 +723,31 @@ def test_kmeans_empty_cluster_drops(spark):
         vecs, k=2, iters=2).collect()}
     expect = {i: c for i, (c, _) in _py_kmeans(rows, k=2, iters=2).items()}
     assert got == expect and len(got) == 4
+
+
+def test_mixture_sample_vs_python(spark):
+    """Bucketed prefix ranking equals the single-window spec: per-group
+    targets hit exactly when available, under-filled groups keep all."""
+    import hashlib
+
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]  # 40 en, 20 de
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights, budget = {"en": 0.5, "de": 0.5}, 50  # de target 25 > 20 avail
+    got = {r.doc_id: (r.grp, r.grp_rank) for r in CU.mixture_sample(
+        docs, weights, budget).collect()}
+    by_grp = {}
+    for i, g in rows:
+        by_grp.setdefault(g, []).append(i)
+    expect = {}
+    for g, ids in by_grp.items():
+        target = int(weights[g] * budget)
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, i in enumerate(ranked[:target], start=1):
+            expect[i] = (g, rank)
+    assert got == expect
+    n_by_grp = {}
+    for g, _ in got.values():
+        n_by_grp[g] = n_by_grp.get(g, 0) + 1
+    assert n_by_grp == {"en": 25, "de": 20}  # en hits target, de under-fills

@@ -145,6 +145,75 @@ def host_downsample(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: draw a ``budget``-doc corpus
+    whose group composition matches target ``weights`` (the mixing-ratio
+    step of every LLM training-data recipe — e.g. 40% en / 20% de / …).
+
+    Per group g the target is floor(weights[g] · budget) docs, drawn in
+    md5(doc_id) order — a stable pseudo-random draw, identical across
+    reruns and task retries (same contract as host_downsample). A group
+    with fewer docs than its target contributes everything it has
+    (under-fill is visible in the output counts, never silently
+    rebalanced — remixing weights is the caller's policy decision).
+
+    Plan: one shuffle on (group, md5-prefix bucket); ranking runs WITHIN
+    each of the 256 buckets per group and is globalized by adding the
+    driver-computed bucket offsets (groups × 256 count rows — bounded by
+    the mixture size, never the corpus). Equivalent to ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY md5) but without a per-group
+    single-reducer sort: a 10^11-doc group ranks with 256-way parallelism.
+    Returns (doc_id, grp, grp_rank) for the kept rows.
+    """
+    spark = docs.sparkSession
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.md5(F.col(id_col).cast("string")).alias("_key"),
+        )
+        .where(F.col("grp").isin(list(weights)))
+        .withColumn("_bucket", F.substring("_key", 1, 2))
+    )
+    counts = base.groupBy("grp", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).collect()  # bounded: |weights| × 256 rows at any corpus size
+    by_grp: dict[str, list] = {}
+    for r in counts:
+        by_grp.setdefault(r.grp, []).append((r._bucket, r.c))
+    offsets = []
+    for g, rows in by_grp.items():
+        running = 0
+        for b, c in sorted(rows):
+            offsets.append((g, b, running))
+            running += c
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "grp string, _bucket string, _offset long")
+    )
+    targets = F.create_map(
+        *[
+            x
+            for g, wt in sorted(weights.items())
+            for x in (F.lit(g), F.lit(int(wt * budget)).cast("long"))
+        ]
+    )
+    w = Window.partitionBy("grp", "_bucket").orderBy("_key", "doc_id")
+    return (
+        base.join(off, ["grp", "_bucket"])
+        .withColumn(
+            "grp_rank", F.row_number().over(w).cast("long") + F.col("_offset")
+        )
+        .where(F.col("grp_rank") <= F.element_at(targets, F.col("grp")))
+        .select("doc_id", "grp", "grp_rank")
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget: int,

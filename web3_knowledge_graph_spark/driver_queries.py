@@ -1562,6 +1562,19 @@ def q_clustering_coeff(spark, sf_dir):
     return TR.clustering_coefficient(_alias_graph_edges(spark, sf_dir))
 
 
+MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.1}
+MIX_BUDGET = 200
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: 200-doc corpus at target
+    language ratios (the mixing-ratio step of an LLM data recipe); md5
+    order, bucketed prefix ranking (see curation.mixture_sample)."""
+    return CU.mixture_sample(
+        _t(spark, sf_dir, "documents"), MIX_WEIGHTS, MIX_BUDGET
+    )
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -2282,6 +2295,22 @@ ORACLE_DATASETS["triangle_counts"] = (
 SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM corners GROUP BY node
 """
 )
+_MIX_TARGETS = ", ".join(
+    f"('{g}', {int(wt * MIX_BUDGET)})" for g, wt in sorted(MIX_WEIGHTS.items())
+)
+ORACLE_DATASETS["mixture_sample"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang AS grp,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS grp_rank
+  FROM documents
+  WHERE lang IN ({", ".join(repr(g) for g in sorted(MIX_WEIGHTS))})),
+t(grp, target) AS (VALUES {_MIX_TARGETS})
+SELECT doc_id, grp, grp_rank FROM ranked JOIN t USING (grp)
+WHERE grp_rank <= target
+"""
+
 ORACLE_DATASETS["clustering_coeff"] = (
     _ALIAS_GRAPH_WITH
     + """, corners AS (
@@ -2377,6 +2406,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
+        "mixture_sample": q_mixture_sample,
         "flagship_triples": flagship_triples,
     }
 
