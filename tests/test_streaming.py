@@ -171,3 +171,33 @@ def test_extract_mentions_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+def test_dedup_stream_one_row_per_fingerprint(spark, tmp_path):
+    """Streaming exact dedup emits each content fingerprint exactly once
+    and covers the same distinct-fingerprint set as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from web3_knowledge_graph_spark.fixtures import corpus
+
+    pages_dir = tmp_path / "dedup_stream"
+    pages = corpus.pages_df(spark, 80, partitions=2)
+    # plant duplicates: re-append half the corpus under different urls
+    dups = pages.limit(40).withColumn(
+        "url", F.concat(F.lit("mirror-"), F.col("url"))
+    )
+    pages.unionByName(dups).write.mode("overwrite").parquet(str(pages_dir))
+
+    got = J.run_available_now(
+        J.dedup_stream(spark, str(pages_dir)), "dedup_stream_t"
+    )
+    rows = got.select("fingerprint").collect()
+    fps = [r.fingerprint for r in rows]
+    assert len(fps) == len(set(fps))  # one emission per fingerprint
+    want = {
+        r.fp
+        for r in spark.read.parquet(str(pages_dir))
+        .select(F.md5(F.lower(F.col("text"))).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert set(fps) == want and len(want) > 0

@@ -234,6 +234,36 @@ def extract_mentions_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession, pages_dir: str, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: the streaming member of the dedup ladder
+    (datasets/dedup.exact_dedup is the batch form). Pages land as files;
+    each content fingerprint (md5 of lowercased text) is emitted ONCE —
+    the first arrival wins — via dropDuplicatesWithinWatermark keyed on
+    the fingerprint.
+
+    State contract: a fingerprint's state row expires once the event-time
+    watermark passes its warc_ts + delay, so state size is bounded by the
+    watermark window's distinct-fingerprint count, not the stream's
+    lifetime — the standard streaming-dedup tradeoff (a duplicate arriving
+    later than the watermark horizon re-emits; exact global dedup over
+    unbounded history is the batch operator's job, this bounds the
+    near-real-time window).
+    """
+    from ..schemas import PAGES
+
+    stream = spark.readStream.schema(PAGES).parquet(pages_dir)
+    fp = stream.select(
+        "url",
+        "warc_ts",
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+    return fp.withWatermark("warc_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
