@@ -53,7 +53,6 @@ import json
 import math
 import multiprocessing as mp
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -238,19 +237,22 @@ def main() -> None:
     }
 
     # Speedups are MATCHED WITHIN A SWEEP (lo_secs[i] / hi_secs[i], same i)
-    # and the MEDIAN sweep is reported: matched ratios because the two
-    # sides of a ratio measured minutes apart on a ±30% host aren't
-    # comparable; median because best-sweep selection can pick a
-    # super-linear noise outlier (observed) and ratio-of-bests pairs
-    # unrelated windows. Calibration divides by the SAME sweep's ceiling.
+    # and ONE median sweep is selected (by speedup; lower-middle for even
+    # counts) — both the headline speedup AND its calibrated value come
+    # from that same sweep, divided by that sweep's own ceiling. Matched
+    # ratios because the two sides of a ratio measured minutes apart on a
+    # ±30% host aren't comparable; the median sweep because best-sweep
+    # selection can pick a super-linear noise outlier (observed) and
+    # ratio-of-bests pairs unrelated windows.
     def _matched(lo_runs, hi_runs):
         sp_sweeps = [
             lo_runs[i]["secs"] / hi_runs[i]["secs"] for i in range(len(lo_runs))
         ]
-        cal_sweeps = [s / ceilings[i] for i, s in enumerate(sp_sweeps)]
+        order = sorted(range(len(sp_sweeps)), key=lambda i: sp_sweeps[i])
+        mid = order[(len(order) - 1) // 2]
         return (
-            statistics.median(sp_sweeps),
-            statistics.median(cal_sweeps),
+            sp_sweeps[mid],
+            sp_sweeps[mid] / ceilings[mid],
             [round(s, 3) for s in sp_sweeps],
         )
 

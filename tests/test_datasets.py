@@ -751,3 +751,30 @@ def test_mixture_sample_vs_python(spark):
     for g, _ in got.values():
         n_by_grp[g] = n_by_grp.get(g, 0) + 1
     assert n_by_grp == {"en": 25, "de": 20}  # en hits target, de under-fills
+
+
+def test_mixture_targets_exact_decimal():
+    """Targets are exact-decimal floors: 0.58 × 50 must be 29, not
+    int(28.999999999999996) — the IEEE truncation bug class."""
+    from web3_knowledge_graph_spark.datasets.curation import mixture_targets
+
+    assert mixture_targets({"en": 0.58}, 50) == {"en": 29}
+    assert mixture_targets({"a": 0.29}, 100) == {"a": 29}
+    assert mixture_targets({"a": 0.15, "b": 0.4}, 200) == {"a": 30, "b": 80}
+    # genuinely fractional targets still floor
+    assert mixture_targets({"a": 0.33}, 10) == {"a": 3}
+
+
+def test_kmeans_oracle_dim_matches_fixtures():
+    """The unrolled kmeans oracle hardcodes generate_series(1, 64): if the
+    fixture embedding dimension ever changes, fail HERE with a clear
+    message instead of as a confusing selfcheck value mismatch."""
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet",
+                          columns=["embedding"])
+        dim = len(t.column("embedding")[0])
+        assert dim == 64, (
+            f"{sf} embeddings are {dim}-dim; update _kmeans_oracle(dim=...)"
+        )

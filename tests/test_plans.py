@@ -155,15 +155,20 @@ def test_pagerank_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_tfidf_broadcasts_df_relation(spark):
-    """PLANS.md: the document-frequency relation is vocabulary-sized and
-    must be the broadcast build side; the posting-list self-join is an
-    equi-join on term — no cartesian anywhere."""
+def test_tfidf_no_unbounded_broadcast_no_cartesian(spark):
+    """PLANS.md: the df-pruned vocabulary keeps the rare-term long tail —
+    unbounded at web scale — so it must NOT be a forced broadcast build
+    side (no explicit broadcast hint in the logical plan); every join is a
+    term- or doc-keyed equi-join, no cartesian anywhere. (AQE may still
+    choose broadcast at tiny scale — that's a size decision, not a plan
+    contract; the contract is that we don't force it.)"""
     from web3_knowledge_graph_spark.datasets.textstats import tfidf_similar_pairs
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _final_plan(tfidf_similar_pairs(d, threshold=0.5, max_df=100))
-    assert "BroadcastHashJoin" in plan
+    df = tfidf_similar_pairs(d, threshold=0.5, max_df=100)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical  # no forced broadcast of the vocab
+    plan = _final_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

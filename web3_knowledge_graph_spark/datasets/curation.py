@@ -145,6 +145,66 @@ def host_downsample(
     )
 
 
+def _bucketed_running_total(
+    base: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distributed prefix sum of ``value_col`` in (group_cols, md5-key)
+    order WITHOUT a single-reducer global sort — the shared machinery of
+    token_budget_sample and mixture_sample.
+
+    ``base`` must carry ``doc_id`` and ``_key`` (the md5 order key).
+    Pass 1 aggregates per (group, 256 md5-prefix buckets) subtotals —
+    collected to the driver (bounded: |groups| × 256 rows at any corpus
+    size) and turned into per-group cumulative offsets. Pass 2 broadcasts
+    the offsets back and windows WITHIN each bucket, so running total =
+    bucket offset + within-bucket cumsum, with 256-way parallelism per
+    group. Adds column ``_running``; ordering is (_key, doc_id), and
+    because _bucket is a prefix of _key, per-bucket order + offsets ==
+    the global per-group order.
+    """
+    spark = base.sparkSession
+    base = base.withColumn("_bucket", F.substring("_key", 1, 2))
+    gcols = list(group_cols)
+    subtotals = base.groupBy(*gcols, "_bucket").agg(
+        F.sum(value_col).cast("long").alias("_s")
+    ).collect()
+    by_grp: dict[tuple, list] = {}
+    for r in subtotals:
+        by_grp.setdefault(tuple(r[g] for g in gcols), []).append(
+            (r["_bucket"], r["_s"])
+        )
+    offsets = []
+    for gkey, rows in by_grp.items():
+        running = 0
+        for b, s in sorted(rows):
+            offsets.append((*gkey, b, running))
+            running += s
+    schema = ", ".join(
+        [f"{g} string" for g in gcols] + ["_bucket string", "_offset long"]
+    )
+    off = F.broadcast(spark.createDataFrame(offsets, schema))
+    w = (
+        Window.partitionBy(*gcols, "_bucket")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(off, gcols + ["_bucket"])
+        .withColumn("_running", F.sum(value_col).over(w) + F.col("_offset"))
+    )
+
+
+def mixture_targets(weights: dict[str, float], budget: int) -> dict[str, int]:
+    """floor(weights[g] · budget) computed EXACTLY: Fraction(str(w))
+    reads the weight as the decimal the caller wrote, so 0.58 × 50 is
+    29, not int(28.999999999999996) — IEEE double truncation would
+    silently short a group by one doc. Shared by the operator and the
+    DuckDB oracle so both sides agree by construction."""
+    from fractions import Fraction
+
+    return {g: int(Fraction(str(w)) * budget) for g, w in weights.items()}
+
+
 def mixture_sample(
     docs: DataFrame,
     weights: dict[str, float],
@@ -156,59 +216,35 @@ def mixture_sample(
     whose group composition matches target ``weights`` (the mixing-ratio
     step of every LLM training-data recipe — e.g. 40% en / 20% de / …).
 
-    Per group g the target is floor(weights[g] · budget) docs, drawn in
-    md5(doc_id) order — a stable pseudo-random draw, identical across
-    reruns and task retries (same contract as host_downsample). A group
-    with fewer docs than its target contributes everything it has
-    (under-fill is visible in the output counts, never silently
-    rebalanced — remixing weights is the caller's policy decision).
+    Per group g the target is floor(weights[g] · budget) docs (exact
+    decimal arithmetic — see mixture_targets), drawn in md5(doc_id)
+    order — a stable pseudo-random draw, identical across reruns and task
+    retries (same contract as host_downsample). A group with fewer docs
+    than its target contributes everything it has (under-fill is visible
+    in the output counts, never silently rebalanced — remixing weights is
+    the caller's policy decision).
 
-    Plan: one shuffle on (group, md5-prefix bucket); ranking runs WITHIN
-    each of the 256 buckets per group and is globalized by adding the
-    driver-computed bucket offsets (groups × 256 count rows — bounded by
-    the mixture size, never the corpus). Equivalent to ROW_NUMBER() OVER
-    (PARTITION BY group ORDER BY md5) but without a per-group
-    single-reducer sort: a 10^11-doc group ranks with 256-way parallelism.
-    Returns (doc_id, grp, grp_rank) for the kept rows.
+    Plan: _bucketed_running_total ranks each group in md5 order with
+    256-way parallelism — equivalent to ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY md5) but a 10^11-doc group never hits a single-reducer
+    sort. Returns (doc_id, grp, grp_rank) for the kept rows.
     """
-    spark = docs.sparkSession
-    base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(group_col).alias("grp"),
-            F.md5(F.col(id_col).cast("string")).alias("_key"),
-        )
-        .where(F.col("grp").isin(list(weights)))
-        .withColumn("_bucket", F.substring("_key", 1, 2))
-    )
-    counts = base.groupBy("grp", "_bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).collect()  # bounded: |weights| × 256 rows at any corpus size
-    by_grp: dict[str, list] = {}
-    for r in counts:
-        by_grp.setdefault(r.grp, []).append((r._bucket, r.c))
-    offsets = []
-    for g, rows in by_grp.items():
-        running = 0
-        for b, c in sorted(rows):
-            offsets.append((g, b, running))
-            running += c
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "grp string, _bucket string, _offset long")
-    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+        F.lit(1).cast("long").alias("_one"),
+    ).where(F.col("grp").isin(list(weights)))
     targets = F.create_map(
         *[
             x
-            for g, wt in sorted(weights.items())
-            for x in (F.lit(g), F.lit(int(wt * budget)).cast("long"))
+            for g, t in sorted(mixture_targets(weights, budget).items())
+            for x in (F.lit(g), F.lit(t).cast("long"))
         ]
     )
-    w = Window.partitionBy("grp", "_bucket").orderBy("_key", "doc_id")
     return (
-        base.join(off, ["grp", "_bucket"])
-        .withColumn(
-            "grp_rank", F.row_number().over(w).cast("long") + F.col("_offset")
-        )
+        _bucketed_running_total(base, "_one", group_cols=("grp",))
+        .withColumn("grp_rank", F.col("_running"))
         .where(F.col("grp_rank") <= F.element_at(targets, F.col("grp")))
         .select("doc_id", "grp", "grp_rank")
     )
@@ -224,12 +260,8 @@ def token_budget_sample(
     order and keep docs while the running whitespace-token total stays
     within `budget` ("give me a 10B-token sample" without a global sort).
 
-    Two-pass distributed prefix sum: (1) per-bucket token subtotals over
-    the 256 md5-prefix buckets — collected to the driver (bounded at 256
-    rows regardless of corpus size) and turned into cumulative offsets;
-    (2) broadcast the offsets back and window WITHIN each bucket, so the
-    running total = bucket offset + within-bucket cumsum. Equivalent to
-    SUM() OVER (ORDER BY md5 key) but with 256-way parallelism and no
+    Two-pass distributed prefix sum (_bucketed_running_total): equivalent
+    to SUM() OVER (ORDER BY md5 key) but with 256-way parallelism and no
     single-reducer global sort.
     Returns (doc_id, n_tokens, cum_tokens) for the kept prefix."""
     text = F.col(text_col)
@@ -238,29 +270,10 @@ def token_budget_sample(
         F.col(id_col).alias("doc_id"),
         toks.cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
-    ).withColumn("_bucket", F.substring("_key", 1, 2))
-
-    spark = docs.sparkSession
-    subtotals = sorted(
-        base.groupBy("_bucket").agg(F.sum("n_tokens").alias("s")).collect(),
-        key=lambda r: r["_bucket"],
-    )  # bounded: <=256 rows at any corpus size
-    offsets, running = [], 0
-    for r in subtotals:
-        offsets.append((r["_bucket"], running))
-        running += r["s"]
-    off = F.broadcast(
-        spark.createDataFrame(offsets, "_bucket string, _offset long")
-    )
-
-    w = (
-        Window.partitionBy("_bucket")
-        .orderBy("_key", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        base.join(off, "_bucket")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_offset"))
+        _bucketed_running_total(base, "n_tokens")
+        .withColumn("cum_tokens", F.col("_running"))
         .where(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "cum_tokens")
     )

@@ -431,6 +431,12 @@ def tfidf_similar_pairs(
         the standard recall contract of df-pruned indexes (ubiquitous
         terms carry ~no cosine signal; documented, not silent — the df
         relation is emitted by the same aggregation).
+      * the df join is a SHUFFLE equi-join on term, NOT a broadcast: the
+        pruned vocabulary keeps the rare-term long tail (hashes, typos) —
+        unbounded at web scale, unlike the driver-sized codebooks
+        elsewhere. The term exchange it costs is the same partitioning
+        the posting-list self-join needs anyway, so it adds no exchange
+        the plan didn't already require.
       * norms fold per doc from exact integer sum-of-squares, one
         (doc_id) exchange; the pair dot product is one (term) exchange +
         one (doc_a, doc_b) exchange with map-side partial sums.
@@ -447,7 +453,7 @@ def tfidf_similar_pairs(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = (
-        tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "term")
+        tf.join(dfreq.where(F.col("df") <= max_df), "term")
         .select(
             "doc_id",
             "term",

@@ -2296,7 +2296,8 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_count FROM corners GROUP BY node
 """
 )
 _MIX_TARGETS = ", ".join(
-    f"('{g}', {int(wt * MIX_BUDGET)})" for g, wt in sorted(MIX_WEIGHTS.items())
+    f"('{g}', {t})"
+    for g, t in sorted(CU.mixture_targets(MIX_WEIGHTS, MIX_BUDGET).items())
 )
 ORACLE_DATASETS["mixture_sample"] = f"""
 WITH ranked AS (
