@@ -778,3 +778,26 @@ def test_kmeans_oracle_dim_matches_fixtures():
         assert dim == 64, (
             f"{sf} embeddings are {dim}-dim; update _kmeans_oracle(dim=...)"
         )
+
+
+def test_sequence_pack_vs_python(spark):
+    """Concat-and-chunk packing equals the sequential replay: contiguous
+    md5-order starts, pack/offset from integer division, empty docs out."""
+    import hashlib
+
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 7)) if i % 5 else "") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.pack_id, r.offset)
+           for r in CU.sequence_pack(docs, seq_len=16).collect()}
+    order = sorted(
+        [(i, t) for i, t in rows if t],
+        key=lambda it: (hashlib.md5(str(it[0]).encode()).hexdigest(), it[0]),
+    )
+    expect, start = {}, 0
+    for i, t in order:
+        n = len(t.split())
+        expect[i] = (n, start // 16, start % 16)
+        start += n
+    assert got == expect and len(got) == 32

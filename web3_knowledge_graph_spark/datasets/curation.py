@@ -250,6 +250,52 @@ def mixture_sample(
     )
 
 
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): walk the corpus in md5(doc_id) order, concatenate token
+    counts, and cut fixed ``seq_len`` windows — each doc lands at a
+    deterministic (pack_id, offset) with docs spanning pack boundaries,
+    exactly like a tokenizer pipeline packing examples into training
+    sequences.
+
+    Plan: one _bucketed_running_total pass (256-way-parallel prefix sum —
+    no global sort), then pack_id/offset are pure row-local arithmetic on
+    the running total. Deterministic across reruns, retries, and
+    parallelism; replayable as a single SQL window for the oracle.
+    Returns (doc_id, n_tokens, pack_id, offset) for every doc with
+    n_tokens > 0; pack_id = floor(start / seq_len), offset = start mod
+    seq_len, where start is the doc's first token position in the global
+    concatenation.
+    """
+    text = F.col(text_col)
+    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+    ).where(toks > 0)
+    # integer DIV, not floor(double /): token positions at 10^12-doc scale
+    # exceed 2^53, where double division silently loses exactness
+    return (
+        _bucketed_running_total(base, "n_tokens")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"CAST((_running - n_tokens) DIV {int(seq_len)} AS BIGINT)").alias(
+                "pack_id"
+            ),
+            F.pmod(F.col("_running") - F.col("n_tokens"), F.lit(int(seq_len)))
+            .cast("long")
+            .alias("offset"),
+        )
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budget: int,

@@ -1575,6 +1575,16 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+PACK_SEQ_LEN = 512
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: every doc's deterministic
+    (pack_id, offset) in 512-token training windows over the md5-ordered
+    corpus (see curation.sequence_pack)."""
+    return CU.sequence_pack(_t(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN)
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -2312,6 +2322,24 @@ SELECT doc_id, grp, grp_rank FROM ranked JOIN t USING (grp)
 WHERE grp_rank <= target
 """
 
+ORACLE_DATASETS["sequence_pack"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+    md5(CAST(doc_id AS STRING)) AS k
+  FROM documents),
+pos AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY k, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+  FROM base WHERE n_tokens > 0)
+SELECT doc_id, n_tokens,
+  CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+  CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS offset
+FROM pos
+"""
+
 ORACLE_DATASETS["clustering_coeff"] = (
     _ALIAS_GRAPH_WITH
     + """, corners AS (
@@ -2408,6 +2436,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
         "mixture_sample": q_mixture_sample,
+        "sequence_pack": q_sequence_pack,
         "flagship_triples": flagship_triples,
     }
 
