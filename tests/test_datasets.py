@@ -801,3 +801,24 @@ def test_sequence_pack_vs_python(spark):
         expect[i] = (n, start // 16, start % 16)
         start += n
     assert got == expect and len(got) == 32
+
+
+def test_length_quantiles_vs_python(spark):
+    """Histogram quantiles equal the sorted-list inverted-CDF spec,
+    including the IEEE trap q=0.1 over N=500 (ceil must be 50, not 51)."""
+    import math
+    from fractions import Fraction
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 7) % 23))) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = (0.1, 0.5, 0.9)
+    got = {r.q: r.n_tokens for r in TS.length_quantiles(docs, qs=qs).collect()}
+    lens = sorted(len(t.split()) for _, t in rows)
+    expect = {}
+    for q in qs:
+        fq = Fraction(str(q)) * len(lens)
+        rank = max(1, math.ceil(fq))
+        expect[q] = lens[rank - 1]
+    assert got == expect
+    # the trap explicitly: ceil(Fraction('0.1')*500) == 50
+    assert math.ceil(Fraction("0.1") * 500) == 50

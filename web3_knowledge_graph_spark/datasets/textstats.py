@@ -402,6 +402,53 @@ def distinctive_terms(
     )
 
 
+def length_quantiles(
+    docs: DataFrame,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-length quantiles — the corpus statistic behind choosing
+    length-filter thresholds (Gopher/C4 pick min/max doc lengths from
+    exactly this distribution). approx_quantile's sketch merge is
+    partition-order-dependent; filters built on it drift run to run.
+
+    Exactness without a global sort: token counts are a SMALL-CARDINALITY
+    long (distinct values bounded by the max document length, never by
+    corpus size), so the full histogram — groupBy(n_tokens) count — is a
+    one-exchange aggregation whose result is collected to the driver
+    (bounded rows), cumulated there, and each quantile read off as the
+    value at rank ceil(q·N) (lower-rounding "inverted CDF" definition,
+    the same one DuckDB's quantile_disc uses). Returns (q, n_tokens),
+    one row per requested quantile.
+    """
+    text = F.col(text_col)
+    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    hist = sorted(
+        (r.v, r.c)
+        for r in docs.select(toks.cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    from fractions import Fraction
+
+    n = sum(c for _, c in hist)
+    out, cum, i = [], 0, 0
+    for q in sorted(qs):
+        # exact ceil(q·N): Fraction(str(q)) reads the decimal as written —
+        # IEEE ceil(0.1 * 500) is 51, not 50 (same bug class as
+        # curation.mixture_targets); the oracle uses DECIMAL for the same
+        # reason
+        fq = Fraction(str(q)) * n
+        rank = max(1, -(-fq.numerator // fq.denominator))
+        while i < len(hist) and cum + hist[i][1] < rank:
+            cum += hist[i][1]
+            i += 1
+        out.append((float(q), int(hist[i][0]) if i < len(hist) else None))
+    return docs.sparkSession.createDataFrame(out, "q double, n_tokens long")
+
+
 TFIDF_SCALE = 100_000
 
 

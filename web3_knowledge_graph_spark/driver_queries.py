@@ -1585,6 +1585,16 @@ def q_sequence_pack(spark, sf_dir):
     return CU.sequence_pack(_t(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN)
 
 
+QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_length_quantiles(spark, sf_dir):
+    """EXACT token-length quantiles via the value histogram (cardinality-
+    bounded, no global sort, no approx sketch — see
+    textstats.length_quantiles)."""
+    return TS.length_quantiles(_t(spark, sf_dir, "documents"), qs=QUANTILE_QS)
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -2322,6 +2332,18 @@ SELECT doc_id, grp, grp_rank FROM ranked JOIN t USING (grp)
 WHERE grp_rank <= target
 """
 
+ORACLE_DATASETS["length_quantiles"] = f"""
+WITH t AS (
+  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       x -> len(x) > 0)) AS BIGINT) AS v
+  FROM documents),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n FROM t),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)})
+SELECT CAST(q AS DOUBLE) AS q, v AS n_tokens
+FROM qs JOIN r ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+"""
+
 ORACLE_DATASETS["sequence_pack"] = f"""
 WITH base AS (
   SELECT doc_id,
@@ -2437,6 +2459,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
+        "length_quantiles": q_length_quantiles,
         "flagship_triples": flagship_triples,
     }
 
