@@ -822,3 +822,37 @@ def test_length_quantiles_vs_python(spark):
     assert got == expect
     # the trap explicitly: ceil(Fraction('0.1')*500) == 50
     assert math.ceil(Fraction("0.1") * 500) == 50
+
+
+def test_hash_split_vs_python(spark):
+    """Split ranges equal the exact-decimal spec; membership depends only
+    on the doc's own id (stable under corpus growth)."""
+    import hashlib
+    from fractions import Fraction
+
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    got = {r.doc_id: r.split for r in CU.hash_split(docs, fr).collect()}
+    names = sorted(fr)
+    space = 1 << 32
+    cuts, acc = [], Fraction(0)
+    for n in names[:-1]:
+        acc += Fraction(str(fr[n])) * space
+        cuts.append(int(acc))
+    expect = {}
+    for i in range(1000):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        expect[i] = next(
+            (n for n, c in zip(names[:-1], cuts) if h < c), names[-1]
+        )
+    assert got == expect
+    # roughly proportional and stable under growth: first 500 unchanged
+    got_half = {r.doc_id: r.split for r in CU.hash_split(
+        spark.createDataFrame([(i,) for i in range(500)], "doc_id long"), fr
+    ).collect()}
+    assert got_half == {i: expect[i] for i in range(500)}
+    from collections import Counter
+    c = Counter(got.values())
+    assert c["train"] > 850 and 20 < c["val"] < 80 and 20 < c["test"] < 80

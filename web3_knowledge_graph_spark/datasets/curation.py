@@ -250,6 +250,40 @@ def mixture_sample(
     )
 
 
+def hash_split(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 hex chars of
+    md5(doc_id) land each doc in a 2^32-bucket space, carved into
+    contiguous ranges per split (splits processed in sorted-name order;
+    integer cuts computed with exact decimal arithmetic — the
+    mixture_targets IEEE-truncation lesson; the rounding slack, < 1
+    bucket per split, goes to the last range). Membership depends only on
+    the doc's own id: stable under reruns, retries, corpus growth, and
+    re-partitioning — a doc never migrates between splits when new data
+    arrives, which is THE property a random split lacks.
+    Returns (doc_id, split). Pure map, zero shuffle."""
+    from fractions import Fraction
+
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    assert sum(Fraction(str(f)) for f in fractions.values()) == 1
+    names = sorted(fractions)
+    space = 1 << 32
+    cuts, acc = [], Fraction(0)
+    for n in names[:-1]:
+        acc += Fraction(str(fractions[n])) * space
+        cuts.append(int(acc))
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    expr = F.lit(names[-1])
+    for n, cut in reversed(list(zip(names[:-1], cuts))):
+        expr = F.when(h < cut, F.lit(n)).otherwise(expr)
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
 def sequence_pack(
     docs: DataFrame,
     seq_len: int,

@@ -1585,6 +1585,35 @@ def q_sequence_pack(spark, sf_dir):
     return CU.sequence_pack(_t(spark, sf_dir, "documents"), seq_len=PACK_SEQ_LEN)
 
 
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5(doc_id)
+    range — stable under corpus growth (see curation.hash_split)."""
+    return CU.hash_split(_t(spark, sf_dir, "documents"), SPLIT_FRACTIONS)
+
+
+def _hash_split_oracle() -> str:
+    from fractions import Fraction
+
+    names = sorted(SPLIT_FRACTIONS)
+    space = 1 << 32
+    cuts, acc = [], Fraction(0)
+    for n in names[:-1]:
+        acc += Fraction(str(SPLIT_FRACTIONS[n])) * space
+        cuts.append(int(acc))
+    whens = " ".join(
+        f"WHEN h < {c} THEN '{n}'" for n, c in zip(names[:-1], cuts)
+    )
+    return f"""
+SELECT doc_id, CASE {whens} ELSE '{names[-1]}' END AS split
+FROM (SELECT doc_id,
+  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+FROM documents)
+"""
+
+
 QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -2332,6 +2361,8 @@ SELECT doc_id, grp, grp_rank FROM ranked JOIN t USING (grp)
 WHERE grp_rank <= target
 """
 
+ORACLE_DATASETS["hash_split"] = _hash_split_oracle()
+
 ORACLE_DATASETS["length_quantiles"] = f"""
 WITH t AS (
   SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -2460,6 +2491,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,
+        "hash_split": q_hash_split,
         "flagship_triples": flagship_triples,
     }
 
