@@ -1493,17 +1493,23 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 TFIDF_THRESHOLD = 0.5
-TFIDF_MAX_DF = 100
+TFIDF_MAX_DF_FRAC = 0.2  # prune terms present in > 20% of docs
 
 
 def q_tfidf_pairs(spark, sf_dir):
     """Sparse tf-idf cosine pairs via df-pruned inverted index — the
-    template-vocabulary terms (df > 100) prune out, leaving genuinely
-    content-similar pairs (see textstats.tfidf_similar_pairs)."""
+    standard FRACTIONAL df cap (terms in > 20% of docs prune out, the
+    template vocabulary at any corpus size), leaving genuinely
+    content-similar pairs (see textstats.tfidf_similar_pairs). At the
+    oracle tier (500 docs) the cap resolves to df <= 100 — the literal
+    the static oracle SQL uses."""
+    from fractions import Fraction
+
+    n = _t(spark, sf_dir, "documents").count()
     return TS.tfidf_similar_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=TFIDF_THRESHOLD,
-        max_df=TFIDF_MAX_DF,
+        max_df=int(Fraction(str(TFIDF_MAX_DF_FRAC)) * n),
     )
 
 
@@ -2252,7 +2258,9 @@ WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM toks GROUP BY doc_id, term),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-  FROM tf GROUP BY term HAVING COUNT(*) <= {TFIDF_MAX_DF}),
+  FROM tf GROUP BY term
+  HAVING COUNT(*) <= CAST(FLOOR({TFIDF_MAX_DF_FRAC} *
+    (SELECT COUNT(*) FROM documents)) AS BIGINT)),
 w AS (SELECT doc_id, term, CAST(tf * (100000 // df) AS BIGINT) AS w
   FROM tf JOIN dfreq USING (term)),
 norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS ssq FROM w GROUP BY doc_id),
