@@ -856,3 +856,16 @@ def test_hash_split_vs_python(spark):
     from collections import Counter
     c = Counter(got.values())
     assert c["train"] > 850 and 20 < c["val"] < 80 and 20 < c["test"] < 80
+
+
+def test_length_quantiles_and_pack_null_text(spark):
+    """NULL text must not crash the driver-side CDF walk (dropped from
+    the distribution) nor sequence packing (no tokens -> no pack slot)."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [(0, "a b c"), (1, None), (2, "d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.q: r.n_tokens for r in TS.length_quantiles(docs, qs=(0.5,)).collect()}
+    assert got == {0.5: 2}  # NULL row excluded: lens [2, 3], ceil(0.5*2)=1 -> 2
+    packed = {r.doc_id for r in CU.sequence_pack(docs, seq_len=4).collect()}
+    assert packed == {0, 2}

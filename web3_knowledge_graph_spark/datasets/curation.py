@@ -250,6 +250,23 @@ def mixture_sample(
     )
 
 
+def hash_split_cuts(fractions: dict[str, float]) -> tuple[list[str], list[int]]:
+    """(sorted split names, cumulative integer cuts over the 2^32 md5
+    space), computed with exact decimal arithmetic. Shared by the operator
+    and the DuckDB oracle so both sides agree by construction (the
+    mixture_targets convention)."""
+    from fractions import Fraction
+
+    assert sum(Fraction(str(f)) for f in fractions.values()) == 1
+    names = sorted(fractions)
+    space = 1 << 32
+    cuts, acc = [], Fraction(0)
+    for n in names[:-1]:
+        acc += Fraction(str(fractions[n])) * space
+        cuts.append(int(acc))
+    return names, cuts
+
+
 def hash_split(
     docs: DataFrame,
     fractions: dict[str, float] | None = None,
@@ -265,16 +282,8 @@ def hash_split(
     re-partitioning — a doc never migrates between splits when new data
     arrives, which is THE property a random split lacks.
     Returns (doc_id, split). Pure map, zero shuffle."""
-    from fractions import Fraction
-
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    assert sum(Fraction(str(f)) for f in fractions.values()) == 1
-    names = sorted(fractions)
-    space = 1 << 32
-    cuts, acc = [], Fraction(0)
-    for n in names[:-1]:
-        acc += Fraction(str(fractions[n])) * space
-        cuts.append(int(acc))
+    names, cuts = hash_split_cuts(fractions)
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
@@ -306,13 +315,13 @@ def sequence_pack(
     seq_len, where start is the doc's first token position in the global
     concatenation.
     """
-    text = F.col(text_col)
-    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    from .textstats import ws_token_count
+
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        toks.cast("long").alias("n_tokens"),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
-    ).where(toks > 0)
+    ).where(F.col("n_tokens") > 0)  # projected column: tokenize ONCE per row
     # integer DIV, not floor(double /): token positions at 10^12-doc scale
     # exceed 2^53, where double division silently loses exactness
     return (
@@ -344,11 +353,11 @@ def token_budget_sample(
     to SUM() OVER (ORDER BY md5 key) but with 256-way parallelism and no
     single-reducer global sort.
     Returns (doc_id, n_tokens, cum_tokens) for the kept prefix."""
-    text = F.col(text_col)
-    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    from .textstats import ws_token_count
+
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        toks.cast("long").alias("n_tokens"),
+        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
     )
     return (

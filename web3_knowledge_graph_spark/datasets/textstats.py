@@ -40,6 +40,17 @@ def stopword_rows() -> list[tuple[str, str]]:
     return [(lang, w) for lang in LANGS for w in STOPWORDS[lang]]
 
 
+def ws_token_count(text: F.Column) -> F.Column:
+    """Whitespace token count — the ONE spelling shared by token_counts,
+    length_quantiles, curation.sequence_pack and curation.
+    token_budget_sample, and mirrored by every oracle as
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)).
+    A tokenization fix applied anywhere else silently breaks cross-op and
+    Spark/DuckDB consistency; change it HERE only. NULL text → NULL (the
+    callers decide drop-vs-zero)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -123,7 +134,7 @@ def token_counts(
     the cost denominators of a training-data pipeline.
     Returns (doc_id, ws_tokens, bpe_tokens)."""
     text = F.col(text_col)
-    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    ws = ws_token_count(text)
     bpe = F.size(F.regexp_extract_all(text, F.lit(f"({BPE_TOKEN_RE})"), 1))
     return docs.select(
         F.col(id_col).alias("doc_id"), ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
@@ -422,11 +433,15 @@ def length_quantiles(
     the same one DuckDB's quantile_disc uses). Returns (q, n_tokens),
     one row per requested quantile.
     """
-    text = F.col(text_col)
-    toks = F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    # NULL text → NULL count, dropped here (and by the oracle's matching
+    # WHERE): a None in the histogram breaks the driver-side sort, and
+    # "no text" is absence from the length distribution, not length 0
     hist = sorted(
         (r.v, r.c)
-        for r in docs.select(toks.cast("long").alias("v"))
+        for r in docs.select(
+            ws_token_count(F.col(text_col)).cast("long").alias("v")
+        )
+        .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .collect()

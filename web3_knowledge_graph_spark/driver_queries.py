@@ -1500,9 +1500,10 @@ def q_tfidf_pairs(spark, sf_dir):
     """Sparse tf-idf cosine pairs via df-pruned inverted index — the
     standard FRACTIONAL df cap (terms in > 20% of docs prune out, the
     template vocabulary at any corpus size), leaving genuinely
-    content-similar pairs (see textstats.tfidf_similar_pairs). At the
-    oracle tier (500 docs) the cap resolves to df <= 100 — the literal
-    the static oracle SQL uses."""
+    content-similar pairs (see textstats.tfidf_similar_pairs). The oracle
+    computes the same fractional cap in SQL (exact-decimal FLOOR), so both
+    sides agree at any tier. The corpus count() here is one cheap
+    metadata-level job at plan-construction time."""
     from fractions import Fraction
 
     n = _t(spark, sf_dir, "documents").count()
@@ -1601,14 +1602,7 @@ def q_hash_split(spark, sf_dir):
 
 
 def _hash_split_oracle() -> str:
-    from fractions import Fraction
-
-    names = sorted(SPLIT_FRACTIONS)
-    space = 1 << 32
-    cuts, acc = [], Fraction(0)
-    for n in names[:-1]:
-        acc += Fraction(str(SPLIT_FRACTIONS[n])) * space
-        cuts.append(int(acc))
+    names, cuts = CU.hash_split_cuts(SPLIT_FRACTIONS)
     whens = " ".join(
         f"WHEN h < {c} THEN '{n}'" for n, c in zip(names[:-1], cuts)
     )
@@ -2375,7 +2369,7 @@ ORACLE_DATASETS["length_quantiles"] = f"""
 WITH t AS (
   SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
        x -> len(x) > 0)) AS BIGINT) AS v
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
              COUNT(*) OVER () AS n FROM t),
 qs(q) AS (VALUES {", ".join(f"({q})" for q in QUANTILE_QS)})
