@@ -256,3 +256,47 @@ def test_clustering_coefficient(spark):
     got2 = {r.node: (r.deg, r.tri_count, r.clustering)
             for r in TR.clustering_coefficient(df2).collect()}
     assert got2["e"] == (1, 0, 0.0)
+
+
+def test_link_prediction_vs_python(spark):
+    """Wedge-generated features equal the brute-force replay; the hub cap
+    removes hub-mediated pairs; RA uses exact integer micro-units."""
+    import itertools
+
+    from web3_knowledge_graph_spark.operators import linkpred as LPD
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("b", "d"),
+        ("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+
+    def expect(max_hub):
+        out = {}
+        for x, y in itertools.combinations(sorted(nbrs), 2):
+            common = {z for z in nbrs[x] & nbrs[y] if len(nbrs[z]) <= max_hub}
+            if not common:
+                continue
+            cn = len(common)
+            ra = sum(1_000_000 // len(nbrs[z]) for z in common)
+            jac = cn / (len(nbrs[x]) + len(nbrs[y]) - cn)
+            out[(x, y)] = (cn, jac, ra, (x, y) in und)
+        return out
+
+    for max_hub in (100, 4):  # 4 excludes the degree-5 hub as a middle
+        got = {
+            (r.node_a, r.node_b): (
+                r.common_neighbors, r.jaccard, r.resource_alloc_micro,
+                r.already_linked,
+            )
+            for r in LPD.link_prediction(df, max_hub=max_hub).collect()
+        }
+        assert got == expect(max_hub), max_hub
+    # hub-mediated-only pair (e with anyone) exists at max_hub=100 but
+    # disappears when the hub cannot be a middle
+    assert ("a", "e") in expect(100) and ("a", "e") not in expect(4)

@@ -36,6 +36,7 @@ from .operators.canon import connected_components
 from .operators.communities import label_propagation, label_propagation_oracle_sql
 from .operators.holdings import rotate_holdings
 from .operators import pagerank as PR
+from .operators import linkpred as LP
 from .operators import triangles as TR
 from .operators.projection import bipartite_project
 from .operators.rules import apply_rules, reputation_scores
@@ -1563,6 +1564,13 @@ def q_triangle_counts(spark, sf_dir):
     return TR.triangle_counts(_alias_graph_edges(spark, sf_dir))
 
 
+def q_link_prediction(spark, sf_dir):
+    """Topological link-prediction features (common neighbors, Jaccard,
+    Resource Allocation) over the alias graph — the scoring side of the
+    reference's linking rules (see operators/linkpred.py)."""
+    return LP.link_prediction(_alias_graph_edges(spark, sf_dir))
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient per node (2·tri / deg·(deg−1)) over
     the alias graph — the graph-cohesion metric downstream of triangles."""
@@ -2337,6 +2345,29 @@ tri AS (
 ORACLE_DATASETS["triangles"] = (
     _ALIAS_GRAPH_WITH + "SELECT node_a, node_b, node_c FROM tri"
 )
+ORACLE_DATASETS["link_prediction"] = (
+    _ALIAS_GRAPH_WITH
+    + """, adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY a),
+adjz AS (SELECT adj.a, adj.b, d.deg AS zdeg
+  FROM adj JOIN deg d ON adj.b = d.a WHERE d.deg <= 1000),
+pairs AS (
+  SELECT x.a AS node_a, y.a AS node_b,
+    CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+    CAST(SUM(1000000 // x.zdeg) AS BIGINT) AS resource_alloc_micro
+  FROM adjz x JOIN adjz y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a)
+SELECT node_a, node_b, common_neighbors,
+  CAST(common_neighbors AS DOUBLE)
+    / CAST(da.deg + db.deg - common_neighbors AS DOUBLE) AS jaccard,
+  resource_alloc_micro,
+  (l.u IS NOT NULL) AS already_linked
+FROM pairs
+JOIN deg da ON node_a = da.a
+JOIN deg db ON node_b = db.a
+LEFT JOIN und l ON l.u = node_a AND l.v = node_b
+"""
+)
 ORACLE_DATASETS["triangle_counts"] = (
     _ALIAS_GRAPH_WITH
     + """, corners AS (
@@ -2490,6 +2521,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
+        "link_prediction": q_link_prediction,
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,
