@@ -300,3 +300,38 @@ def test_link_prediction_vs_python(spark):
     # hub-mediated-only pair (e with anyone) exists at max_hub=100 but
     # disappears when the hub cannot be a middle
     assert ("a", "e") in expect(100) and ("a", "e") not in expect(4)
+
+
+def test_kcore_vs_python(spark):
+    """Fixed-round peeling equals the sequential replay AND converges to
+    the true k-core on the fixture (rounds > peel depth)."""
+    from web3_knowledge_graph_spark.operators import triangles as TRI
+
+    # K4 core (a-d) + a tail e-f-g that peels away over multiple rounds
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def py_kcore(k, rounds):
+        und = {tuple(sorted(e)) for e in edges}
+        for _ in range(rounds):
+            deg = {}
+            for u, v in und:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            und = {(u, v) for u, v in und if u in alive and v in alive}
+        deg = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        return {n: d for n, d in deg.items() if d >= k}
+
+    got = {r.node: r.deg for r in TRI.kcore(df, k=3, rounds=6).collect()}
+    assert got == py_kcore(3, 6) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=2: the e-f-g tail peels over successive rounds; converged by 6
+    got2 = {r.node: r.deg for r in TRI.kcore(df, k=2, rounds=6).collect()}
+    assert got2 == py_kcore(2, 6)
+    assert py_kcore(2, 6) == py_kcore(2, 12)  # fixture converged: true core

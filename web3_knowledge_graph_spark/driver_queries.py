@@ -1564,6 +1564,18 @@ def q_triangle_counts(spark, sf_dir):
     return TR.triangle_counts(_alias_graph_edges(spark, sf_dir))
 
 
+KCORE_K = 25  # alias-graph degrees run 18..106 at the oracle tier: k=25
+KCORE_ROUNDS = 6  # actually peels (191 -> 138 nodes) and converges by round 6
+
+
+def q_kcore(spark, sf_dir):
+    """k-core membership (k=25) of the alias graph after 6 fixed peeling
+    rounds — deterministic, oracle-unrollable (see operators.triangles.kcore)."""
+    return TR.kcore(
+        _alias_graph_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
+    )
+
+
 def q_link_prediction(spark, sf_dir):
     """Topological link-prediction features (common neighbors, Jaccard,
     Resource Allocation) over the alias graph — the scoring side of the
@@ -2345,6 +2357,42 @@ tri AS (
 ORACLE_DATASETS["triangles"] = (
     _ALIAS_GRAPH_WITH + "SELECT node_a, node_b, node_c FROM tri"
 )
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled-CTE replay of kcore's fixed peeling rounds."""
+
+    # AS MATERIALIZED: each round references the previous round's edge set
+    # several times (degree union + two alive joins); DuckDB's default CTE
+    # inlining would re-expand the whole chain multiplicatively (~5^rounds
+    # scans — observed as 'Too many open files'), materialization keeps it
+    # linear like the Spark side's localCheckpoint
+    def degs(name, src):
+        return (
+            f"{name} AS MATERIALIZED (SELECT node,"
+            f" CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+            f"SELECT u AS node FROM {src} UNION ALL SELECT v FROM {src})"
+            f" GROUP BY node)"
+        )
+
+    parts = ["e0 AS MATERIALIZED (SELECT u, v FROM und)"]
+    for t in range(rounds):
+        parts += [
+            degs(f"d{t}", f"e{t}"),
+            f"a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {k})",
+            f"e{t + 1} AS MATERIALIZED (SELECT e{t}.u, e{t}.v FROM e{t}"
+            f" JOIN a{t} x ON e{t}.u = x.node"
+            f" JOIN a{t} y ON e{t}.v = y.node)",
+        ]
+    parts.append(degs("df", f"e{rounds}"))
+    return (
+        _ALIAS_GRAPH_WITH
+        + ", "
+        + ",\n".join(parts)
+        + f"\nSELECT node, deg FROM df WHERE deg >= {k}"
+    )
+
+
+ORACLE_DATASETS["kcore"] = _kcore_oracle()
+
 ORACLE_DATASETS["link_prediction"] = (
     _ALIAS_GRAPH_WITH
     + """, adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
@@ -2522,6 +2570,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "clustering_coeff": q_clustering_coeff,
         "link_prediction": q_link_prediction,
+        "kcore": q_kcore,
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,

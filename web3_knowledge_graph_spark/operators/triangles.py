@@ -95,6 +95,55 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core membership after a FIXED number of peeling rounds: each
+    round recomputes degrees over the surviving subgraph and drops nodes
+    with degree < k (spam/bot-ring detection and graph-denoising both
+    start from the core). The fixed round count is what makes the loop a
+    static job graph — deterministic, resumable, and replayable as an
+    unrolled CTE chain by the DuckDB oracle (the pagerank/kmeans
+    convention); peeling converges in far fewer rounds on real graphs
+    (pytest pins convergence on small fixtures), and the partial result
+    after R rounds is well-defined either way: a SUPERSET of the true
+    k-core that shrinks monotonically.
+
+    Per round: one degree aggregation (node-keyed) + two semi-joins to
+    drop edges touching peeled nodes — all linear in surviving edges;
+    localCheckpoint cuts the iterative lineage exactly as in
+    connected_components. Returns (node, deg) of the surviving nodes with
+    their degree in the surviving subgraph.
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        und = (
+            und.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.where(F.col("deg") >= k)
+
+
 def clustering_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
