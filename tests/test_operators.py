@@ -335,3 +335,30 @@ def test_kcore_vs_python(spark):
     got2 = {r.node: r.deg for r in TRI.kcore(df, k=2, rounds=6).collect()}
     assert got2 == py_kcore(2, 6)
     assert py_kcore(2, 6) == py_kcore(2, 12)  # fixture converged: true core
+
+
+def test_personalized_pagerank_vs_python(spark):
+    """Seed-restricted teleport equals the exact integer sequential
+    replay; unreachable non-seeds stay at exactly 0."""
+    from web3_knowledge_graph_spark.operators import pagerank as PRK
+
+    # seeds {1}; chain 1->2->3; island 9->10 unreachable from the seed
+    edges = [(1, 2), (2, 3), (3, 1), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.rank_micro for r in PRK.personalized_pagerank(
+        df, seeds, rounds=4).collect()}
+
+    S = 1_000_000
+    nodes = {1, 2, 3, 9, 10}
+    seed = {n: (1 if n == 1 else 0) for n in nodes}
+    outd = {1: 1, 2: 1, 3: 1, 9: 1}
+    r = {n: seed[n] * S for n in nodes}
+    for _ in range(4):
+        c = {n: 0 for n in nodes}
+        for s, d in edges:
+            c[d] += r[s] // outd[s]
+        r = {n: (15 * S * seed[n] + 85 * c[n]) // 100 for n in nodes}
+    assert got == r
+    assert got[9] == 0 and got[10] == 0  # island never earns mass
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0  # cycle holds seed mass

@@ -1405,6 +1405,21 @@ def q_decontaminate(spark, sf_dir):
     return CU.decontaminate(docs, bench, k=3)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Seed-relative PageRank: teleport mass only to user_id % 29 = 0
+    seeds over the user->prop-key graph (see
+    operators.pagerank.personalized_pagerank)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    edges = e.select(
+        F.col("user_id").cast("long").alias("src"), (k + 1000000).alias("dst")
+    )
+    seeds = e.where(F.col("user_id") % 29 == 0).select(
+        F.col("user_id").cast("long").alias("id")
+    )
+    return PR.personalized_pagerank(edges, seeds, rounds=6)
+
+
 def q_pagerank(spark, sf_dir):
     """Deterministic fixed-point PageRank (6 damped rounds, micro-unit
     longs — see operators/pagerank.py for why not doubles) over the
@@ -1943,10 +1958,18 @@ SELECT d.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
 FROM documents d LEFT JOIN hits USING (doc_id)
 """
 
-ORACLE_DATASETS["pagerank"] = PR.pagerank_oracle_sql(
+_EVENTS_EDGES_CTE = (
     "ed AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS s,"
     " CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1000000 AS d"
-    " FROM events)",
+    " FROM events)"
+)
+
+ORACLE_DATASETS["pagerank"] = PR.pagerank_oracle_sql(_EVENTS_EDGES_CTE, rounds=6)
+
+ORACLE_DATASETS["personalized_pagerank"] = PR.personalized_pagerank_oracle_sql(
+    _EVENTS_EDGES_CTE,
+    "SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events"
+    " WHERE user_id % 29 = 0",
     rounds=6,
 )
 
@@ -2560,6 +2583,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "curated_corpus": q_curated_corpus,
         "lm_quality": q_lm_quality,
         "distinctive_terms": q_distinctive_terms,

@@ -87,6 +87,103 @@ def pagerank(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    rounds: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns ONLY to the ``seeds``
+    node set, so ranks measure relevance RELATIVE to the seeds (e.g.
+    "importance in the neighborhood of known-good wallets" — the
+    seed-based sibling of the reference's reputation scores,
+    analytics/wicScore). Same exact fixed-point arithmetic and fixed
+    round count as ``pagerank``: init r = SCALE for seeds else 0; update
+    r = (15·SCALE·is_seed + 85·Σ contrib) div 100. Non-seed nodes
+    unreachable from any seed stay at exactly 0.
+
+    The seed relation is typically tiny (a curated list) — broadcast into
+    the per-round node update; everything else shares pagerank's
+    per-round join+groupBy shape and cost.
+    Returns (id, rank_micro, rank)."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sd = F.broadcast(
+        seeds.select(F.col(seed_col).cast("long").alias("id")).distinct()
+    )
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .join(sd.withColumn("_seed", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("_seed", F.lit(0)).cast("long").alias("seed"))
+        .localCheckpoint()
+    )
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.select("id", (F.col("seed") * SCALE).cast("long").alias("r"))
+    for _ in range(rounds):
+        contribs = (
+            e.join(outd, "s")
+            .join(ranks.select(F.col("id").alias("s"), "r"), "s")
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.sum(F.expr("r div od")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                F.expr(f"(15 * {SCALE} * seed + 85 * coalesce(c, 0)) div 100")
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(SCALE)).alias("rank"),
+    )
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str, seeds_sql: str, rounds: int = 6
+) -> str:
+    """DuckDB replay of personalized_pagerank. ``edges_cte`` defines
+    ``ed(s, d)`` as in pagerank_oracle_sql; ``seeds_sql`` is a SELECT
+    yielding one BIGINT column ``id``."""
+    parts = [
+        edges_cte,
+        f"sd AS (SELECT DISTINCT id FROM ({seeds_sql}))",
+        "nodes AS (SELECT id, CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS seed"
+        " FROM (SELECT s AS id FROM ed UNION SELECT d FROM ed)"
+        " LEFT JOIN sd USING (id))",
+        "outd AS (SELECT s, COUNT(*) AS od FROM ed GROUP BY s)",
+        f"p0 AS (SELECT id, CAST(seed * {SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS (SELECT ed.d AS id, SUM(p.r // o.od) AS c\n"
+            f"  FROM ed JOIN outd o USING (s) JOIN p{k - 1} p ON p.id = ed.s\n"
+            f"  GROUP BY ed.d)"
+        )
+        parts.append(
+            f"p{k} AS (SELECT n.id,\n"
+            f"  CAST((15 * {SCALE} * n.seed + 85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r\n"
+            f"  FROM nodes n LEFT JOIN c{k} c USING (id))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, r AS rank_micro, CAST(r AS DOUBLE) / {SCALE} AS rank"
+        + f"\nFROM p{rounds}"
+    )
+
+
 def pagerank_oracle_sql(edges_cte: str, rounds: int = 6) -> str:
     """DuckDB SQL replaying pagerank verbatim. ``edges_cte`` must define a
     deduplicated directed relation ``ed(s, d)`` with BIGINT endpoints; the
