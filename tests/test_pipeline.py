@@ -322,3 +322,105 @@ def test_extract_stage_fused_equals_branch_union(spark):
     # never match): fused small-dict output == fallback big-dict output
     assert got.exceptAll(got2).count() == 0
     assert got2.exceptAll(got).count() == 0
+
+
+def test_resume_after_crash_between_extract_and_graph(spark, tmp_path, monkeypatch):
+    """Crash window: a run ingests new dates, writes their extract marks,
+    then dies BEFORE the graph stage. The next resume has todo == [] and
+    an OLD run's graph mark still reads done — the corpus-signature check
+    must force the rebuild (regression: stale graph served forever)."""
+    import web3_knowledge_graph_spark.plans.pipeline as P
+    from web3_knowledge_graph_spark.fixtures import corpus
+
+    root, fresh_root = str(tmp_path / "wh"), str(tmp_path / "fresh")
+    side = _side(spark)
+    early = corpus.pages_df(spark, 150, partitions=4)
+    all_pages = corpus.pages_df(spark, 260, partitions=4)
+    run_pipeline(spark, early, side, root, buckets=3)
+
+    real = P.build_graph
+    monkeypatch.setattr(
+        P, "build_graph",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, all_pages, side, root, buckets=3)
+    monkeypatch.setattr(P, "build_graph", real)
+
+    resumed = run_pipeline(spark, all_pages, side, root, buckets=3)
+    fresh = run_pipeline(spark, all_pages, _side(spark), fresh_root, buckets=3)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+
+def test_extract_stage_empty_dictionary(spark):
+    """An empty alias dictionary is a legal deployment state: regex +
+    author mentions still extract; no IndexError (regression)."""
+    from web3_knowledge_graph_spark.fixtures import corpus
+    from web3_knowledge_graph_spark.functions.mentions import dictionary_mentions
+    from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+    from web3_knowledge_graph_spark.schemas import ALIAS_DICT
+
+    pages = corpus.pages_df(spark, 40, partitions=2)
+    empty = spark.createDataFrame([], ALIAS_DICT)
+    out = extract_stage(pages, empty)
+    kinds = {r.kind for r in out.select("kind").distinct().collect()}
+    assert len(kinds) > 0 and not any(k.startswith("dict:") for k in kinds)
+    assert dictionary_mentions(pages, empty).count() == 0
+
+
+def test_extract_stage_duplicate_alias_fans_out(spark):
+    """An alias shared by two entities must produce a mention PER entity in
+    the fused literal-map branch, exactly like the broadcast-join branch
+    (regression: last-wins dict silently dropped one entity)."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.functions.extraction import with_extracted_text
+    from web3_knowledge_graph_spark.functions.mentions import dictionary_mentions
+    from web3_knowledge_graph_spark.plans.pipeline import extract_stage
+    from web3_knowledge_graph_spark.schemas import ALIAS_DICT, PAGES
+
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 1), None, "both entities call it zorb today", "en")],
+        PAGES,
+    )
+    dup = spark.createDataFrame(
+        [
+            ("ent:A", "token", "Zorb A", ["zorb"], None, None, None),
+            ("ent:B", "token", "Zorb B", ["zorb"], None, None, None),
+        ],
+        ALIAS_DICT,
+    )
+    fused = {
+        (r.kind, r.value, r.n)
+        for r in extract_stage(pages, dup).where(F.col("kind") == "dict:token").collect()
+    }
+    assert fused == {("dict:token", "ent:A", 1), ("dict:token", "ent:B", 1)}
+    broadcast_side = {
+        (r.kind, r.value, r.n)
+        for r in dictionary_mentions(with_extracted_text(pages), dup).collect()
+    }
+    assert fused == broadcast_side
+
+
+def test_warehouse_orphan_snapshot_recovery(spark, tmp_path):
+    """A writer that crashed between the snapshot rename and the pointer
+    swap leaves an orphan version directory; the next commit must skip
+    past it instead of failing os.rename forever (regression)."""
+    import os
+
+    from web3_knowledge_graph_spark.sources.warehouse import Table
+
+    t = Table(str(tmp_path), "t")
+    t.overwrite(spark.createDataFrame([(1,)], "x long"))  # v1
+    # orphan v2: committed directory, pointer still at 1
+    orphan = t._snap_path(2)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-000.parquet"), "w") as f:
+        f.write("garbage")
+    v = t.overwrite(spark.createDataFrame([(2,)], "x long"))
+    assert v == 3 and t.current_version() == 3
+    assert [r.x for r in t.read(spark).collect()] == [2]

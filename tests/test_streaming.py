@@ -201,3 +201,41 @@ def test_dedup_stream_one_row_per_fingerprint(spark, tmp_path):
         .collect()
     }
     assert set(fps) == want and len(want) > 0
+
+
+def test_sessionize_multi_chunk_group(spark, tmp_path):
+    """A user whose in-trigger events span MULTIPLE Arrow chunks must not
+    lose events: sorting per chunk misread earlier events in a later
+    chunk as late-and-droppable (regression for the per-chunk sort bug)."""
+    import pandas as pd
+
+    d = tmp_path / "chunk_stream"
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (i, t0 + pd.Timedelta(minutes=i), 7, "view", 1.0, "{}") for i in range(25)
+    ]
+    # SCRAMBLE the file order (descending ts): the first Arrow chunk then
+    # holds the LATEST timestamps, so a per-chunk sort would drop every
+    # event of the later chunks as "late"
+    rows = rows[::-1]
+    # a much-later other-user event pushes the watermark past user 7's
+    # session end + gap so the trailing session flushes
+    rows.append((99, t0 + pd.Timedelta(hours=6), 8, "view", 1.0, "{}"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema=J.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        got = J.run_available_now(
+            J.sessionize_stream(J.read_event_stream(spark, str(d))),
+            "chunk_sessions",
+            output_mode="append",
+        )
+        sessions = {
+            (r.user_id, r.n_events) for r in got.collect() if r.user_id == 7
+        }
+        assert sessions == {(7, 25)}  # one session, EVERY event counted
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

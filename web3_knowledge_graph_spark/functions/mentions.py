@@ -312,8 +312,13 @@ DICT_TOKEN_CHARS = ASCII_LOWER + DIGITS + "_.@-"
 DICT_BOUNDARY_CLASS = positive_complement_class(DICT_TOKEN_CHARS)
 
 
-def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
+def _dict_hit_arrays(
+    alias_dict: DataFrame, text: Column, alias_strings: list[str] | None = None
+) -> list[Column]:
     """Per-chunk arrays of dictionary-alias matches in ``lower(text)``.
+    ``alias_strings`` lets a caller that already collected the (tiny,
+    driver-sized) alias list skip the per-call collect — a streaming
+    foreachBatch otherwise re-runs it every micro-batch.
 
     Native regex alternation with token-boundary guards, CHUNKED at 256
     aliases per pattern: every pass stays a codegen'd JVM regex scan.
@@ -330,10 +335,11 @@ def _dict_hit_arrays(alias_dict: DataFrame, text: Column) -> list[Column]:
     """
     import re as _re
 
-    alias_set = [
-        r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
-    ]
-    alias_set = sorted({a.lower() for a in alias_set})
+    if alias_strings is None:
+        alias_strings = [
+            r[0] for r in alias_dict.select(F.explode("aliases")).distinct().collect()
+        ]
+    alias_set = sorted({a.lower() for a in alias_strings})
     chunk = 256
     arrays = []
     for i in range(0, len(alias_set), chunk):
@@ -381,7 +387,10 @@ def dictionary_mentions(
     # (~100/doc) into the join — that moves two orders of magnitude more
     # rows than the ~1/doc that match.
     arrays = _dict_hit_arrays(alias_dict, F.col(text_col))
-    hits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    if not arrays:  # empty dictionary: no aliases → no mentions, not a crash
+        hits = F.array().cast("array<string>")
+    else:
+        hits = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
     tokens = df.select(
         F.col(key_col).alias("url"), *carry_cols, F.explode(hits).alias("alias")
     )

@@ -74,7 +74,10 @@ FUSE_DICT_MAX_ALIASES = 512
 
 
 def extract_stage(
-    pages: DataFrame, alias_dict: DataFrame, carry_cols: tuple[str, ...] = ()
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    alias_rows: list | None = None,
 ) -> DataFrame:
     """pages (html/text) → mentions(url, [carry...,] kind, value, n).
 
@@ -104,10 +107,19 @@ def extract_stage(
     texted = with_extracted_text(pages).where(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    alias_rows = alias_dict.select(
-        F.explode("aliases").alias("a"), "entity_id", "kind"
-    ).collect()
-    amap = {r.a.lower(): ("dict:" + r.kind, r.entity_id) for r in alias_rows}
+    if alias_rows is None:
+        # driver-sized by contract; callers that run this per micro-batch
+        # (extract_mentions_stream) pre-collect once and pass it in
+        alias_rows = alias_dict.select(
+            F.explode("aliases").alias("a"), "entity_id", "kind"
+        ).collect()
+    # alias → ALL its (kind, entity) rows: nothing enforces alias
+    # uniqueness, and the broadcast-join branch fans a shared alias out to
+    # every entity — a last-wins dict here would silently change output
+    # across the FUSE_DICT_MAX_ALIASES cutover
+    amap: dict[str, list[tuple[str, str]]] = {}
+    for r in alias_rows:
+        amap.setdefault(r.a.lower(), []).append(("dict:" + r.kind, r.entity_id))
 
     text = F.col("text")
     regex_tagged = M.tagged_mention_array(text)
@@ -122,7 +134,17 @@ def extract_stage(
     )
     author_counted = F.filter(F.array(author_struct), lambda s: s["n"] > 0)
 
-    if len(amap) > FUSE_DICT_MAX_ALIASES:
+    if not amap:
+        # empty dictionary (legal: a deployment with no alias list yet) —
+        # regex + author mentions only, no dict pass to fuse
+        srt0 = texted.select(
+            F.col("url"), *carry_cols,
+            F.array_sort(regex_tagged).alias("_srt"),
+            author_counted.alias("_extra"),
+        )
+        return _counted_explode(srt0, carry_cols)
+
+    if len(alias_rows) > FUSE_DICT_MAX_ALIASES:
         dict_m = M.dictionary_mentions(texted, alias_dict, carry_cols=carry_cols)
         srt0 = texted.select(
             F.col("url"), *carry_cols,
@@ -132,18 +154,25 @@ def extract_stage(
         fused = _counted_explode(srt0, carry_cols)
         return fused.unionByName(dict_m)
 
-    items = sorted(amap.items())
-    kind_map = F.create_map(*[x for a, (k, _) in items for x in (F.lit(a), F.lit(k))])
-    ent_map = F.create_map(*[x for a, (_, e) in items for x in (F.lit(a), F.lit(e))])
-    hit_arrays = M._dict_hit_arrays(alias_dict, text)
-    hits = F.concat(*hit_arrays) if len(hit_arrays) > 1 else hit_arrays[0]
-    dict_tagged = F.transform(
-        hits,
-        lambda a: F.struct(
-            F.element_at(kind_map, a).alias("kind"),
-            F.element_at(ent_map, a).alias("value"),
-        ),
+    # alias → array<struct(kind, value)> literal map; flatten fans each hit
+    # out to every entity sharing the alias (≡ the broadcast-join branch)
+    entries = []
+    for a, es in sorted(amap.items()):
+        entries.append(F.lit(a))
+        entries.append(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("kind"), F.lit(e).alias("value"))
+                    for k, e in sorted(es)
+                ]
+            )
+        )
+    tag_map = F.create_map(*entries)
+    hit_arrays = M._dict_hit_arrays(
+        alias_dict, text, alias_strings=[r.a for r in alias_rows]
     )
+    hits = F.concat(*hit_arrays) if len(hit_arrays) > 1 else hit_arrays[0]
+    dict_tagged = F.flatten(F.transform(hits, lambda a: F.element_at(tag_map, a)))
     srt0 = texted.select(
         F.col("url"), *carry_cols,
         F.array_sort(F.concat(regex_tagged, dict_tagged)).alias("_srt"),
@@ -199,7 +228,14 @@ def build_graph(
     Every edge family below restates one reference rule (citations in the
     operator modules). Node ids are deterministic xxhash64(label-family:key).
     """
-    men = mentions.cache()
+    # No cache() here: build_graph returns LAZY nodes/edges, so a cache
+    # placed now and unpersisted at return would be dropped before any
+    # consumer executes (the old shape did exactly that — the cache never
+    # served a single downstream job). Callers hand a materialized
+    # relation instead: the flagship localCheckpoints mentions, and
+    # run_pipeline reads them back from the warehouse parquet — either
+    # re-scan is column-pruned and cheap, with no executor-storage residue.
+    men = mentions
 
     def kind(k: str) -> DataFrame:
         return men.where(F.col("kind") == k)
@@ -259,11 +295,16 @@ def build_graph(
 
     # profile bios → Twitter HAS_ALIAS Ens (postProcessing/twitterBiosENS)
     #              → Twitter BIO_MENTIONED Twitter (twitterRelations)
+    # localCheckpoint, not cache: three consumers (t_ens, t_bio,
+    # twitter_dim) re-run the two bio regex extracts otherwise, and an
+    # unmatched cache() would leak executor storage for the session's
+    # lifetime. Profiles are side-table sized — the eager materialization
+    # is bounded.
     prof = profiles.select(
         F.lower("handle").alias("handle"),
         extract_ens_names(F.col("bio")).alias("bio_ens"),
         extract_handles(F.col("bio")).alias("bio_handles"),
-    ).cache()
+    ).localCheckpoint()
     t_ens = prof.select("handle", F.explode("bio_ens").alias("ens")).dropDuplicates()
     e_twitter_ens = mk_edges(t_ens, "Twitter", "handle", "HAS_ALIAS", "Ens", "ens")
     t_bio = prof.select("handle", F.explode("bio_handles").alias("other")).where(
@@ -309,10 +350,16 @@ def build_graph(
     )
     l_dict = linking.dictionary_links(entities, twitter_nodes)
 
-    links = l_two_hop.unionByName(l_scored).unionByName(l_dict)
-    links = linking.anti_join_existing(
-        links, spark.createDataFrame([], "src long, dst long")
-    ).dropDuplicates(["src", "dst"])
+    links = (
+        l_two_hop.unionByName(l_scored).unionByName(l_dict)
+        .dropDuplicates(["src", "dst"])
+    )
+    # No anti-join against existing edges here: the old call passed a
+    # hardcoded EMPTY relation — a guaranteed no-op that still paid for an
+    # anti-join subtree inside the checkpointed link DAG. Idempotency
+    # against the already-materialized graph is merge_upsert's job (the
+    # reference's MERGE semantics); linking.anti_join_existing remains the
+    # NOT-pattern operator for callers that do hold an existing-edge set.
     # materialize the link rules once: this join DAG (two-hop + scored +
     # dictionary linking, each with its own shuffle) otherwise re-runs for
     # every consumer — the HAS_ACCOUNT edge family, the identity edge set
@@ -424,7 +471,6 @@ def build_graph(
         nodes.join(assign, nodes["id"] == assign["id"], "left")
         .select(nodes["*"], F.coalesce(assign["component"], nodes["id"]).alias("canonical_id"))
     )
-    men.unpersist()
     return nodes, edges
 
 
@@ -538,6 +584,18 @@ def run_pipeline(
         )
         got = obs.get
         counts = {d: int(got[f"n_{j}"] or 0) for j, d in enumerate(batch)}
+        # dynamic partition overwrite only replaces partitions PRESENT in
+        # the written data: a reprocessed date whose new extraction yields
+        # zero mentions writes nothing for _d=<date>, which would leave the
+        # old rows on disk while the mark records the new fingerprint as
+        # done — delete the now-empty partition explicitly
+        import shutil
+
+        for d in batch:
+            if counts.get(d, 0) == 0:
+                shutil.rmtree(
+                    f"{warehouse_root}/mentions_data/_d={d}", ignore_errors=True
+                )
         dur = (time.time() - t0) / len(batch)
         for d in batch:
             log.mark(
@@ -559,9 +617,27 @@ def run_pipeline(
             [], "url string, kind string, value string, n bigint"
         )
 
-    # rebuild the graph whenever the extract stage processed anything new —
-    # a done-marker alone would serve a stale graph after incremental ingest
-    if todo or "graph" not in log.completed("graph"):
+    # rebuild the graph unless a graph mark exists FOR THIS EXACT corpus
+    # state. `todo or no-mark` is not enough: a run that crashes AFTER
+    # writing its extract marks but BEFORE the graph mark leaves todo empty
+    # on the next resume while an OLD run's graph mark still reads "done" —
+    # the stale graph would be served forever. The corpus signature (hash
+    # of every date's (rows, fingerprint)) stored as the graph mark's
+    # input_fp makes the mark self-describing: it certifies the graph was
+    # built from precisely this extract state. (Side-table changes are
+    # outside the signature — the resume contract covers page ingest.)
+    import hashlib
+
+    corpus_sig = (
+        int.from_bytes(
+            hashlib.md5(repr(sorted(per_date.items())).encode()).digest()[:8],
+            "big",
+            signed=False,
+        )
+        - (1 << 63)
+    )
+    graph_mark = log.completed_inputs("graph").get("graph")
+    if todo or graph_mark is None or graph_mark[1] != corpus_sig:
         t0 = time.time()
         nodes, edges = build_graph(
             spark, mentions, side["registrations"], side["profiles"],
@@ -582,5 +658,6 @@ def run_pipeline(
             run_id, "graph", "graph",
             rows_out=wh.table("triples").read(spark).count(),
             duration_s=time.time() - t0,
+            input_fp=corpus_sig,
         )
     return wh.table("triples").read(spark)

@@ -50,8 +50,25 @@ class Table:
     def _snap_path(self, v: int) -> str:
         return os.path.join(self.snap_dir, f"v{v:08d}")
 
+    def _max_snapshot_on_disk(self) -> int:
+        """Highest version directory under snapshots/ — including ORPHANS
+        (committed directory, pointer never swapped because the writer
+        crashed between the two steps). The next version must clear every
+        directory that exists, not just the pointer: reusing an orphan's
+        number makes os.rename(tmp, path) fail forever (ENOTEMPTY) and
+        bricks the table."""
+        try:
+            vs = [
+                int(n[1:])
+                for n in os.listdir(self.snap_dir)
+                if n.startswith("v") and n[1:].isdigit()
+            ]
+        except FileNotFoundError:
+            return 0
+        return max(vs, default=0)
+
     def _commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        v = (self.current_version() or 0) + 1
+        v = max(self.current_version() or 0, self._max_snapshot_on_disk()) + 1
         path, tmp = self._snap_path(v), self._snap_path(v) + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         w = df.write

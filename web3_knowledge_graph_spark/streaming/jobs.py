@@ -145,19 +145,26 @@ def _sessionize_fn(
         start_us = last_us = -1
         n = 0
     out: list[dict[str, Any]] = []
+    # ONE sort across the whole group: a user with more rows than the Arrow
+    # batch size (spark.sql.execution.arrow.maxRecordsPerBatch) arrives as
+    # MULTIPLE pdfs with no cross-chunk ordering guarantee — sorting each
+    # chunk separately would misread earlier events in a later chunk as
+    # late-and-droppable and undercount sessions
+    all_ts: list = []
     for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            if last_us < 0:
-                start_us, last_us, n = ts_us, ts_us, 1
-            elif ts_us < last_us:
-                continue  # late cross-batch event: already inside the session span
-            elif ts_us - last_us > SESSION_GAP_S * 1_000_000:
-                out.append(_session_row(user_id, start_us, last_us, n))
-                start_us, last_us, n = ts_us, ts_us, 1
-            else:
-                last_us = ts_us
-                n += 1
+        all_ts.extend(pdf["ts"])
+    for ts in sorted(all_ts):
+        ts_us = int(pd.Timestamp(ts).value // 1000)
+        if last_us < 0:
+            start_us, last_us, n = ts_us, ts_us, 1
+        elif ts_us < last_us:
+            continue  # late cross-batch event: already inside the session span
+        elif ts_us - last_us > SESSION_GAP_S * 1_000_000:
+            out.append(_session_row(user_id, start_us, last_us, n))
+            start_us, last_us, n = ts_us, ts_us, 1
+        else:
+            last_us = ts_us
+            n += 1
     timeout_ms = last_us // 1000 + SESSION_GAP_S * 1000
     if timeout_ms <= state.getCurrentWatermarkMs():
         # the watermark already passed session_end + gap: no in-watermark
@@ -205,10 +212,17 @@ def extract_mentions_stream(
     and a page arrives whole in one file), so foreachBatch replaying the
     exact batch operator per micro-batch IS the streaming semantics —
     stream output ≡ batch extract_stage over the union of all inputs.
-    Exactly-once: the foreachBatch epoch commits to the streaming
-    checkpoint AFTER the parquet append, and a replayed epoch rewrites the
-    same rows (append of identical data; dedup-by-(url,kind,value) at read
-    time if the sink must be idempotent under crash-replay).
+    Exactly-once: each epoch OVERWRITES its own ``epoch=<id>`` subdirectory
+    — a crash-replayed epoch rewrites the same directory with the same
+    rows instead of appending a duplicate copy (a blind append sink would
+    double every row of an epoch whose write succeeded but whose
+    checkpoint commit did not). Readers `spark.read.parquet(out_dir)` and
+    get ``epoch`` as a discovered partition column.
+
+    The (driver-sized) dictionary is collected ONCE here and closed over —
+    not re-collected per micro-batch (a backlog drain runs hundreds of
+    batches; per-batch collect jobs would add dictionary-sized latency to
+    every one for zero new information).
 
     Returns the StreamingQuery; trigger(availableNow) drains the backlog
     and stops — the catch-up mode the reference's incremental batch loop
@@ -222,9 +236,14 @@ def extract_mentions_stream(
         .option("maxFilesPerTrigger", 4)
         .parquet(pages_dir)
     )
+    alias_rows = alias_dict.select(
+        F.explode("aliases").alias("a"), "entity_id", "kind"
+    ).collect()
 
     def _batch(df: DataFrame, epoch_id: int) -> None:
-        extract_stage(df, alias_dict).write.mode("append").parquet(out_dir)
+        extract_stage(df, alias_dict, alias_rows=alias_rows).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch={epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(_batch)
