@@ -869,3 +869,51 @@ def test_length_quantiles_and_pack_null_text(spark):
     assert got == {0.5: 2}  # NULL row excluded: lens [2, 3], ceil(0.5*2)=1 -> 2
     packed = {r.doc_id for r in CU.sequence_pack(docs, seq_len=4).collect()}
     assert packed == {0, 2}
+
+
+def test_dup_spans_vs_python(spark):
+    """Window-hash duplication profile equals a sequential replay: shared
+    8-token spans across docs AND a span repeated inside one doc both
+    count; short docs get (0, 0, 0.0)."""
+    import hashlib
+    import re
+
+    from web3_knowledge_graph_spark.datasets.dedup import dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (1, shared + " alpha beta gamma delta"),
+        (2, shared + " epsilon zeta eta theta"),           # shares spans with 1
+        (3, "one two three four five six seven eight " * 2),  # self-repeat
+        (4, "totally unique words without any repetition here present now"),
+        (5, "short doc"),                                   # < 8 tokens → 0 windows
+    ]
+    k = 8
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    wins = {}  # (doc, pos) -> hash
+    for d, t in docs:
+        tt = toks(t)
+        for i in range(max(0, len(tt) - k + 1)):
+            h = hashlib.md5(" ".join(tt[i : i + k]).encode()).hexdigest()[:15]
+            wins[(d, i)] = int(h, 16)
+    from collections import Counter
+    occ = Counter(wins.values())
+    expect = {}
+    for d, t in docs:
+        ws = [h for (dd, _), h in wins.items() if dd == d]
+        nd = sum(1 for h in ws if occ[h] >= 2)
+        expect[d] = (len(ws), nd, (nd / len(ws)) if ws else 0.0)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+        for r in dup_spans(df, k=k).collect()
+    }
+    assert got == expect
+    assert got[5] == (0, 0, 0.0)
+    assert got[1][1] > 0 and got[2][1] > 0   # cross-doc shared spans detected
+    assert got[3][1] > 0                     # within-doc repetition detected
+    assert got[4][1] == 0                    # unique doc clean

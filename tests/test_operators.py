@@ -362,3 +362,95 @@ def test_personalized_pagerank_vs_python(spark):
     assert got == r
     assert got[9] == 0 and got[10] == 0  # island never earns mass
     assert got[1] > 0 and got[2] > 0 and got[3] > 0  # cycle holds seed mass
+
+
+def test_asof_join_hand_traced(spark):
+    """Backward as-of semantics against a hand-built tape: exact-ts match
+    is visible, ties resolve to max tiebreak, probes before any state get
+    NULLs, keys are isolated."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.asof import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    state = spark.createDataFrame(
+        [
+            ("a", t(10), 1, 100.0),
+            ("a", t(20), 2, 200.0),
+            ("a", t(20), 3, 300.0),  # tie at :20 — max tiebreak (3) wins
+            ("b", t(15), 4, 400.0),
+        ],
+        "k string, sts timestamp, okey long, oval double",
+    )
+    probe = spark.createDataFrame(
+        [
+            ("a", t(5), 1),   # before any state → NULL
+            ("a", t(10), 2),  # exactly at state ts → sees okey 1
+            ("a", t(20), 3),  # tie instant → sees okey 3
+            ("a", t(25), 4),  # after → still okey 3
+            ("b", t(30), 5),  # other key isolated → okey 4
+            ("c", t(30), 6),  # key with no state → NULL
+        ],
+        "k string, pts timestamp, pid long",
+    )
+    got = {
+        r.pid: (r.okey, r.oval)
+        for r in asof_join(
+            probe, state, key="k", probe_ts="pts", state_ts="sts",
+            value_cols=["okey", "oval"], tiebreak="okey",
+        ).collect()
+    }
+    assert got == {
+        1: (None, None),
+        2: (1, 100.0),
+        3: (3, 300.0),
+        4: (3, 300.0),
+        5: (4, 400.0),
+        6: (None, None),
+    }
+
+
+def test_asof_join_null_state_value_does_not_leak(spark):
+    """A newer state row with a NULL attribute must NOT let the older
+    row's value show through: state travels as one struct, so the newest
+    row wins wholesale (per-column last(ignorenulls) would leak)."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.asof import asof_join
+
+    state = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1, 100.0),
+         ("a", dt.datetime(2024, 1, 2), 2, None)],
+        "k string, sts timestamp, okey long, oval double",
+    )
+    probe = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 3), 1)], "k string, pts timestamp, pid long"
+    )
+    row = asof_join(
+        probe, state, key="k", probe_ts="pts", state_ts="sts",
+        value_cols=["okey", "oval"], tiebreak="okey",
+    ).first()
+    assert row.okey == 2 and row.oval is None
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The union-window plan must cost exactly one Exchange + one Sort —
+    the whole point of the operator vs a range join."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.asof import asof_join
+
+    state = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1)], "k string, sts timestamp, okey long"
+    )
+    probe = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 2), 1)], "k string, pts timestamp, pid long"
+    )
+    df = asof_join(
+        probe, state, key="k", probe_ts="pts", state_ts="sts",
+        value_cols=["okey"], tiebreak="okey",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

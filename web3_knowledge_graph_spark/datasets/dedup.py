@@ -320,3 +320,64 @@ def simhash(
             F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile, the distributed stand-in for
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": remove any ≥50-token span occurring
+    twice in the corpus). A suffix array is a global sequential structure;
+    the scalable relational equivalent hashes every k-token SLIDING window
+    (stride 1 — unlike ``shingle_array`` these keep multiplicity and
+    position count, since a span duplicated inside one doc still counts)
+    and marks windows whose hash occurs ≥2 times corpus-wide.
+
+    Returns one row per doc: (doc_id, n_windows, n_dup_windows, dup_frac).
+    Callers drop/trim docs above a dup_frac threshold.
+
+    Scale shape (the minhash recipe): windows explode as (long, long) rows
+    ≈ one per corpus token; occurrence counts partial-aggregate map-side
+    before one shuffle on the window hash; the mark join is co-partitioned
+    on that same key; the final per-doc rollup is the second (small)
+    shuffle. No pairwise comparisons anywhere — cost is linear in corpus
+    tokens at any duplication rate.
+    """
+    toks = tokens_col(F.col(text_col))
+    # guard: Spark sequence(1, n) with n < 1 DESCENDS instead of yielding
+    # empty — short docs need an explicit empty window set
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("wh"))
+    occ = base.groupBy("wh").agg(F.count(F.lit(1)).alias("occ"))
+    per_doc = (
+        base.join(occ, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            )
+            .alias("dup_frac"),
+        )
+    )

@@ -32,6 +32,7 @@ from .fixtures.dictionaries import STOPWORDS
 from .functions import mentions as M
 from .functions import normalize as N
 from .operators import linking
+from .operators.asof import asof_join
 from .operators.canon import connected_components
 from .operators.communities import label_propagation, label_propagation_oracle_sql
 from .operators.holdings import rotate_holdings
@@ -403,6 +404,29 @@ def q_has_alias_triples(spark, sf_dir):
         F.concat(F.lit("Wallet:"), "wallet").alias("subj"),
         F.lit("HAS_ALIAS").alias("pred"),
         F.concat(F.lit("Ens:"), "ens").alias("obj"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time enrichment: each event carries the user's most recent
+    order at-or-before the event instant (operators/asof.py union-window
+    plan, one shuffle). The reference's per-account 'state as of the last
+    check' reads (postProcessing/curatedTokenHolding/process.py:22-51,
+    twitterFollowers/process.py:121-127) as a relational operator."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate", "o_orderkey", "o_totalprice",
+    )
+    out = asof_join(
+        e, o, key="user_id", probe_ts="ts", state_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"], tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
     )
 
 
@@ -1208,6 +1232,14 @@ def q_pricing_summary(spark, sf_dir):
 
 
 ORACLE_WINDOWED = {
+    "asof_join": f"""
+SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts,
+  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+FROM events e LEFT JOIN orders o ON o.o_orderkey = (
+  SELECT o2.o_orderkey FROM orders o2
+  WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts
+  ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC LIMIT 1)
+""",
     "events_hourly": f"""
 SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
   event_type, COUNT(*) AS n,
@@ -1272,6 +1304,14 @@ def q_jaccard_pairs(spark, sf_dir):
     oracle ground truth. At scale the same function runs as a verification
     subroutine over LSH candidates (see near_dedup; PLANS.md)."""
     return D.jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.05)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication profile (suffix-array dedup stand-in,
+    Lee et al. 2022): per-doc fraction of 8-token sliding windows whose
+    hash occurs ≥2 times corpus-wide. Linear in corpus tokens — no
+    pairwise stage (datasets/dedup.dup_spans)."""
+    return D.dup_spans(_t(spark, sf_dir, "documents"), k=8)
 
 
 def q_embed_knn(spark, sf_dir):
@@ -1727,6 +1767,24 @@ inter AS (
 SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
 FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 WHERE i / (sa.sz + sb.sz - i) >= 0.05
+""",
+    "dup_spans": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+    {_H60.format(expr="array_to_string(t[i : i + 7], ' ')")} AS wh
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks)),
+occ AS (SELECT wh, COUNT(*) AS occ FROM wins GROUP BY wh),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+    SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM wins JOIN occ USING (wh) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CASE WHEN COALESCE(p.n_windows, 0) = 0 THEN 0.0
+       ELSE CAST(p.n_dup_windows AS DOUBLE) / p.n_windows END AS dup_frac
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """,
     "embed_knn": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2537,6 +2595,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scored_links": q_scored_links,
         "has_alias_triples": q_has_alias_triples,
         "first_event": q_first_event,
+        "asof_join": q_asof_join,
         "holdings_rotation": q_holdings_rotation,
         "bipartite_projection": q_bipartite_projection,
         "reputation": q_reputation,
@@ -2567,6 +2626,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "dup_spans": q_dup_spans,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "lang_id": q_lang_id,
