@@ -454,3 +454,32 @@ def test_asof_join_single_shuffle_plan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_grant_donor_two_axis_communities(spark):
+    """Two disjoint donation blocks must come out as two communities on
+    BOTH projection axes (the gitcoin-communities shape: one bipartite
+    graph, partitioned per axis)."""
+    from web3_knowledge_graph_spark.operators.communities import label_propagation
+    from web3_knowledge_graph_spark.operators.projection import bipartite_project
+
+    # block A: donors 1-3 × grants 101-103 (complete), block B: 4-6 × 104-106
+    rel = spark.createDataFrame(
+        [(d, g) for d in (1, 2, 3) for g in (101, 102, 103)]
+        + [(d, g) for d in (4, 5, 6) for g in (104, 105, 106)],
+        "donor long, grant long",
+    )
+    for bottom, top, members in (
+        ("donor", "grant", ({101, 102, 103}, {104, 105, 106})),
+        ("grant", "donor", ({1, 2, 3}, {4, 5, 6})),
+    ):
+        proj = bipartite_project(rel, bottom_col=bottom, top_col=top, threshold=2)
+        labels = {
+            r.id: r.community
+            for r in label_propagation(
+                proj, src="top_a", dst="top_b", weight="shared", rounds=3
+            ).collect()
+        }
+        for blk in members:
+            assert len({labels[m] for m in blk}) == 1  # one community per block
+        assert labels[min(members[0])] != labels[min(members[1])]

@@ -547,6 +547,44 @@ def q_community_partitions(spark, sf_dir):
     return materialize_partitions(q_communities(spark, sf_dir))
 
 
+def q_grant_donor_communities(spark, sf_dir):
+    """The gitcoin-communities analytic (analytics/gitcoin/analyze.py:17-44):
+    ONE donation bipartite graph (donor, grant), projected on BOTH axes —
+    grants linked by shared donors, donors linked by shared grants — each
+    projection partitioned independently (reference: Louvain per axis; here
+    the same deterministic LPA as wallet_communities, divergence documented
+    in COVERAGE.md §2.10). Output: (axis, id, community) for both axes."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rel = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("donor"), F.col("l_partkey").alias("grant"))
+        .distinct()
+    )
+    outs = []
+    for axis, bottom, top in (("grants", "donor", "grant"), ("donors", "grant", "donor")):
+        proj = bipartite_project(rel, bottom_col=bottom, top_col=top, threshold=3)
+        labels = label_propagation(proj, src="top_a", dst="top_b", weight="shared", rounds=3)
+        outs.append(labels.select(F.lit(axis).alias("axis"), "id", "community"))
+    return outs[0].unionByName(outs[1])
+
+
+def _gitcoin_axis_cte(bottom: str, top: str) -> str:
+    """Edge CTE e(a, b, w) for one projection axis of the donation graph —
+    mirrors bipartite_project (distinct rel, bottom-degree cap, threshold 3,
+    symmetrized) so label_propagation_oracle_sql can replay the rounds."""
+    return f"""rel AS (
+  SELECT DISTINCT o_custkey AS donor_id, l_partkey AS grant_id
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+deg AS (SELECT {bottom} AS bk FROM rel GROUP BY {bottom} HAVING COUNT(*) <= 10000),
+r2 AS (SELECT rel.donor_id, rel.grant_id FROM rel JOIN deg ON rel.{bottom} = deg.bk),
+e0 AS (
+  SELECT x.{top} AS a, y.{top} AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM r2 x JOIN r2 y ON x.{bottom} = y.{bottom} AND x.{top} < y.{top}
+  GROUP BY x.{top}, y.{top} HAVING COUNT(*) >= 3),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)"""
+
+
 _COMMUNITIES_EDGES_CTE = """rel AS (
   SELECT DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
          CAST(user_id AS BIGINT) AS u
@@ -676,6 +714,13 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
 ORACLE_GRAPH["communities"] = label_propagation_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4
 )
+ORACLE_GRAPH["grant_donor_communities"] = f"""
+SELECT 'grants' AS axis, id, community
+FROM ({label_propagation_oracle_sql(_gitcoin_axis_cte("donor_id", "grant_id"), rounds=3)})
+UNION ALL
+SELECT 'donors' AS axis, id, community
+FROM ({label_propagation_oracle_sql(_gitcoin_axis_cte("grant_id", "donor_id"), rounds=3)})
+"""
 ORACLE_GRAPH["community_partitions"] = f"""
 SELECT lpa.id AS user_id, 'HAS_PARTITION' AS pred,
        lpa.community AS partition, sz.n_members
@@ -2602,6 +2647,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "communities": q_communities,
         "community_partitions": q_community_partitions,
+        "grant_donor_communities": q_grant_donor_communities,
         "shortest_paths": q_shortest_paths,
         "url_hosts": q_url_hosts,
         "spam_flagging": q_spam_flagging,
