@@ -483,3 +483,70 @@ def test_grant_donor_two_axis_communities(spark):
         for blk in members:
             assert len({labels[m] for m in blk}) == 1  # one community per block
         assert labels[min(members[0])] != labels[min(members[1])]
+
+
+def test_interval_join_hand_traced(spark):
+    """Closed-boundary containment, key isolation, invalid intervals
+    dropped, and a bucket-straddling interval still matches (the bucketed
+    plan must not lose cross-bucket containment)."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.interval import interval_join
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    iv = spark.createDataFrame(
+        [
+            ("a", t(10), t(12), 1),   # 2h window
+            ("a", t(15, 30), t(16, 30), 2),  # straddles the 16:00 bucket edge
+            ("b", t(10), t(12), 3),
+            ("a", t(20), t(19), 4),   # invalid: end < start → dropped
+        ],
+        "k string, s timestamp, e timestamp, iv_id long",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("a", t(10), 1),     # == start → match 1 (closed)
+            ("a", t(12), 2),     # == end → match 1 (closed)
+            ("a", t(12, 1), 3),  # just past end → no match
+            ("a", t(16, 15), 4), # inside straddling window → match 2
+            ("b", t(11), 5),     # key b → match 3 only
+            ("c", t(11), 6),     # unknown key → nothing
+            ("a", t(19, 30), 7), # inside invalid window's span → nothing
+        ],
+        "k string, ts timestamp, pid long",
+    )
+    got = {
+        (r.pid, r.iv_id)
+        for r in interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            key="k", bucket_width_s=3600,
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (4, 2), (5, 3)}
+
+
+def test_interval_join_long_interval_broadcast_path(spark):
+    """An interval spanning more buckets than long_bucket_limit must still
+    match (via the broadcast branch, not a giant explode)."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), dt.datetime(2024, 3, 1), 1)],
+        "k string, s timestamp, e timestamp, iv_id long",
+    )
+    pts = spark.createDataFrame(
+        [("a", dt.datetime(2024, 2, 1), 1), ("a", dt.datetime(2024, 4, 1), 2)],
+        "k string, ts timestamp, pid long",
+    )
+    got = {
+        (r.pid, r.iv_id)
+        for r in interval_join(
+            pts, iv, point_ts="ts", start_col="s", end_col="e",
+            key="k", bucket_width_s=3600, long_bucket_limit=64,
+        ).collect()
+    }
+    assert got == {(1, 1)}  # 1440-bucket interval matched without explode

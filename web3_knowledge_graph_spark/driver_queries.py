@@ -430,6 +430,33 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Range-containment join: every event falling inside a 2-hour window
+    opened by the same user's purchase (operators/interval.py bucketed
+    short/long split — no nested-loop, no cartesian). The reference's
+    windowed containment reads (tokenHolders/cypher.py:104-148,
+    twitterFollowers/process.py:121-127) as a relational operator."""
+    from .operators.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pts = e.select("event_id", "user_id", "ts")
+    out = interval_join(
+        pts, iv, point_ts="ts", start_col="w_start", end_col="w_end",
+        key="user_id", bucket_width_s=3600,
+    )
+    return out.where(F.col("event_id") != F.col("purchase_id")).select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        "purchase_id",
+    )
+
+
 def q_first_event(spark, sf_dir):
     """first-per-group (scraping/mirror/scrape.py:143) on events."""
     e = _t(spark, sf_dir, "events")
@@ -1284,6 +1311,17 @@ FROM events e LEFT JOIN orders o ON o.o_orderkey = (
   SELECT o2.o_orderkey FROM orders o2
   WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts
   ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC LIMIT 1)
+""",
+    "interval_join": f"""
+WITH iv AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, strftime(p.ts, '{TS_FMT_DUCK}') AS ts,
+       iv.purchase_id
+FROM events p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts >= iv.w_start AND p.ts <= iv.w_end
+  AND p.event_id != iv.purchase_id
 """,
     "events_hourly": f"""
 SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
@@ -2641,6 +2679,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_alias_triples": q_has_alias_triples,
         "first_event": q_first_event,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "holdings_rotation": q_holdings_rotation,
         "bipartite_projection": q_bipartite_projection,
         "reputation": q_reputation,
