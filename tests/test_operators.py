@@ -550,3 +550,32 @@ def test_interval_join_long_interval_broadcast_path(spark):
         ).collect()
     }
     assert got == {(1, 1)}  # 1440-bucket interval matched without explode
+
+
+def test_hits_vs_python(spark):
+    """Fixed-point HITS equals the exact sequential replay on a small
+    directed graph; sink/source degeneracies covered (no in-edges → auth
+    0, no out-edges → hub 0)."""
+    from web3_knowledge_graph_spark.operators.hits import SCALE, hits
+
+    edges = [(1, 10), (2, 10), (2, 11), (3, 11), (10, 20)]
+    got = {
+        r.id: (r.hub_micro, r.auth_micro)
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), rounds=4
+        ).collect()
+    }
+
+    nodes = {n for e in edges for n in e}
+    h = {n: SCALE for n in nodes}
+    for _ in range(4):
+        ar = {n: sum(h[s] for s, d in edges if d == n) for n in nodes}
+        mx = max(ar.values())
+        a = {n: (v * SCALE) // mx if mx > 0 else 0 for n, v in ar.items()}
+        hr = {n: sum(a[d] for s, d in edges if s == n) for n in nodes}
+        mx = max(hr.values())
+        h = {n: (v * SCALE) // mx if mx > 0 else 0 for n, v in hr.items()}
+    assert got == {n: (h[n], a[n]) for n in nodes}
+    assert got[1][1] == 0   # node 1 has no in-edges → authority 0
+    assert got[20][0] == 0  # node 20 has no out-edges → hub 0
+    assert got[2][0] == SCALE  # node 2 points at both strong authorities

@@ -1543,6 +1543,20 @@ def q_personalized_pagerank(spark, sf_dir):
     return PR.personalized_pagerank(edges, seeds, rounds=6)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (4 max-normalized fixed-point rounds) over
+    the same directed user->prop-key graph as pagerank — hubs = users
+    spreading attention, authorities = the keys attention lands on."""
+    from .operators.hits import hits
+
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    edges = e.select(
+        F.col("user_id").cast("long").alias("src"), (k + 1000000).alias("dst")
+    )
+    return hits(edges, rounds=4)
+
+
 def q_pagerank(spark, sf_dir):
     """Deterministic fixed-point PageRank (6 damped rounds, micro-unit
     longs — see operators/pagerank.py for why not doubles) over the
@@ -2106,6 +2120,10 @@ _EVENTS_EDGES_CTE = (
 )
 
 ORACLE_DATASETS["pagerank"] = PR.pagerank_oracle_sql(_EVENTS_EDGES_CTE, rounds=6)
+
+from .operators.hits import hits_oracle_sql as _hits_oracle_sql  # noqa: E402
+
+ORACLE_DATASETS["hits"] = _hits_oracle_sql(_EVENTS_EDGES_CTE, rounds=4)
 
 ORACLE_DATASETS["personalized_pagerank"] = PR.personalized_pagerank_oracle_sql(
     _EVENTS_EDGES_CTE,
@@ -2728,6 +2746,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "personalized_pagerank": q_personalized_pagerank,
         "curated_corpus": q_curated_corpus,
         "lm_quality": q_lm_quality,
