@@ -239,3 +239,56 @@ def test_sessionize_multi_chunk_group(spark, tmp_path):
         assert sessions == {(7, 25)}  # one session, EVERY event counted
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_trending_stream_matches_batch_topk(spark, tmp_path):
+    """Streaming trending top-k == batch windowed-count rank, for every
+    window the watermark finalized; each finalized window appears exactly
+    once across epochs (the append-mode emit-once contract the per-epoch
+    rank relies on)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    d, out, ckpt = (
+        str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    # hour 0: 5 clicks, 3 views, 1 error; hour 1: 4 errors, 2 signups
+    for n, et, h in ((5, "click", 0), (3, "view", 0), (1, "error", 0),
+                     (4, "error", 1), (2, "signup", 1)):
+        for i in range(n):
+            rows.append((eid, t0 + pd.Timedelta(hours=h, minutes=i), 1, et, 1.0, "{}"))
+            eid += 1
+    # sentinel far in the future: watermark passes both hours' window ends
+    rows.append((eid, t0 + pd.Timedelta(hours=12), 9, "view", 1.0, "{}"))
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols), schema=J.EVENTS_SCHEMA
+    ).write.mode("overwrite").parquet(d)
+
+    q = J.trending_stream(spark, d, out, ckpt, window="1 hour",
+                          watermark="2 hours", k=2)
+    q.awaitTermination()
+    got = {
+        (str(r.window_start), r.event_type, r.n, r.rank)
+        for r in spark.read.parquet(out).drop("epoch").collect()
+    }
+
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # only windows the final watermark (12:00 - 2h = 10:00) finalized
+        .where(F.col("window_start") < F.lit("2024-01-01 09:00:00").cast("timestamp"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    want = {
+        (str(r.window_start), r.event_type, r.n, r.rank)
+        for r in batch.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2).collect()
+    }
+    assert got == want
+    assert ("2024-01-01 00:00:00", "click", 5, 1) in got
+    assert ("2024-01-01 01:00:00", "error", 4, 1) in got

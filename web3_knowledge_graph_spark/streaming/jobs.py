@@ -283,6 +283,58 @@ def dedup_stream(
     )
 
 
+def trending_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+):
+    """Streaming trending top-k: per finalized tumbling window, the k
+    event types with the most events (ties broken by name — deterministic).
+
+    Composition, not a new stateful operator: windowed_event_counts in
+    APPEND mode emits a window's rows exactly once — when the event-time
+    watermark passes its end — so every row of a finalized window arrives
+    in ONE foreachBatch epoch, and a plain batch rank inside the epoch is
+    globally correct. (A streaming rank-over-agg is unsupported for
+    exactly this reason; the append-mode watermark contract is what makes
+    the per-epoch rank sound.) Epochs overwrite their own epoch=<id>
+    directory — the idempotent replay sink proven by
+    extract_mentions_stream.
+
+    State stays bounded by the watermark horizon (finalized windows are
+    dropped from the agg state); the rank is per-window and window
+    cardinality per epoch is tiny.
+
+    Returns the StreamingQuery (trigger availableNow — drain and stop).
+    """
+    from pyspark.sql import Window as W
+
+    counts = windowed_event_counts(
+        read_event_stream(spark, events_dir), window=window, watermark=watermark
+    )
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        w = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+        (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        counts.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
