@@ -917,3 +917,52 @@ def test_dup_spans_vs_python(spark):
     assert got[1][1] > 0 and got[2][1] > 0   # cross-doc shared spans detected
     assert got[3][1] > 0                     # within-doc repetition detected
     assert got[4][1] == 0                    # unique doc clean
+
+
+def test_cms_heavy_hitters_vs_python(spark):
+    """Sketch counters, estimates, and hitters equal a sequential CMS
+    replay; estimates never under-count (the one-sided CMS guarantee)."""
+    import hashlib
+    from collections import Counter
+
+    from web3_knowledge_graph_spark.datasets.sketches import (
+        cms_build, cms_estimate, heavy_hitters,
+    )
+
+    d, w = 2, 8  # tiny: force collisions
+    keys = [1] * 20 + [2] * 15 + [3] * 3 + [4] * 2 + [5] * 1
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+    def h(i, k):
+        return int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:15], 16) % w
+
+    sk = Counter()
+    for k in keys:
+        for i in range(d):
+            sk[(i, h(i, k))] += 1
+    got_sketch = {
+        (r.i, r.bucket): r.c
+        for r in cms_build(df, "user_id", d=d, w=w).collect()
+    }
+    assert got_sketch == dict(sk)
+
+    exact = Counter(keys)
+    probes = spark.createDataFrame([(k,) for k in set(keys)], "user_id long")
+    got_est = {
+        r.user_id: r.est
+        for r in cms_estimate(
+            cms_build(df, "user_id", d=d, w=w), probes, "user_id", d=d, w=w
+        ).collect()
+    }
+    for k in set(keys):
+        want = min(sk[(i, h(i, k))] for i in range(d))
+        assert got_est[k] == want
+        assert got_est[k] >= exact[k]  # never under-counts
+
+    hh = {
+        r.user_id: (r.est, r.exact, r.is_true_hitter)
+        for r in heavy_hitters(df, "user_id", threshold=15, d=d, w=w).collect()
+    }
+    assert set(hh) == {k for k in set(keys) if got_est[k] >= 15}
+    assert all(est >= 15 and (flag == (ex >= 15)) for est, ex, flag in hh.values())
+    assert hh[1][2] and hh[2][2]  # the two true hitters survive with flag

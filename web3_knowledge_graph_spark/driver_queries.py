@@ -1413,6 +1413,19 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the event user domain
+    (datasets/sketches.py): d=2 × w=64 deliberately undersized so bucket
+    collisions — the thing a sketch trades for its fixed size — actually
+    occur and the exact-verify column exposes them. The oracle replays the
+    identical md5-derived sketch, not a statistical approximation."""
+    from .datasets.sketches import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf_dir, "events"), key_col="user_id", threshold=70, d=2, w=64
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return TS.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1898,6 +1911,28 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
 """,
     # embed_neardup is generated below (_embed_neardup_oracle): the LSH
     # hyperplanes are md5-derived constants, inlined as SQL array literals.
+    "heavy_hitters": f"""
+WITH rows_ AS (
+  SELECT g.i AS i,
+    {_H60.format(expr="CAST(g.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 64 AS bucket
+  FROM events, (SELECT unnest(range(0, 2)) AS i) g),
+sketch AS (SELECT i, bucket, COUNT(*) AS c FROM rows_ GROUP BY i, bucket),
+dk AS (SELECT DISTINCT user_id FROM events),
+est AS (
+  SELECT dk.user_id,
+    LEAST(COALESCE(s0.c, 0), COALESCE(s1.c, 0)) AS est
+  FROM dk
+  LEFT JOIN sketch s0 ON s0.i = 0
+    AND s0.bucket = {_H60.format(expr="'0:' || CAST(dk.user_id AS VARCHAR)")} % 64
+  LEFT JOIN sketch s1 ON s1.i = 1
+    AND s1.bucket = {_H60.format(expr="'1:' || CAST(dk.user_id AS VARCHAR)")} % 64),
+hh AS (SELECT user_id, CAST(est AS BIGINT) AS est FROM est WHERE est >= 70),
+ex AS (
+  SELECT e.user_id, COUNT(*) AS exact
+  FROM events e JOIN hh ON e.user_id = hh.user_id GROUP BY e.user_id)
+SELECT hh.user_id, hh.est, ex.exact, ex.exact >= 70 AS is_true_hitter
+FROM hh JOIN ex ON hh.user_id = ex.user_id
+""",
     "lang_id": f"""
 WITH sw(lang, word) AS (VALUES {_SW_VALUES}),
 toks AS (
@@ -2730,6 +2765,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "dup_spans": q_dup_spans,
+        "heavy_hitters": q_heavy_hitters,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "lang_id": q_lang_id,
