@@ -579,3 +579,29 @@ def test_hits_vs_python(spark):
     assert got[1][1] == 0   # node 1 has no in-edges → authority 0
     assert got[20][0] == 0  # node 20 has no out-edges → hub 0
     assert got[2][0] == SCALE  # node 2 points at both strong authorities
+
+
+def test_asof_join_null_state_ts_dropped(spark):
+    """A state row with NULL timestamp must never become 'the latest
+    state': it is not at-or-before anything (regression — NULLS FIRST in
+    the window sort used to hand it to every earliest probe)."""
+    import datetime as dt
+
+    from web3_knowledge_graph_spark.operators.asof import asof_join
+
+    state = spark.createDataFrame(
+        [("a", None, 99, 999.0), ("a", dt.datetime(2024, 1, 2), 1, 100.0)],
+        "k string, sts timestamp, okey long, oval double",
+    )
+    probe = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1), ("a", dt.datetime(2024, 1, 3), 2)],
+        "k string, pts timestamp, pid long",
+    )
+    got = {
+        r.pid: r.okey
+        for r in asof_join(
+            probe, state, key="k", probe_ts="pts", state_ts="sts",
+            value_cols=["okey", "oval"], tiebreak="okey",
+        ).collect()
+    }
+    assert got == {1: None, 2: 1}  # NULL-ts row invisible to both probes

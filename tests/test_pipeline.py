@@ -424,3 +424,35 @@ def test_warehouse_orphan_snapshot_recovery(spark, tmp_path):
     v = t.overwrite(spark.createDataFrame([(2,)], "x long"))
     assert v == 3 and t.current_version() == 3
     assert [r.x for r in t.read(spark).collect()] == [2]
+
+
+def test_resume_date_shrinks_to_zero_mentions(spark, tmp_path):
+    """Every date's re-extraction yielding ZERO mentions must (a) remove
+    the stale mention partitions (dynamic overwrite alone would keep them)
+    and (b) leave the warehouse READABLE — a mentions_data dir holding
+    only _SUCCESS used to crash the same run's read-back, and every later
+    resume, with 'Unable to infer schema' (regression). Triples keep the
+    documented Cypher-MERGE contract: the graph never shrinks."""
+    import os
+
+    from web3_knowledge_graph_spark.fixtures import corpus
+
+    root = str(tmp_path / "wh")
+    side = _side(spark)
+    rich = corpus.pages_df(spark, 60, partitions=2)
+    n1 = run_pipeline(spark, rich, side, root, buckets=2).count()
+
+    # same urls + dates, content edited so extraction finds nothing —
+    # this run reads mentions_data AFTER the zero-count cleanup emptied it
+    empty = rich.withColumn("html", F.lit(None).cast("binary")).withColumn(
+        "text", F.lit("plain words only")
+    )
+    n2 = run_pipeline(spark, empty, side, root, buckets=2).count()
+    assert n2 == n1  # MERGE never deletes (reference Cypher-MERGE contract)
+    # stale mention partitions really are gone (not resurrectable state)
+    assert not any(
+        e.startswith("_d=") for e in os.listdir(f"{root}/mentions_data")
+    )
+    # and a further resume off the partitionless dir also works
+    n3 = run_pipeline(spark, empty, side, root, buckets=2).count()
+    assert n3 == n2

@@ -89,19 +89,29 @@ def heavy_hitters(
     threshold: int,
     d: int = 4,
     w: int = 1024,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Keys whose sketch estimate reaches ``threshold``, with the exact
     count alongside: (key, est, exact, is_true_hitter). CMS never
-    under-counts, so recall is 1.0 by construction — the exact-count
-    column exposes the (bounded) false positives instead of hiding them.
+    under-counts, so every true hitter IN THE PROBED SET survives — the
+    exact-count column exposes the (bounded) false positives instead of
+    hiding them.
 
-    The verification join runs over sketch-qualified candidates only; at
-    scale that is the point — the exact groupBy happens on the small
-    candidate set, not the full key domain.
+    ``candidates``: the keys to probe. At scale this is where the sketch
+    earns its keep — a sampled/external/prior-window candidate stream
+    probed against a sketch built in one bounded shuffle, never an
+    enumeration of the full key domain. The default (None) probes
+    df's DISTINCT keys, which is only honest for small domains: that
+    distinct() moves the same exchange volume as an exact
+    groupBy().count() would, so with it the sketch demonstrates the
+    machinery rather than beating the naive plan.
+
+    The exact-verify groupBy runs over sketch-qualified candidates only.
     """
     sketch = cms_build(df, key_col, d=d, w=w)
-    distinct_keys = df.select(key_col).distinct()
-    est = cms_estimate(sketch, distinct_keys, key_col, d=d, w=w).where(
+    if candidates is None:
+        candidates = df.select(key_col).distinct()
+    est = cms_estimate(sketch, candidates, key_col, d=d, w=w).where(
         F.col("est") >= threshold
     )
     exact = (

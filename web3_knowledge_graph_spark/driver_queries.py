@@ -597,32 +597,28 @@ def q_grant_donor_communities(spark, sf_dir):
 
 
 def _gitcoin_axis_cte(bottom: str, top: str) -> str:
-    """Edge CTE e(a, b, w) for one projection axis of the donation graph —
-    mirrors bipartite_project (distinct rel, bottom-degree cap, threshold 3,
-    symmetrized) so label_propagation_oracle_sql can replay the rounds."""
-    return f"""rel AS (
-  SELECT DISTINCT o_custkey AS donor_id, l_partkey AS grant_id
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-deg AS (SELECT {bottom} AS bk FROM rel GROUP BY {bottom} HAVING COUNT(*) <= 10000),
-r2 AS (SELECT rel.donor_id, rel.grant_id FROM rel JOIN deg ON rel.{bottom} = deg.bk),
-e0 AS (
-  SELECT x.{top} AS a, y.{top} AS b, CAST(COUNT(*) AS BIGINT) AS w
-  FROM r2 x JOIN r2 y ON x.{bottom} = y.{bottom} AND x.{top} < y.{top}
-  GROUP BY x.{top}, y.{top} HAVING COUNT(*) >= 3),
-e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)"""
+    """Edge CTE e(a, b, w) for one projection axis of the donation graph:
+    generated by bipartite_project_oracle_sql so the replay can never
+    drift from the operator's cap/threshold/symmetrize semantics."""
+    from .operators.projection import bipartite_project_oracle_sql
+
+    return bipartite_project_oracle_sql(
+        "rel AS (\n"
+        "  SELECT DISTINCT o_custkey AS donor_id, l_partkey AS grant_id\n"
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        bottom=bottom, top=top, threshold=3,
+    )
 
 
-_COMMUNITIES_EDGES_CTE = """rel AS (
-  SELECT DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
-         CAST(user_id AS BIGINT) AS u
-  FROM events),
-deg AS (SELECT k FROM rel GROUP BY k HAVING COUNT(*) <= 10000),
-r2 AS (SELECT rel.k, rel.u FROM rel JOIN deg USING (k)),
-e0 AS (
-  SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS w
-  FROM r2 x JOIN r2 y ON x.k = y.k AND x.u < y.u
-  GROUP BY x.u, y.u HAVING COUNT(*) >= 2),
-e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)"""
+from .operators.projection import bipartite_project_oracle_sql as _bp_oracle  # noqa: E402
+
+_COMMUNITIES_EDGES_CTE = _bp_oracle(
+    "rel AS (\n"
+    "  SELECT DISTINCT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,\n"
+    "         CAST(user_id AS BIGINT) AS u\n"
+    "  FROM events)",
+    bottom="k", top="u", threshold=2,
+)
 
 
 ORACLE_GRAPH = {

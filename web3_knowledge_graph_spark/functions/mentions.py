@@ -369,6 +369,7 @@ def dictionary_mentions(
     text_col: str = "text",
     key_col: str = "url",
     carry_cols: tuple[str, ...] = (),
+    alias_strings: list[str] | None = None,
 ) -> DataFrame:
     """Trie/dictionary entity matches via tokenize + broadcast join.
 
@@ -386,7 +387,7 @@ def dictionary_mentions(
     # chunked codegen'd alternations) instead of exploding every token
     # (~100/doc) into the join — that moves two orders of magnitude more
     # rows than the ~1/doc that match.
-    arrays = _dict_hit_arrays(alias_dict, F.col(text_col))
+    arrays = _dict_hit_arrays(alias_dict, F.col(text_col), alias_strings=alias_strings)
     if not arrays:  # empty dictionary: no aliases → no mentions, not a crash
         hits = F.array().cast("array<string>")
     else:

@@ -60,8 +60,18 @@ def asof_join(
     clash = set(value_cols) & set(probe.columns)
     if clash:
         raise ValueError(f"value_cols collide with probe columns: {sorted(clash)}")
+    reserved = {"_ts", "_side", "_tb", "_state", "_last"} & (
+        set(probe.columns) | set(state.columns)
+    )
+    if reserved:
+        raise ValueError(f"reserved working columns present in input: {sorted(reserved)}")
 
-    s = state.select(
+    s = state.where(F.col(state_ts).isNotNull()).select(
+        # NULL-ts state rows would sort NULLS FIRST and become "the latest
+        # state" for probes preceding any real state — a row that was never
+        # at-or-before anything. A timestamp-less state row is meaningless
+        # under as-of semantics; drop it (matching the SQL replay, where
+        # `state_ts <= probe_ts` excludes NULLs).
         *keys,
         F.col(state_ts).alias("_ts"),
         F.lit(0).alias("_side"),

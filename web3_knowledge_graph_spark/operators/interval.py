@@ -61,6 +61,11 @@ def interval_join(
     clash = set(iv_cols) & set(points.columns)
     if clash:
         raise ValueError(f"interval columns collide with point columns: {sorted(clash)}")
+    reserved = {"_b", "_s", "_e", "_nb"} & (
+        set(points.columns) | set(intervals.columns)
+    )
+    if reserved:
+        raise ValueError(f"reserved working columns present in input: {sorted(reserved)}")
 
     # floor, not cast-truncation: cast("long") truncates toward zero, which
     # mis-buckets pre-1970 (negative-micros) timestamps

@@ -41,3 +41,30 @@ def bipartite_project(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= threshold)
     )
+
+
+def bipartite_project_oracle_sql(
+    rel_cte: str,
+    bottom: str,
+    top: str,
+    threshold: int,
+    max_key_degree: int = 10_000,
+) -> str:
+    """DuckDB CTE chain replaying ``bipartite_project`` plus the undirected
+    symmetrization the graph operators expect, ending in ``e(a, b, w)``.
+    ``rel_cte`` must define ``rel(<bottom>, <top>)`` already DISTINCT.
+
+    Single source of truth for the replay: before this generator, the
+    deg-cap / threshold / symmetrize shape was hand-copied into each
+    oracle string, so changing the operator's ``max_key_degree`` default
+    could silently desynchronize several oracles at once (the same
+    argument as label_propagation_oracle_sql / hits_oracle_sql).
+    """
+    return f"""{rel_cte},
+deg AS (SELECT {bottom} AS bk FROM rel GROUP BY {bottom} HAVING COUNT(*) <= {max_key_degree}),
+r2 AS (SELECT rel.* FROM rel JOIN deg ON rel.{bottom} = deg.bk),
+e0 AS (
+  SELECT x.{top} AS a, y.{top} AS b, CAST(COUNT(*) AS BIGINT) AS w
+  FROM r2 x JOIN r2 y ON x.{bottom} = y.{bottom} AND x.{top} < y.{top}
+  GROUP BY x.{top}, y.{top} HAVING COUNT(*) >= {threshold}),
+e AS (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0)"""

@@ -145,7 +145,14 @@ def extract_stage(
         return _counted_explode(srt0, carry_cols)
 
     if len(alias_rows) > FUSE_DICT_MAX_ALIASES:
-        dict_m = M.dictionary_mentions(texted, alias_dict, carry_cols=carry_cols)
+        # pass the pre-collected alias list through: without it a streaming
+        # caller (extract_mentions_stream) re-runs the alias collect every
+        # micro-batch — in exactly the large-dictionary regime where the
+        # collect is most expensive
+        dict_m = M.dictionary_mentions(
+            texted, alias_dict, carry_cols=carry_cols,
+            alias_strings=[r.a for r in alias_rows],
+        )
         srt0 = texted.select(
             F.col("url"), *carry_cols,
             F.array_sort(regex_tagged).alias("_srt"),
@@ -606,13 +613,27 @@ def run_pipeline(
 
     import os
 
-    if os.path.isdir(f"{warehouse_root}/mentions_data"):
+    def _has_partitions() -> bool:
+        # isdir alone is not enough: the zero-mention rmtree above can
+        # leave mentions_data holding only _SUCCESS, and read.parquet on a
+        # partitionless directory throws "Unable to infer schema" — which
+        # would brick every subsequent resume of this warehouse
+        try:
+            return any(
+                n.startswith("_d=")
+                for n in os.listdir(f"{warehouse_root}/mentions_data")
+            )
+        except FileNotFoundError:
+            return False
+
+    if _has_partitions():
         mentions = (
             spark.read.parquet(f"{warehouse_root}/mentions_data")
             .select("url", "kind", "value", "n")
         )
     else:
-        # empty corpus: no extract batch ever ran, so no output dir exists
+        # empty corpus (no extract batch ever ran) or every date's latest
+        # extraction produced zero mentions
         mentions = spark.createDataFrame(
             [], "url string, kind string, value string, n bigint"
         )
