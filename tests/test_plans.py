@@ -194,3 +194,71 @@ def test_triangles_no_cartesian(spark):
     plan = _final_plan(q_triangles(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_one_exchange_one_sort(spark):
+    """PLANS.md: the union-window as-of plan costs exactly one Exchange on
+    the key plus one in-partition sort — no range join, no per-row probe."""
+    from web3_knowledge_graph_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id", "ts")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    plan = _final_plan(asof_join(
+        e, o, key="user_id", probe_ts="ts", state_ts="o_orderdate",
+        value_cols=["o_orderkey"], tiebreak="o_orderkey",
+    ))
+    # AdaptiveSparkPlan.toString prints Final AND Initial sections — count
+    # exchanges in the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_no_nested_loop_for_short_intervals(spark):
+    """PLANS.md: short intervals go through the bucketed equi-join; the
+    full corpus must never hit a nested-loop/cartesian plan. (The long
+    branch exists in the plan but joins an empty broadcast side here.)"""
+    from web3_knowledge_graph_spark.operators.interval import interval_join
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    iv = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e2"),
+        F.col("event_id").alias("iv_id"),
+    )
+    pts = e.select("event_id", "user_id", "ts")
+    plan = _final_plan(interval_join(
+        pts, iv, point_ts="ts", start_col="s", end_col="e2",
+        key="user_id", bucket_width_s=3600,
+    ))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_partial_count_before_exchange(spark):
+    """PLANS.md: window-hash occurrence counts partial-aggregate map-side
+    (HashAggregate below the exchange on the hash key) — the exchange
+    moves per-(doc,hash-partial) rows, not one row per window position."""
+    from web3_knowledge_graph_spark.datasets.dedup import dup_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(dup_spans(d, k=8))
+    import re
+
+    # a partial_count must appear BEFORE (deeper than) the exchange on wh
+    assert re.search(r"partial_count", plan), plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_build_exchange_bounded_by_sketch(spark):
+    """PLANS.md: the sketch build partial-aggregates onto ≤ d×w grouping
+    keys before its exchange — counter merge, not row transport."""
+    from web3_knowledge_graph_spark.datasets.sketches import cms_build
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _final_plan(cms_build(e, "user_id", d=2, w=64))
+    assert "partial_count" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
