@@ -456,3 +456,20 @@ def test_resume_date_shrinks_to_zero_mentions(spark, tmp_path):
     # and a further resume off the partitionless dir also works
     n3 = run_pipeline(spark, empty, side, root, buckets=2).count()
     assert n3 == n2
+
+
+def test_table_diff_cdc(spark, tmp_path):
+    """Snapshot CDC classifies added/removed/changed between versions and
+    omits unchanged keys; schema-evolved columns outside the common set
+    are ignored."""
+    from web3_knowledge_graph_spark.sources.warehouse import Table
+
+    t = Table(str(tmp_path), "t")
+    t.overwrite(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"))
+    # v2: 1 unchanged, 2 changed, 3 removed, 4 added; extra column ignored
+    t.overwrite(spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 99.0, "y"), (4, 40.0, "z")],
+        "k long, v double, extra string"))
+    got = {r.k: r.change for r in t.diff(spark, keys=["k"], v_old=1).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}

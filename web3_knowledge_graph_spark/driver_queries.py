@@ -1013,6 +1013,36 @@ def q_merge_upsert(spark, sf_dir):
     return t.read(spark).select("c_custkey", "c_acctbal", "rev")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (Table.diff): v1 = customer balances; v2 bumps every
+    %3 key, drops every %7 key, adds a shifted copy of every %11 key —
+    diff classifies added/removed/changed without moving row payloads."""
+    import tempfile
+
+    from .sources.warehouse import Warehouse
+
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_acctbal")
+    v2 = (
+        v1.where(F.col("c_custkey") % 7 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            v1.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal"
+            )
+        )
+    )
+    t = Warehouse(tempfile.mkdtemp(prefix="wkg_diff_")).table("accounts")
+    t.overwrite(v1)
+    t.overwrite(v2)
+    return t.diff(spark, keys=["c_custkey"], v_old=1, v_new=2)
+
+
 def q_near_dedup(spark, sf_dir):
     """Full near-dup pipeline: MinHash-LSH candidates → exact Jaccard
     verify → CC over verified pairs → canonical doc per cluster."""
@@ -1165,6 +1195,21 @@ SELECT c_custkey,
   CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
   CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS rev
 FROM customer
+""",
+    "snapshot_diff": """
+WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 7 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_acctbal FROM customer WHERE c_custkey % 11 = 0)
+SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+  CASE WHEN v1.c_custkey IS NULL THEN 'added'
+       WHEN v2.c_custkey IS NULL THEN 'removed'
+       WHEN v1.c_acctbal != v2.c_acctbal THEN 'changed' END AS change
+FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+WHERE (v1.c_custkey IS NULL OR v2.c_custkey IS NULL OR v1.c_acctbal != v2.c_acctbal)
 """,
     "near_dedup": f"""
 WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -2749,6 +2794,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,
         "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
         "near_dedup": q_near_dedup,
         "media_features": q_media_features,
         "ivf_knn": q_ivf_knn,

@@ -144,6 +144,45 @@ class Table:
             dedup = merged.where(F.col("_rn") == 1).drop("_rn", "_src_rank")
         return self._commit(dedup)
 
+    def diff(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        v_old: int,
+        v_new: int | None = None,
+    ) -> DataFrame:
+        """Change-data-capture between two snapshots: (keys..., change)
+        with change ∈ {'added', 'removed', 'changed'}; unchanged keys are
+        omitted. ``v_new`` defaults to the current version.
+
+        The reference diffs table states driver-side in pandas (reconcile
+        scripts); here it is one full-outer join on the keys comparing an
+        xxhash64 over the NON-KEY columns common to both versions — each
+        side shuffles once on the keys and only (key, hash) rows move, so
+        the diff never transports row payloads. Assumes keys are unique
+        per snapshot (the merge_upsert contract); duplicate keys would
+        fan out in the join.
+        """
+        old, new = self.read(spark, v_old), self.read(spark, v_new)
+        common = sorted(set(old.columns) & set(new.columns))
+        non_keys = [c for c in common if c not in keys]
+        hash_col = (
+            F.xxhash64(*non_keys) if non_keys else F.lit(0).cast("long")
+        )
+        oh = old.select(*keys, hash_col.alias("_ho"))
+        nh = new.select(*keys, hash_col.alias("_hn"))
+        j = oh.join(nh, keys, "full_outer")
+        change = (
+            F.when(F.col("_ho").isNull(), F.lit("added"))
+            .when(F.col("_hn").isNull(), F.lit("removed"))
+            .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*keys, "change")
+        )
+
 
 class Warehouse:
     """A directory of named tables — the local stand-in for an Iceberg catalog."""
