@@ -966,3 +966,48 @@ def test_cms_heavy_hitters_vs_python(spark):
     assert set(hh) == {k for k in set(keys) if got_est[k] >= 15}
     assert all(est >= 15 and (flag == (ex >= 15)) for est, ex, flag in hh.values())
     assert hh[1][2] and hh[2][2]  # the two true hitters survive with flag
+
+
+def test_overlapping_chunks_vs_python(spark):
+    """Chunk boundaries, tail handling, short docs, and empty docs equal
+    a sequential replay; consecutive chunks overlap by size - stride."""
+    import re
+
+    import pytest as _pytest
+
+    from web3_knowledge_graph_spark.datasets.curation import overlapping_chunks
+
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(25))),  # 25 toks: chunks at 0,8,16
+        (2, "a b c"),                                # short: one chunk
+        (3, ""),                                     # empty: one empty chunk
+    ]
+    size, stride = 10, 8
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    expect = set()
+    for d, t in docs:
+        tt = toks(t)
+        n_win = 1 + max(0, -(-max(0, len(tt) - size) // stride))
+        for c in range(n_win):
+            w = tt[c * stride : c * stride + size]
+            expect.add((d, c, len(w), " ".join(w)))
+
+    got = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in overlapping_chunks(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            size=size, stride=stride,
+        ).collect()
+    }
+    assert got == expect
+    assert (3, 0, 0, "") in got            # empty doc → one empty chunk
+    # doc 1 chunk 1 starts at token 8 (overlap of size-stride=2 tokens)
+    assert (1, 1, 10, " ".join(f"w{i}" for i in range(8, 18))) in got
+    with _pytest.raises(ValueError):
+        overlapping_chunks(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            size=4, stride=5,
+        )

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import tokens_col
+
 # PII patterns (Java + RE2 compatible).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+[0-9][0-9 ]{6,14}[0-9]"
@@ -546,4 +548,53 @@ def curate_corpus(
             F.coalesce("n_tokens", F.lit(-1)).cast("long").alias("n_tokens"),
             F.coalesce("cum_tokens", F.lit(-1)).cast("long").alias("cum_tokens"),
         )
+    )
+
+
+def overlapping_chunks(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlapping token windows — the long-document
+    counterpart to ``sequence_pack`` (which packs across docs): each doc
+    splits into chunks of ``size`` tokens every ``stride`` tokens
+    (overlap = size − stride), the layout long-context training and
+    retrieval pipelines feed downstream. The final partial window is kept
+    (a tail shorter than ``size`` is still data); a doc shorter than
+    ``size`` yields exactly one chunk.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text): chunk_id is the
+    0-based window index — (doc_id, chunk_id) is the deterministic
+    global key.
+
+    Pure map over the corpus: tokenization, window arithmetic, and the
+    slice/join all happen row-locally inside codegen — zero shuffles, so
+    the operator scales with scan bandwidth alone.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, n - size) / stride); short docs → 1
+    n_win = F.lit(1) + F.ceil(
+        F.greatest(n - size, F.lit(0)) / F.lit(stride)
+    ).cast("long")
+    starts = F.sequence(F.lit(0), (n_win - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, size).alias("w"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.w").alias("n_tokens"),
+        F.concat_ws(" ", "c.w").alias("chunk_text"),
     )

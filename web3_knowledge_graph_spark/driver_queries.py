@@ -1454,6 +1454,13 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+def q_chunks(spark, sf_dir):
+    """Per-doc overlapping token windows (size 12, stride 8) — the
+    long-document chunk layout for training/retrieval; pure map, zero
+    shuffles (datasets/curation.overlapping_chunks)."""
+    return CU.overlapping_chunks(_t(spark, sf_dir, "documents"), size=12, stride=8)
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters over the event user domain
     (datasets/sketches.py): d=2 × w=64 deliberately undersized so bucket
@@ -1952,6 +1959,17 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE ran
 """,
     # embed_neardup is generated below (_embed_neardup_oracle): the LSH
     # hyperplanes are md5-derived constants, inlined as SQL array literals.
+    "chunks": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+wins AS (
+  SELECT doc_id, i AS chunk_id, t[i * 8 + 1 : i * 8 + 12] AS w
+  FROM (SELECT doc_id, t,
+          unnest(range(0, CAST(1 + ceil(greatest(len(t) - 12, 0) / 8.0) AS BIGINT))) AS i
+        FROM toks))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+  CAST(len(w) AS INT) AS n_tokens, array_to_string(w, ' ') AS chunk_text
+FROM wins
+""",
     "heavy_hitters": f"""
 WITH rows_ AS (
   SELECT g.i AS i,
@@ -2808,6 +2826,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dup_spans": q_dup_spans,
         "heavy_hitters": q_heavy_hitters,
+        "chunks": q_chunks,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "lang_id": q_lang_id,
