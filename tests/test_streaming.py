@@ -261,12 +261,22 @@ def test_trending_stream_matches_batch_topk(spark, tmp_path):
         for i in range(n):
             rows.append((eid, t0 + pd.Timedelta(hours=h, minutes=i), 1, et, 1.0, "{}"))
             eid += 1
-    # sentinel far in the future: watermark passes both hours' window ends
-    rows.append((eid, t0 + pd.Timedelta(hours=12), 9, "view", 1.0, "{}"))
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     spark.createDataFrame(
         pd.DataFrame(rows, columns=cols), schema=J.EVENTS_SCHEMA
-    ).write.mode("overwrite").parquet(d)
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    # sentinel far in the future (watermark passes both hours' window
+    # ends) — written as a SEPARATE, LATER file: the file source orders
+    # batches by modification time, and if the sentinel's file were picked
+    # up before some hour-0/1 files, those events would arrive behind the
+    # watermark and be dropped (observed flake with one multi-part write)
+    import time as _time
+
+    _time.sleep(1.1)
+    sentinel = [(9999, t0 + pd.Timedelta(hours=12), 9, "view", 1.0, "{}")]
+    spark.createDataFrame(
+        pd.DataFrame(sentinel, columns=cols), schema=J.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(d)
 
     q = J.trending_stream(spark, d, out, ckpt, window="1 hour",
                           watermark="2 hours", k=2)
