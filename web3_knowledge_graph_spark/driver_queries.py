@@ -1465,12 +1465,20 @@ def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters over the event user domain
     (datasets/sketches.py): d=2 × w=64 deliberately undersized so bucket
     collisions — the thing a sketch trades for its fixed size — actually
-    occur and the exact-verify column exposes them. The oracle replays the
+    occur and the exact-verify column exposes them. The probed candidates
+    are the SCALE-honest path: a bounded external stream (last-day active
+    users), not an enumeration of the key domain. The oracle replays the
     identical md5-derived sketch, not a statistical approximation."""
     from .datasets.sketches import heavy_hitters
 
+    e = _t(spark, sf_dir, "events")
+    recent = (
+        e.where(F.col("ts") >= F.lit("2024-01-28").cast("timestamp"))
+        .select("user_id")
+        .distinct()
+    )
     return heavy_hitters(
-        _t(spark, sf_dir, "events"), key_col="user_id", threshold=70, d=2, w=64
+        e, key_col="user_id", threshold=70, d=2, w=64, candidates=recent
     )
 
 
@@ -1976,7 +1984,8 @@ WITH rows_ AS (
     {_H60.format(expr="CAST(g.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 64 AS bucket
   FROM events, (SELECT unnest(range(0, 2)) AS i) g),
 sketch AS (SELECT i, bucket, COUNT(*) AS c FROM rows_ GROUP BY i, bucket),
-dk AS (SELECT DISTINCT user_id FROM events),
+dk AS (SELECT DISTINCT user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-28'),
 est AS (
   SELECT dk.user_id,
     LEAST(COALESCE(s0.c, 0), COALESCE(s1.c, 0)) AS est
