@@ -20,8 +20,15 @@ upgrade of that push path:
     sessions would never be emitted.
 
   * extract_mentions_stream — the FLAGSHIP extract stage as a streaming
-    job: pages landing as files → foreachBatch(extract_stage) → append
-    mentions sink. Per-page stateless, so stream ≡ batch exactly.
+    job: pages landing as files → foreachBatch(extract_stage) →
+    idempotent per-epoch mentions sink. Per-page stateless, so
+    stream ≡ batch exactly.
+  * dedup_stream — streaming exact dedup: each content fingerprint emits
+    once via dropDuplicatesWithinWatermark; state expires at the
+    watermark horizon.
+  * trending_stream — per finalized window, top-k event types: append
+    mode emits a window exactly once (when the watermark passes its
+    end), which is what makes the per-epoch rank globally correct.
 
 Batch equivalents (driver_queries.q_events_hourly / q_sessionization) carry
 the DuckDB oracle checks; tests drive these streaming versions with the
