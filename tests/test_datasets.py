@@ -1011,3 +1011,50 @@ def test_overlapping_chunks_vs_python(spark):
             spark.createDataFrame(docs, "doc_id long, text string"),
             size=4, stride=5,
         )
+
+
+def test_bm25_vs_python(spark):
+    """Linear-idf BM25 equals the sequential replay bit-for-bit (same IEEE
+    op order); docs without any query term are absent."""
+    import re
+
+    from web3_knowledge_graph_spark.datasets.textstats import bm25_scores
+
+    docs = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta beta beta delta epsilon zeta"),
+        (3, "nothing relevant here at all"),
+        (4, "alpha"),
+    ]
+    terms, k1, b = ["alpha", "beta"], 1.2, 0.75
+
+    def toks(t):
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    tt = {d: toks(t) for d, t in docs}
+    n = len(docs)
+    sumdl = sum(len(v) for v in tt.values())
+    df = {q: sum(1 for v in tt.values() if q in v) for q in terms}
+    expect = {}
+    for d, v in tt.items():
+        score = 0.0
+        for q in sorted(terms):
+            tf = float(v.count(q))
+            idf = (n - df[q] + 0.5) / (df[q] + 0.5)
+            score = score + idf * (
+                (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (len(v) / (sumdl / n))))
+            )
+        if any(q in v for q in terms):
+            expect[d] = score
+
+    got = {
+        r.doc_id: r.score
+        for r in bm25_scores(
+            spark.createDataFrame(docs, "doc_id long, text string"), terms
+        ).collect()
+    }
+    assert got == expect  # exact float equality — same op order by design
+    assert 3 not in got
+    # length normalization: the 1-token alpha doc outranks the 6-token doc
+    # whose 3 betas saturate under k1
+    assert got[4] > got[2]

@@ -549,3 +549,75 @@ def tfidf_similar_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-style relevance of every document against a fixed query-term
+    set — the retrieval-grade ranking a corpus pipeline uses for quality
+    probes and eval-set mining (complements tfidf_similar_pairs, which
+    ranks doc-doc, and distinctive_terms, which ranks term-doc).
+
+    Determinism contract (the lm_surprisal/distinctive_terms argument):
+    the classic log-idf is replaced by its LINEAR core
+    (N − df + 0.5) / (df + 0.5) — the same per-term monotone ordering,
+    but every input is an integer-derived double and the whole score is
+    a chain of exactly-rounded IEEE +,*,/ — bit-identical on any engine
+    and any row order, where ln() differs in the last ulp between libm
+    implementations. Documented divergence: absolute scores are NOT
+    textbook-BM25 comparable across terms with very different df.
+
+    Scale shape: terms are a literal broadcast; per-doc tf comes from the
+    one tokenize pass (array HOFs, row-local); N and df are one tiny
+    global aggregate crossJoined back (AQE broadcasts the one-row side).
+    No shuffle carries corpus text.
+
+    Returns (doc_id, score) for docs matching ≥1 term, score descending
+    ties broken by doc_id via the caller's sort.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = tokens_col(F.col(text_col))
+
+    def _eq(term: str):
+        # one-arg closure: a two-arg lambda (x, t=term) would make Spark
+        # pass the ELEMENT INDEX as the second argument, silently shadowing
+        # the term
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl") / F.col("_n")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        sat = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * (F.col("dl") / avgdl))
+        )
+        score = score + idf * sat
+    return (
+        j.withColumn("score", score)
+        .where(sum(F.col(f"_tf{i}") for i in range(len(terms))) > 0)
+        .select("doc_id", "score")
+    )

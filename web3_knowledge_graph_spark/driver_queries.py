@@ -1454,6 +1454,53 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["hash", "merge", "vector"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25-style relevance (linear-idf variant — see
+    datasets/textstats.bm25_scores for the determinism argument) of every
+    doc against a fixed query-term set."""
+    return TS.bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    """Replays bm25_scores with IDENTICAL double arithmetic: constants are
+    injected via repr() of the same Python floats the Spark expression
+    tree holds, and every subexpression keeps the same shape/order (IEEE
+    +,*,/ are exactly rounded, so same inputs + same order = same bits)."""
+    k1, b = 1.2, 0.75
+    terms = sorted(_BM25_TERMS)
+    tf_cols = ",\n  ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ",\n  ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = [
+        f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {k1 + 1!r})"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1 - b!r} + {b!r}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))))"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(parts)
+    tfsum = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS dl,
+  {tf_cols}
+ FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS sumdl,
+  {df_cols}
+ FROM base)
+SELECT doc_id, {score} AS score
+FROM base, stats
+WHERE {tfsum} > 0
+"""
+
+
 def q_chunks(spark, sf_dir):
     """Per-doc overlapping token windows (size 12, stride 8) — the
     long-document chunk layout for training/retrieval; pure map, zero
@@ -2228,6 +2275,8 @@ from .operators.hits import hits_oracle_sql as _hits_oracle_sql  # noqa: E402
 
 ORACLE_DATASETS["hits"] = _hits_oracle_sql(_EVENTS_EDGES_CTE, rounds=4)
 
+ORACLE_DATASETS["bm25"] = _bm25_oracle()
+
 ORACLE_DATASETS["personalized_pagerank"] = PR.personalized_pagerank_oracle_sql(
     _EVENTS_EDGES_CTE,
     "SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events"
@@ -2836,6 +2885,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "heavy_hitters": q_heavy_hitters,
         "chunks": q_chunks,
+        "bm25": q_bm25,
         "embed_knn": q_embed_knn,
         "embed_neardup": q_embed_neardup,
         "lang_id": q_lang_id,
