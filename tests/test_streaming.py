@@ -302,3 +302,23 @@ def test_trending_stream_matches_batch_topk(spark, tmp_path):
     assert got == want
     assert ("2024-01-01 00:00:00", "click", 5, 1) in got
     assert ("2024-01-01 01:00:00", "error", 4, 1) in got
+
+
+def test_enrich_stream_matches_batch_join(spark, events_dir):
+    """Stream-static broadcast enrichment == the batch join over the same
+    input; dimension misses keep the event (left join) with NULL attrs."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", -1.0)],
+        "event_type string, weight double",
+    )
+    got = J.run_available_now(
+        J.enrich_stream(J.read_event_stream(spark, events_dir), dim, on="event_type"),
+        "enriched",
+    )
+    batch = spark.read.parquet(f"{SF}/events.parquet").join(
+        dim, "event_type", "left"
+    )
+    g = {(r.event_id, r.weight) for r in got.collect()}
+    b = {(r.event_id, r.weight) for r in batch.collect()}
+    assert g == b and len(g) > 0
+    assert any(w is None for _, w in g)  # view/signup events miss the dim

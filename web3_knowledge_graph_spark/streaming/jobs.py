@@ -290,6 +290,27 @@ def dedup_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: each streaming event joined
+    against a (batch) dimension table — the push-path form of the
+    reference's lookup joins (spam labels, account classes, alias
+    dictionaries; e.g. postProcessing/spam/cyphers.py:11-18 applied at
+    ingest time instead of post-hoc).
+
+    The static side is explicitly broadcast: a stream-static join must
+    never shuffle the unbounded stream side, and the dimension re-reads
+    per micro-batch (so dimension updates between triggers are picked up
+    — the Spark contract for stream-static joins). Stateless, so
+    stream ≡ batch join exactly.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 def trending_stream(
     spark: SparkSession,
     events_dir: str,
