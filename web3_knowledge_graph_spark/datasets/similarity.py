@@ -304,7 +304,14 @@ def semantic_dedup(
 
     Returns (vec_id, cell, dup_of, keep) for EVERY input vector;
     ``dup_of`` is the smallest same-cell id within threshold (-1 for
-    keepers — sentinel, not NULL, for oracle hash stability).
+    keepers — sentinel, not NULL, for oracle hash stability). NOTE:
+    dup_of is NOT necessarily itself a keeper — greedy chains occur
+    (A keeps, B dups-to-A, C dups-to-B while outside threshold of A),
+    a deliberate divergence from SemDeDup's one-representative-per-
+    epsilon-ball: chains strictly decrease in id so a consumer needing
+    the ball representative can resolve dup_of transitively, and the
+    keep/drop DECISION (what dedup actually consumes) is identical
+    either way for the kept set.
     """
     cents = F.broadcast(
         with_norm(corpus.orderBy(id_col).limit(n_centroids), vec_col).select(

@@ -449,6 +449,11 @@ def length_quantiles(
     from fractions import Fraction
 
     n = sum(c for _, c in hist)
+    if n == 0:
+        # empty (or all-NULL-text) corpus: no length distribution exists —
+        # return zero rows, matching the oracle's rank join (a row per
+        # quantile with n_tokens=NULL would be a Spark/oracle mismatch)
+        return docs.sparkSession.createDataFrame([], "q double, n_tokens long")
     out, cum, i = [], 0, 0
     for q in sorted(qs):
         # exact ceil(q·N): Fraction(str(q)) reads the decimal as written —
@@ -473,6 +478,7 @@ def tfidf_similar_pairs(
     max_df: int = 1_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All document pairs (a<b) with tf-idf cosine >= threshold, via a
     df-pruned INVERTED INDEX — the classic sparse-vector similarity join
@@ -514,8 +520,23 @@ def tfidf_similar_pairs(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if max_df_frac is not None:
+        # fractional cap resolved INSIDE the plan: df <= floor(frac·N)
+        # ⟺ df·den <= num·N for integer df (exact — no float rounding,
+        # no driver-side count() job at plan-construction time; the
+        # one-row corpus count broadcasts into the df filter)
+        from fractions import Fraction
+
+        fr = Fraction(str(max_df_frac))
+        ncorp = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_ncorp")))
+        pruned = dfreq.crossJoin(ncorp).where(
+            F.col("df") * F.lit(fr.denominator)
+            <= F.lit(fr.numerator) * F.col("_ncorp")
+        ).select("term", "df")
+    else:
+        pruned = dfreq.where(F.col("df") <= max_df)
     w = (
-        tf.join(dfreq.where(F.col("df") <= max_df), "term")
+        tf.join(pruned, "term")
         .select(
             "doc_id",
             "term",

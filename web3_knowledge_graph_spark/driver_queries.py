@@ -1771,15 +1771,13 @@ def q_tfidf_pairs(spark, sf_dir):
     template vocabulary at any corpus size), leaving genuinely
     content-similar pairs (see textstats.tfidf_similar_pairs). The oracle
     computes the same fractional cap in SQL (exact-decimal FLOOR), so both
-    sides agree at any tier. The corpus count() here is one cheap
-    metadata-level job at plan-construction time."""
-    from fractions import Fraction
-
-    n = _t(spark, sf_dir, "documents").count()
+    sides agree at any tier. The corpus count resolves INSIDE the plan
+    (broadcast one-row agg into the df filter) — no driver-side job at
+    plan-construction time."""
     return TS.tfidf_similar_pairs(
         _t(spark, sf_dir, "documents"),
         threshold=TFIDF_THRESHOLD,
-        max_df=int(Fraction(str(TFIDF_MAX_DF_FRAC)) * n),
+        max_df_frac=TFIDF_MAX_DF_FRAC,
     )
 
 

@@ -531,19 +531,31 @@ def run_pipeline(
     # purely to bound the number of write jobs.
     # A completed date is skipped ONLY if its input is byte-unchanged:
     # the lineage mark stores (rows_in, input_fp) where input_fp is an
-    # order-independent bit_xor of per-row xxhash64 over EVERY input
-    # column. Late-arriving pages for an already-done date move the count;
-    # in-place edits that keep the count move the fingerprint — either way
-    # that date is reprocessed: dynamic partition overwrite rewrites
-    # exactly its output and a newer lineage mark supersedes the old one.
-    # Both stats come from the one groupBy the resume scan already does.
+    # order-independent WRAPPING SUM (mod 2^64) of per-row xxhash64 over
+    # EVERY input column. Sum, not bit_xor: xor cancels exact-duplicate
+    # row PAIRS, so swapping one duplicated page pair for a different
+    # duplicated pair would keep both rows_in and the fingerprint
+    # unchanged and serve that date's stale extract on resume — the sum
+    # is multiset-sensitive (mark schema v2; v1 xor marks simply miss,
+    # forcing a one-time reprocess). Late-arriving pages for an
+    # already-done date move the count; in-place edits that keep the
+    # count move the fingerprint — either way that date is reprocessed:
+    # dynamic partition overwrite rewrites exactly its output and a newer
+    # lineage mark supersedes the old one. Both stats come from the one
+    # groupBy the resume scan already does (the decimal sum never
+    # overflows: |hash| ≤ 2^63, so decimal(38,0) holds ~10^19 rows/date).
     done_inputs = log.completed_inputs("extract")
+
+    def _wrap64(x: int) -> int:
+        x %= 1 << 64
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     per_date = {
-        str(r["d"]): (int(r["n"]), int(r["fp"]))
+        str(r["d"]): (int(r["n"]), _wrap64(int(r["fp"])))
         for r in pages.groupBy(F.to_date("warc_ts").alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(*pages.columns)).alias("fp"),
+            F.sum(F.xxhash64(*pages.columns).cast("decimal(38,0)")).alias("fp"),
         )
         .collect()
     }

@@ -162,12 +162,25 @@ class Table:
         the diff never transports row payloads. Assumes keys are unique
         per snapshot (the merge_upsert contract); duplicate keys would
         fan out in the join.
+
+        The hash goes through ``to_json(struct(...))``, not bare
+        ``xxhash64(cols...)``: Spark's hash functions fold NULL inputs as
+        a no-op (the seed passes through unchanged), so a value *moving
+        between* NULL-holding columns — (NULL,'x') → ('x',NULL) — would
+        hash identically and be reported unchanged. JSON encoding omits
+        NULL fields by name, so any such shift changes the encoded text.
+        Blind spot (by construction): columns present in only ONE version
+        are excluded via the common-columns intersection — adding or
+        dropping a column is a schema change, not a row change, and does
+        not mark rows 'changed' by itself.
         """
         old, new = self.read(spark, v_old), self.read(spark, v_new)
         common = sorted(set(old.columns) & set(new.columns))
         non_keys = [c for c in common if c not in keys]
         hash_col = (
-            F.xxhash64(*non_keys) if non_keys else F.lit(0).cast("long")
+            F.xxhash64(F.to_json(F.struct(*non_keys)))
+            if non_keys
+            else F.lit(0).cast("long")
         )
         oh = old.select(*keys, hash_col.alias("_ho"))
         nh = new.select(*keys, hash_col.alias("_hn"))
