@@ -756,6 +756,194 @@ JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# Widened edge vocabulary (SURVEY §1 predicate list): per-source feed → edge
+# rules (operators/edge_rules.py) over the shared-SQL feeds (sources/feeds.py)
+# ---------------------------------------------------------------------------
+
+from .operators import edge_rules as ER  # noqa: E402
+from .sources.feeds import feed, feed_cte  # noqa: E402
+
+
+def q_transferred_edges(spark, sf_dir):
+    """TRANSFERRED (nb_transfer weight) + RECEIVED from the transfer feed
+    (ingestion/tokenHolders/ingest.py:29-41, cyphers.py:55-70,
+    helpers/queries.py:142-151)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.transfer_edges(feed(spark, sf_dir, "transfers")))
+
+
+def q_follows_edges(spark, sf_dir):
+    """FOLLOWS from follower/following lists
+    (postProcessing/twitterFollowers/cyphers.py:129-166)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.follows_edges(feed(spark, sf_dir, "followers")))
+
+
+def q_governance_edges(spark, sf_dir):
+    """Snapshot governance families: HAS_PROPOSAL / AUTHOR / VOTED /
+    CONTRIBUTOR / HAS_STRATEGY (ingestion/snapshot/cyphers.py:140-270)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.governance_edges(
+            feed(spark, sf_dir, "proposals"),
+            feed(spark, sf_dir, "votes"),
+            feed(spark, sf_dir, "space_members"),
+            feed(spark, sf_dir, "strategies"),
+        )
+    )
+
+
+def q_gitcoin_edges(spark, sf_dir):
+    """Gitcoin IS_ADMIN + DONATION, donations validated through the grant's
+    admin wallet (ingestion/gitcoin/cyphers.py:168-186,223-248)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.gitcoin_edges(
+            feed(spark, sf_dir, "grant_admins"), feed(spark, sf_dir, "donations")
+        )
+    )
+
+
+def q_delegation_edges(spark, sf_dir):
+    """Current DELEGATES_TO per (protocol, delegator): latest change wins
+    (ingestion/delegation/cyphers.py:156-199, scrape ordered by blockNumber
+    at scraping/delegation/scrape.py:64-102)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.delegation_edges(feed(spark, sf_dir, "delegations"))
+    )
+
+
+def q_ownership_edges(spark, sf_dir):
+    """DEPLOYED + IS_SIGNER + HAS_NFT + IS_OWNER
+    (contractDeployers/cyphers.py:43-60, multisig/cyphers.py:46-57,
+    mirror/cyphers.py:111-158)."""
+    _prep(spark)
+    out = ER.deployment_edges(feed(spark, sf_dir, "deployments"))
+    out = out.unionByName(ER.signer_edges(feed(spark, sf_dir, "multisig_signers")))
+    out = out.unionByName(ER.nft_edges(feed(spark, sf_dir, "nfts")))
+    return ER.as_named_triples(out)
+
+
+_CIT_TRANSFER = "token transfer (tokenHolders/cyphers.py:55-70)"
+_CIT_RECEIVED = "transfer receipt (helpers/queries.py:142-151)"
+
+ORACLE_EDGE_RULES = {
+    "transferred_edges": f"""
+{feed_cte("transfers")},
+ded AS (SELECT DISTINCT lower(trim(from_address)) AS f,
+               lower(trim(to_address)) AS t, lower(trim(tx_hash)) AS h
+        FROM transfers)
+SELECT 'Wallet:' || f AS subj, 'TRANSFERRED' AS pred, 'Wallet:' || t AS obj,
+  CAST(COUNT(*) AS DOUBLE) AS weight, '{_CIT_TRANSFER}' AS citation
+FROM ded GROUP BY f, t
+UNION ALL
+SELECT DISTINCT 'Wallet:' || t, 'RECEIVED', 'Transaction:' || h,
+  CAST(1.0 AS DOUBLE), '{_CIT_RECEIVED}'
+FROM ded
+""",
+    "follows_edges": f"""
+{feed_cte("followers")},
+rows_ AS (SELECT DISTINCT
+  lower(trim(CASE WHEN list_kind = 'following' THEN handle ELSE follower END)) AS src,
+  lower(trim(CASE WHEN list_kind = 'following' THEN follower ELSE handle END)) AS dst
+  FROM followers)
+SELECT 'Twitter:' || src AS subj, 'FOLLOWS' AS pred, 'Twitter:' || dst AS obj,
+  CAST(1.0 AS DOUBLE) AS weight,
+  'follower list (twitterFollowers/cyphers.py:129-166)' AS citation
+FROM rows_
+""",
+    "governance_edges": f"""
+{feed_cte("proposals", "votes", "space_members", "strategies")},
+prop AS (SELECT lower(trim(proposal_id)) AS proposal_id,
+                lower(trim(space_id)) AS space_id, lower(trim(author)) AS author
+         FROM proposals),
+v AS (SELECT DISTINCT lower(trim(voter)) AS voter,
+             lower(trim(proposal_id)) AS proposal_id FROM votes),
+mem AS (SELECT DISTINCT lower(trim(address)) AS address,
+               lower(trim(space_id)) AS space_id, member_type FROM space_members),
+strat AS (SELECT DISTINCT lower(trim(space_id)) AS space_id,
+                 lower(trim(token_address)) AS token_address
+          FROM strategies
+          WHERE regexp_matches(token_address, '^0x[a-fA-F0-9]{{40}}$'))
+SELECT 'Space:' || space_id AS subj, 'HAS_PROPOSAL' AS pred,
+  'Proposal:' || proposal_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'snapshot proposal (snapshot/cyphers.py:140-149)' AS citation FROM prop
+UNION ALL
+SELECT 'Wallet:' || author, 'AUTHOR', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal author (snapshot/cyphers.py:152-163)' FROM prop
+UNION ALL
+SELECT 'Wallet:' || voter, 'VOTED', 'Proposal:' || v.proposal_id,
+  CAST(1.0 AS DOUBLE), 'snapshot vote (snapshot/cyphers.py:243-259)'
+FROM v JOIN prop ON v.proposal_id = prop.proposal_id
+UNION ALL
+SELECT 'Wallet:' || address, 'CONTRIBUTOR', 'Space:' || space_id,
+  CAST(1.0 AS DOUBLE),
+  'space ' || member_type || ' (snapshot/cyphers.py:165-207)' FROM mem
+UNION ALL
+SELECT 'Space:' || space_id, 'HAS_STRATEGY', 'Token:' || token_address,
+  CAST(1.0 AS DOUBLE), 'strategy token (snapshot/cyphers.py:261-270)' FROM strat
+""",
+    "gitcoin_edges": f"""
+{feed_cte("grant_admins", "donations")},
+adm AS (SELECT DISTINCT lower(trim(grant_id)) AS grant_id,
+               lower(trim(address)) AS address FROM grant_admins),
+don AS (SELECT lower(trim(donor)) AS donor, lower(trim(grant_id)) AS grant_id,
+               lower(trim(destination)) AS destination,
+               lower(trim(tx_hash)) AS tx_hash FROM donations),
+valid AS (SELECT DISTINCT donor, don.grant_id, tx_hash
+          FROM don JOIN adm ON don.grant_id = adm.grant_id
+                           AND don.destination = adm.address)
+SELECT 'Wallet:' || address AS subj, 'IS_ADMIN' AS pred,
+  'Grant:' || grant_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'grant admin (gitcoin/cyphers.py:168-186)' AS citation FROM adm
+UNION ALL
+SELECT 'Wallet:' || donor, 'DONATION', 'Grant:' || grant_id,
+  CAST(COUNT(*) AS DOUBLE),
+  'grant donation (gitcoin/cyphers.py:223-248)'
+FROM valid GROUP BY donor, grant_id
+""",
+    "delegation_edges": f"""
+{feed_cte("delegations")},
+lat AS (SELECT protocol, delegator, delegate FROM (
+  SELECT lower(trim(protocol)) AS protocol, lower(trim(delegator)) AS delegator,
+         lower(trim(delegate)) AS delegate,
+         ROW_NUMBER() OVER (
+           PARTITION BY lower(trim(protocol)), lower(trim(delegator))
+           ORDER BY CAST(block_number AS BIGINT) DESC,
+                    lower(trim(tx_hash)) DESC) AS rn
+  FROM delegations) WHERE rn = 1)
+SELECT 'Wallet:' || delegator AS subj, 'DELEGATES_TO' AS pred,
+  'Wallet:' || delegate AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'delegation:' || protocol || ' (delegation/cyphers.py:156-199)' AS citation
+FROM lat
+""",
+    "ownership_edges": f"""
+{feed_cte("deployments", "multisig_signers", "nfts")},
+dep AS (SELECT DISTINCT lower(trim(deployer)) AS deployer,
+               lower(trim(contract_address)) AS contract_address FROM deployments),
+sig AS (SELECT DISTINCT lower(trim(owner_address)) AS owner_address,
+               lower(trim(multisig)) AS multisig FROM multisig_signers),
+nft AS (SELECT DISTINCT lower(trim(article_url)) AS article_url,
+               lower(trim(nft_id)) AS nft_id, lower(trim(owner)) AS owner
+        FROM nfts)
+SELECT 'Wallet:' || deployer AS subj, 'DEPLOYED' AS pred,
+  'Contract:' || contract_address AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'contract deployment (contractDeployers/cyphers.py:43-60)' AS citation FROM dep
+UNION ALL
+SELECT 'Wallet:' || owner_address, 'IS_SIGNER', 'Wallet:' || multisig,
+  CAST(1.0 AS DOUBLE), 'multisig signer (multisig/cyphers.py:46-57)' FROM sig
+UNION ALL
+SELECT DISTINCT 'Page:' || article_url, 'HAS_NFT', 'Nft:' || nft_id,
+  CAST(1.0 AS DOUBLE), 'article NFT (mirror/cyphers.py:111-135)' FROM nft
+UNION ALL
+SELECT DISTINCT 'Wallet:' || owner, 'IS_OWNER', 'Nft:' || nft_id,
+  CAST(1.0 AS DOUBLE), 'NFT owner (mirror/cyphers.py:138-158)' FROM nft
+""",
+}
+
+
 _WIC_CTES = """WITH per_type AS (
   SELECT user_id, event_type, COUNT(*) AS n,
     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -2869,6 +3057,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_endpoints": q_distinct_endpoints,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
+        "transferred_edges": q_transferred_edges,
+        "follows_edges": q_follows_edges,
+        "governance_edges": q_governance_edges,
+        "gitcoin_edges": q_gitcoin_edges,
+        "delegation_edges": q_delegation_edges,
+        "ownership_edges": q_ownership_edges,
         "near_dedup": q_near_dedup,
         "media_features": q_media_features,
         "ivf_knn": q_ivf_knn,
@@ -2923,7 +3117,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_EXTRA, ORACLE_WINDOWED, ORACLE_DATASETS):
+    for d in (ORACLE_MENTIONS, ORACLE_SCALARS, ORACLE_GRAPH, ORACLE_EDGE_RULES, ORACLE_EXTRA, ORACLE_WINDOWED, ORACLE_DATASETS):
         out.update(d)
     # Every query carries an oracle. The two once-"unoracleable" ones:
     # flagship_triples replays the whole extract → link → triples DAG on
