@@ -16,12 +16,16 @@ BUCKETS = 4
 
 
 def _side(spark):
-    return {
+    side = {
         "registrations": spark.createDataFrame(corpus.registrations_pdf()),
         "profiles": spark.createDataFrame(corpus.profiles_pdf()),
         "balances": spark.createDataFrame(corpus.balances_pdf()),
         "alias_dict": spark.createDataFrame(corpus.alias_dict_pdf()),
     }
+    side.update(
+        {k: spark.createDataFrame(v) for k, v in corpus.feeds_pdf().items()}
+    )
+    return side
 
 
 def _pr(got: set, want: set) -> dict:

@@ -24,6 +24,7 @@ def main(n: int = 600) -> int:
         k: spark.createDataFrame(getattr(corpus, f"{k}_pdf")())
         for k in ("registrations", "profiles", "balances", "alias_dict")
     }
+    side.update({k: spark.createDataFrame(v) for k, v in corpus.feeds_pdf().items()})
     trip = run_pipeline(
         spark, corpus.pages_df(spark, n, partitions=8), side,
         tempfile.mkdtemp(prefix="wkg_parity_"), buckets=4,

@@ -2636,6 +2636,28 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import build_graph, extract_stage, triples
     from .schemas import ALIAS_DICT
 
+    # the feed-rule edge families are a DAG independent of the corpus
+    # extraction — evaluate them on a separate thread so the Spark
+    # scheduler overlaps their ~17 small stages with the extraction jobs
+    # (their wall time disappears instead of adding ~4 s serially)
+    import threading
+
+    feed_out: dict = {}
+
+    def _feed_job():
+        try:
+            from .operators import edge_rules as _ER
+            from .sources.feeds import all_feeds
+
+            feed_out["rel"] = _ER.feed_edge_rules(
+                all_feeds(spark, sf_dir)
+            ).localCheckpoint()
+        except BaseException as exc:  # re-raised on the main thread
+            feed_out["exc"] = exc
+
+    feed_thread = threading.Thread(target=_feed_job, name="feed-edges")
+    feed_thread.start()
+
     # materialize the synthesized corpus once: pages are built from
     # documents via md5-concat expressions, and four extraction passes
     # (regex mentions, dictionary, authors, alias relations) would each
@@ -2673,8 +2695,15 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     balances = spark.createDataFrame(
         [], "address string, contract_address string, snapshot int"
     )
+    # widened vocabulary: all twelve per-source feeds contribute their edge
+    # families (operators/edge_rules.py); each feed is bounded by its own
+    # source table, never the corpus — materialized by the thread above
+    feed_thread.join()
+    if "exc" in feed_out:
+        raise feed_out["exc"]
     nodes, edges = build_graph(
-        spark, mentions, registrations, profiles, balances, alias_dict
+        spark, mentions, registrations, profiles, balances, alias_dict,
+        feed_edges_rel=feed_out["rel"],
     )
     # cut lineage before the two node-dimension joins in triples(): without
     # this the whole union-of-branches DAG recomputes once per join side
@@ -2762,8 +2791,17 @@ l_scored AS (SELECT 'Wallet:' || refs.wallet AS subj,
   WHERE r > 3 AND r * 1.0 / c > 0.8),
 has_account AS (SELECT DISTINCT subj, obj FROM (
   SELECT * FROM l_two UNION ALL SELECT * FROM l_scored
-  UNION ALL SELECT * FROM l_dict))
+  UNION ALL SELECT * FROM l_dict)),
+feed_edges AS ({" UNION ALL ".join(
+    f"SELECT subj, pred, obj FROM ({ORACLE_EDGE_RULES[q]})"
+    for q in (
+        "transferred_edges", "follows_edges", "governance_edges",
+        "gitcoin_edges", "delegation_edges", "ownership_edges",
+    )
+)})
 SELECT subj, pred, obj FROM (
+  SELECT DISTINCT subj, pred, obj FROM feed_edges
+  UNION
   SELECT 'Wallet:' || wallet AS subj, 'AUTHOR' AS pred,
          'Page:' || lower(url) AS obj FROM author
   UNION

@@ -268,6 +268,266 @@ def alias_dict_pdf() -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# feed tables for the widened edge vocabulary (operators/edge_rules.py) —
+# each embeds the negative trap its reference MERGE site implies
+# ---------------------------------------------------------------------------
+
+def transfers_pdf() -> pd.DataFrame:
+    """Token transfers; consecutive k share a tx hash, every 10th row is an
+    exact duplicate (dedup trap — ingest.py:31 drop_duplicates)."""
+    rows = []
+    for k in range(150):
+        rows.append(
+            {
+                "from_address": D.wallet_address(k % 50),
+                "to_address": D.wallet_address((k * 7 + 3) % 50),
+                "tx_hash": "0x" + D._md5(f"ftx{k - (k % 2)}"),
+            }
+        )
+        if k % 10 == 0:
+            rows.append(dict(rows[-1]))
+    return pd.DataFrame(rows)
+
+
+def followers_pdf() -> pd.DataFrame:
+    """Follower/following lists; every 11th row re-lands with an upper-cased
+    handle (case-fold dedup trap — toLower at cyphers.py:134-137)."""
+    rows = []
+    for k in range(80):
+        rows.append(
+            {
+                "handle": D.twitter_handle(k % 30),
+                "follower": D.twitter_handle((k + 7) % 30),
+                "list_kind": "following" if k % 3 == 0 else "follower",
+            }
+        )
+        if k % 11 == 0:
+            dup = dict(rows[-1])
+            dup["handle"] = dup["handle"].upper()
+            rows.append(dup)
+    return pd.DataFrame(rows)
+
+
+def proposals_pdf() -> pd.DataFrame:
+    """Governance proposals; p % 3 == 0 ids are withheld so votes on them
+    are negatives the VOTED MATCH-join must drop."""
+    return pd.DataFrame(
+        [
+            {
+                "proposal_id": f"prop{p}",
+                "space_id": f"space{p % 6}.eth",
+                "author": D.wallet_address(p % 50),
+            }
+            for p in range(24)
+            if p % 3 != 0
+        ]
+    )
+
+
+def votes_pdf() -> pd.DataFrame:
+    """Votes referencing prop0..prop29 — ids ≥ 24 and % 3 == 0 never exist."""
+    return pd.DataFrame(
+        [
+            {
+                "vote_id": "0x" + D._md5(f"fv{v}"),
+                "voter": D.wallet_address((v * 3) % 50),
+                "proposal_id": f"prop{v % 30}",
+            }
+            for v in range(90)
+        ]
+    )
+
+
+def space_members_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "space_id": f"space{m % 6}.eth",
+                "address": D.wallet_address(m % 50),
+                "member_type": "admin" if m % 5 == 0 else "member",
+            }
+            for m in range(30)
+        ]
+    )
+
+
+def strategies_pdf() -> pd.DataFrame:
+    """Strategy tokens; s % 4 == 0 rows carry a truncated 12-hex address
+    that must fail the ^0x[40 hex]$ gate (snapshot/ingest.py:150-158)."""
+    rows = []
+    for s in range(12):
+        tok = D.token_contract(s % 8)
+        rows.append(
+            {
+                "space_id": f"space{s % 6}.eth",
+                "token_address": tok[:12] if s % 4 == 0 else tok,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def grant_admins_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "grant_id": f"grant{g}",
+                "address": D.wallet_address((g * 11 + 1) % 50),
+            }
+            for g in range(8)
+        ]
+    )
+
+
+def donations_pdf() -> pd.DataFrame:
+    """Donations; d % 4 == 0 rows carry a wrong destination and grants 8-9
+    have no admin — both drop at the IS_ADMIN join (gitcoin/cyphers.py:
+    227-229)."""
+    return pd.DataFrame(
+        [
+            {
+                "tx_hash": "0x" + D._md5(f"fdon{d}"),
+                "donor": D.wallet_address(d % 50),
+                "grant_id": f"grant{d % 10}",
+                "destination": D.wallet_address(
+                    ((d + 13) % 50) if d % 4 == 0 else (((d % 10) * 11 + 1) % 50)
+                ),
+                "amount": float(d),
+            }
+            for d in range(60)
+        ]
+    )
+
+
+def delegations_pdf() -> pd.DataFrame:
+    """Delegate-change stream: each (protocol, delegator) key sees 3-4
+    changes; only the highest block's target survives (latest-wins,
+    delegation/cyphers.py:156-199)."""
+    return pd.DataFrame(
+        [
+            {
+                "protocol": "compound" if e % 2 == 0 else "uniswap",
+                "delegator": D.wallet_address(e % 12),
+                "delegate": D.wallet_address((e * 5 + 7) % 50),
+                "block_number": 1000 + e,
+                "tx_hash": "0x" + D._md5(f"fdg{e}"),
+            }
+            for e in range(40)
+        ]
+    )
+
+
+def deployments_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "contract_address": "0x" + D._md5(f"fct{c}") + D._md5(f"fctx{c}")[:8],
+                "deployer": D.wallet_address((c * 3) % 50),
+                "tx_hash": "0x" + D._md5(f"fdep{c}"),
+            }
+            for c in range(10)
+        ]
+    )
+
+
+def multisig_signers_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "multisig": D.wallet_address(200 + s % 5),
+                "owner_address": D.wallet_address(s % 50),
+            }
+            for s in range(15)
+        ]
+    )
+
+
+def nfts_pdf() -> pd.DataFrame:
+    """Article NFTs; urls reuse the page keyspace so HAS_NFT edges attach
+    to the same Page nodes the mention edges reference."""
+    return pd.DataFrame(
+        [
+            {
+                "article_url": page_manifest(j * 7)["url"],
+                "nft_id": "0x" + D._md5(f"fnft{j % 5}") + f":{j % 9}",
+                "owner": D.wallet_address((j * 9 + 2) % 50),
+            }
+            for j in range(12)
+        ]
+    )
+
+
+FEED_NAMES = (
+    "transfers", "followers", "proposals", "votes", "space_members",
+    "strategies", "grant_admins", "donations", "delegations", "deployments",
+    "multisig_signers", "nfts",
+)
+
+
+def feeds_pdf() -> dict[str, pd.DataFrame]:
+    return {name: globals()[f"{name}_pdf"]() for name in FEED_NAMES}
+
+
+def golden_feed_triples() -> set[tuple[str, str, str]]:
+    """Driver-side pure-Python replay of every edge_rules rule over the
+    feed fixtures — the analytic golden for the widened vocabulary."""
+    rows: set[tuple[str, str, str]] = set()
+
+    ded = {
+        (r["from_address"], r["to_address"], r["tx_hash"])
+        for r in transfers_pdf().to_dict("records")
+    }
+    for f, t, h in ded:
+        rows.add((f"Wallet:{f}", "TRANSFERRED", f"Wallet:{t}"))
+        rows.add((f"Wallet:{t}", "RECEIVED", f"Transaction:{h}"))
+
+    for r in followers_pdf().to_dict("records"):
+        h, f = r["handle"].lower(), r["follower"].lower()
+        src, dst = (h, f) if r["list_kind"] == "following" else (f, h)
+        rows.add((f"Twitter:{src}", "FOLLOWS", f"Twitter:{dst}"))
+
+    props = proposals_pdf().to_dict("records")
+    prop_ids = {r["proposal_id"] for r in props}
+    for r in props:
+        rows.add((f"Space:{r['space_id']}", "HAS_PROPOSAL", f"Proposal:{r['proposal_id']}"))
+        rows.add((f"Wallet:{r['author']}", "AUTHOR", f"Proposal:{r['proposal_id']}"))
+    for r in votes_pdf().to_dict("records"):
+        if r["proposal_id"] in prop_ids:
+            rows.add((f"Wallet:{r['voter']}", "VOTED", f"Proposal:{r['proposal_id']}"))
+    for r in space_members_pdf().to_dict("records"):
+        rows.add((f"Wallet:{r['address']}", "CONTRIBUTOR", f"Space:{r['space_id']}"))
+    import re
+
+    for r in strategies_pdf().to_dict("records"):
+        if re.fullmatch(r"0x[a-fA-F0-9]{40}", r["token_address"]):
+            rows.add((f"Space:{r['space_id']}", "HAS_STRATEGY", f"Token:{r['token_address']}"))
+
+    admins = {(r["grant_id"], r["address"]) for r in grant_admins_pdf().to_dict("records")}
+    for g, a in admins:
+        rows.add((f"Wallet:{a}", "IS_ADMIN", f"Grant:{g}"))
+    for r in donations_pdf().to_dict("records"):
+        if (r["grant_id"], r["destination"]) in admins:
+            rows.add((f"Wallet:{r['donor']}", "DONATION", f"Grant:{r['grant_id']}"))
+
+    latest: dict[tuple[str, str], tuple[int, str, str]] = {}
+    for r in delegations_pdf().to_dict("records"):
+        key = (r["protocol"], r["delegator"])
+        cand = (r["block_number"], r["tx_hash"], r["delegate"])
+        if key not in latest or cand > latest[key]:
+            latest[key] = cand
+    for (_, delegator), (_, _, delegate) in latest.items():
+        rows.add((f"Wallet:{delegator}", "DELEGATES_TO", f"Wallet:{delegate}"))
+
+    for r in deployments_pdf().to_dict("records"):
+        rows.add((f"Wallet:{r['deployer']}", "DEPLOYED", f"Contract:{r['contract_address']}"))
+    for r in multisig_signers_pdf().to_dict("records"):
+        rows.add((f"Wallet:{r['owner_address']}", "IS_SIGNER", f"Wallet:{r['multisig']}"))
+    for r in nfts_pdf().to_dict("records"):
+        rows.add((f"Page:{r['article_url']}", "HAS_NFT", f"Nft:{r['nft_id']}"))
+        rows.add((f"Wallet:{r['owner']}", "IS_OWNER", f"Nft:{r['nft_id']}"))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # analytic goldens (driver-side replay of the manifest; test scale only)
 # ---------------------------------------------------------------------------
 
@@ -369,6 +629,8 @@ def golden_triples(n: int) -> pd.DataFrame:
                 f"Token:{D.token_contract(k % D.N_TOKEN_ENTITIES)}",
             )
         )
+    # widened vocabulary: feed-rule edge families (operators/edge_rules.py)
+    rows |= golden_feed_triples()
     return pd.DataFrame(sorted(rows), columns=["subj", "pred", "obj"])
 
 

@@ -229,11 +229,19 @@ def build_graph(
     profiles: DataFrame,
     balances: DataFrame,  # with snapshot column; rotation folds snapshots
     alias_dict: DataFrame,
+    feeds: dict[str, DataFrame] | None = None,
+    feed_edges_rel: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """mentions + side tables → (nodes, edges) with canonical ids.
 
     Every edge family below restates one reference rule (citations in the
     operator modules). Node ids are deterministic xxhash64(label-family:key).
+
+    ``feeds`` optionally carries per-source landing tables (keys from
+    sources.feeds.ALL_FEEDS); present feeds contribute their edge families
+    through operators.edge_rules — the widened predicate vocabulary
+    (TRANSFERRED, FOLLOWS, VOTED, DONATION, DELEGATES_TO, …). Feed rules
+    never touch the corpus: their cost is bounded by the feeds themselves.
     """
     # No cache() here: build_graph returns LAZY nodes/edges, so a cache
     # placed now and unpersisted at return would be dropped before any
@@ -406,6 +414,19 @@ def build_graph(
         F.lit("holdings rotation (tokenHolders/cypher.py:104-148)").alias("citation"),
     )
 
+    # --- feed-rule edge families (operators/edge_rules.py) -----------------
+    # ``feed_edges_rel`` lets a caller hand in the already-materialized rule
+    # output — the flagship evaluates it on a separate thread CONCURRENTLY
+    # with the corpus extraction (independent job DAGs; the Spark scheduler
+    # runs them side by side, hiding the feed path's wall time entirely)
+    feed_rel = feed_edges_rel
+    if feed_rel is None and feeds:
+        from ..operators import edge_rules as ER
+
+        # one row per emitted edge — feed-bounded; materialize once for the
+        # two consumers (edge union + node dimension)
+        feed_rel = ER.feed_edge_rules(feeds).localCheckpoint()
+
     edges = (
         e_mention
         .unionByName(e_wallet_ens)
@@ -413,8 +434,12 @@ def build_graph(
         .unionByName(e_bio_twitter)
         .unionByName(e_account, allowMissingColumns=True)
         .unionByName(e_holdings, allowMissingColumns=True)
-        .dropDuplicates(["subj", "pred", "obj"])
     )
+    if feed_rel is not None:
+        from ..operators import edge_rules as ER
+
+        edges = edges.unionByName(ER.as_id_edges(feed_rel))
+    edges = edges.dropDuplicates(["subj", "pred", "obj"])
 
     # --- node dimension ----------------------------------------------------
     def node_rows(df: DataFrame, label: str, key_col: str) -> DataFrame:
@@ -462,8 +487,12 @@ def build_graph(
         .unionByName(node_rows(t_ens.select("ens"), "Ens", "ens"))
         .unionByName(node_rows(alias_dict.select("entity_id"), "Entity", "entity_id"))
         .unionByName(node_rows(snaps.select("token_key"), "Token", "token_key"))
-        .dropDuplicates(["id"])
     )
+    if feed_rel is not None:
+        from ..operators import edge_rules as ER
+
+        nodes = nodes.unionByName(ER.node_dim(feed_rel))
+    nodes = nodes.dropDuplicates(["id"])
 
     # --- canonicalization (operators/canon.py) -----------------------------
     identity = (
@@ -672,9 +701,12 @@ def run_pipeline(
     graph_mark = log.completed_inputs("graph").get("graph")
     if todo or graph_mark is None or graph_mark[1] != corpus_sig:
         t0 = time.time()
+        from ..sources.feeds import ALL_FEEDS
+
+        feeds = {k: side[k] for k in ALL_FEEDS if k in side}
         nodes, edges = build_graph(
             spark, mentions, side["registrations"], side["profiles"],
-            side["balances"], alias_dict,
+            side["balances"], alias_dict, feeds=feeds or None,
         )
         # audit stamps (helpers/cypher.py:14-16, queries.py:29-33) + MERGE
         # semantics: created_dt survives re-runs (ON MATCH keeps the
