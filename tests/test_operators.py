@@ -605,3 +605,62 @@ def test_asof_join_null_state_ts_dropped(spark):
         ).collect()
     }
     assert got == {1: None, 2: 1}  # NULL-ts row invisible to both probes
+
+
+def test_interest_labels_keyword_batching(spark):
+    """Interests tree (interests/analyze.py:11-80): ONE tokenize pass over
+    crafted bios must label by the reference keyword lists — including
+    multi-keyword contexts deduping to one label per (entity, context)."""
+    from web3_knowledge_graph_spark.operators.wic import interest_labels
+
+    texts = spark.createDataFrame(
+        [
+            ("w1", "I make music; new ALBUM out — musician life"),
+            ("w2", "gamer and photography nerd"),
+            ("w3", "nothing relevant here"),
+            ("w4", "defi yield farming and data pipelines"),
+        ],
+        "entity_id string, text string",
+    )
+    got = {
+        (r["entity_id"], r["context"]): (r["condition"], r["weight"])
+        for r in interest_labels(texts).collect()
+    }
+    assert set(got) == {
+        ("w1", "Music"),
+        ("w2", "Gaming"),
+        ("w2", "Photography"),
+        ("w4", "Defi"),
+        ("w4", "DataScience"),
+    }
+    # reference interests weight is 0 (analyze.py "weight": 0)
+    assert all(v == ("ArtCultureEntertainment", 0.0) for k, v in got.items()
+               if k[1] in ("Music", "Gaming", "Photography"))
+
+
+def test_collector_labels_seeds_and_short_ens(spark):
+    """Collectors tree (collectors/analyze.py:12-46): seed-list CASE over
+    holdings + the 3-letter ENS predicate, weights from the tree."""
+    from web3_knowledge_graph_spark.operators.wic import collector_labels
+
+    holdings = spark.createDataFrame(
+        [("w1", "0xBLUE"), ("w1", "0xother"), ("w2", "0xmusic"), ("w3", "0xwrite")],
+        "entity_id string, token string",
+    )
+    ens = spark.createDataFrame(
+        [("w4", "abc.eth"), ("w5", "name12.eth"), ("w6", "a1c.eth")],
+        "entity_id string, name string",
+    )
+    got = {
+        (r["entity_id"], r["context"]): r["weight"]
+        for r in collector_labels(
+            holdings, ens, ["0xblue"], ["0xwrite"], ["0xmusic"]
+        ).collect()
+    }
+    assert got == {
+        ("w1", "BlueChipNftCollector"): 0.85,
+        ("w2", "Web3MusicCollector"): 0.8,
+        ("w3", "Web3WritingCollector"): 0.8,
+        ("w4", "ThreeLetterEnsName"): 0.25,
+        ("w6", "ThreeLetterEnsName"): 0.25,
+    }

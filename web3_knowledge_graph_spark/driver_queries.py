@@ -1143,6 +1143,132 @@ def q_wic_scores(spark, sf_dir):
     return reputation_scores(labels.select("entity_id", "weight"))
 
 
+# Interests tree restated over the driver corpus vocabulary (the operator's
+# default INTERESTS_TREE keeps the reference's music/gaming keyword lists;
+# the synthetic documents speak OLAP, so the driver tree picks its tokens —
+# same condition-category shape as interests/analyze.py:11-80, one rare
+# keyword ('dup') so frequency extremes are both exercised).
+WIC_INTERESTS_DRIVER_TREE = [
+    ("ArtCultureEntertainment", "StreamingMedia", 0.0, ("stream",)),
+    ("ScienceTech", "DataScience", 0.0, ("data", "vector")),
+    ("ScienceTech", "Deduplication", 0.0, ("dup",)),
+    ("Finance", "Markets", 0.0, ("order", "value")),
+]
+
+# Collectors seed lists — the driver stand-ins for the reference's curated
+# CSVs (collectors/analyze.py:44-46 bluechip_20230427.csv etc.), keyed into
+# the transfer feed's contract keyspace ('0x' || md5('tok'||k)).
+import hashlib as _hashlib  # noqa: E402
+
+
+def _tok_contract(k: int) -> str:
+    return "0x" + _hashlib.md5(f"tok{k}".encode()).hexdigest()
+
+
+WIC_SEED_TOKENS = [_tok_contract(k) for k in (0, 1, 2)]
+WIC_MUSIC_TOKENS = [_tok_contract(k) for k in (3, 4)]
+WIC_WRITING_TOKENS = [_tok_contract(k) for k in (5, 6)]
+
+_WALLET_C = (
+    "'0x' || md5('w' || CAST(c_custkey % 97 AS STRING))"
+    " || substr(md5('wx' || CAST(c_custkey % 97 AS STRING)), 1, 8)"
+)
+# ens alias relation for the short-ENS rule: every 4th customer gets a
+# 3-char local part (the positive), the rest the long 'name<k>' form
+_ENS_REL_SQL = f"""
+SELECT {_WALLET_C} AS entity_id,
+  CASE WHEN c_custkey % 4 = 0
+       THEN substr(md5(CAST(c_custkey AS STRING)), 1, 3) || '.eth'
+       ELSE 'name' || CAST(c_custkey AS STRING) || '.eth' END AS name
+FROM customer
+"""
+
+
+def q_wic_interests(spark, sf_dir):
+    """Interests analyzer (interests/analyze.py:11-80, keyword fulltext
+    rules interests/cyphers.py:33-43) batched as ONE tokenize pass +
+    broadcast keyword dictionary: labels each page author's wallet."""
+    from .operators.wic import interest_labels
+
+    p = _pages(spark, sf_dir)
+    texts = p.select(
+        F.lower(F.regexp_extract("text", AUTHOR_RE, 1)).alias("entity_id"),
+        "text",
+    ).where(F.length("entity_id") == 42)
+    return interest_labels(texts, tree=WIC_INTERESTS_DRIVER_TREE)
+
+
+def q_wic_collectors(spark, sf_dir):
+    """Collectors analyzer (collectors/analyze.py:12-46): seed-list
+    holdings membership in one CASE pass + the 3-letter-ENS rule."""
+    from .operators.wic import collector_labels
+
+    t = feed(spark, sf_dir, "transfers")
+    holdings = t.select(
+        F.col("to_address").alias("entity_id"),
+        F.col("contract_address").alias("token"),
+    ).distinct()
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    ens = spark.sql(_ENS_REL_SQL)
+    return collector_labels(
+        holdings, ens, WIC_SEED_TOKENS, WIC_WRITING_TOKENS, WIC_MUSIC_TOKENS
+    )
+
+
+_KW_VALUES = ", ".join(
+    f"('{kw}', '{cond}', '{ctx}', CAST({w} AS DOUBLE))"
+    for cond, ctx, w, kws in WIC_INTERESTS_DRIVER_TREE
+    for kw in kws
+)
+
+ORACLE_EDGE_RULES["wic_interests"] = f"""
+{PAGES_WITH},
+texts AS (
+  SELECT lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1))
+           AS entity_id, text
+  FROM pages),
+auth AS (SELECT * FROM texts WHERE len(entity_id) = 42),
+toks AS (
+  SELECT entity_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> len(x) > 0))) AS kw
+  FROM auth),
+kws(kw, condition, context, weight) AS (VALUES {_KW_VALUES})
+SELECT DISTINCT entity_id, condition, context, weight
+FROM toks JOIN kws USING (kw)
+"""
+
+ORACLE_EDGE_RULES["wic_collectors"] = f"""
+{feed_cte("transfers")},
+holdings AS (SELECT DISTINCT to_address AS entity_id,
+                    lower(contract_address) AS token FROM transfers),
+held AS (
+  SELECT DISTINCT entity_id,
+    CASE WHEN token IN ({", ".join(repr(t) for t in WIC_SEED_TOKENS)})
+           THEN 'BlueChipNftCollector'
+         WHEN token IN ({", ".join(repr(t) for t in WIC_WRITING_TOKENS)})
+           THEN 'Web3WritingCollector'
+         WHEN token IN ({", ".join(repr(t) for t in WIC_MUSIC_TOKENS)})
+           THEN 'Web3MusicCollector'
+    END AS context
+  FROM holdings),
+ens AS ({_ENS_REL_SQL}),
+short_ens AS (
+  SELECT DISTINCT entity_id, 'ThreeLetterEnsName' AS context FROM ens
+  WHERE regexp_matches(lower(name), '^[a-z0-9]{{3}}\\.eth$')),
+lab AS (
+  SELECT entity_id, context FROM held WHERE context IS NOT NULL
+  UNION SELECT entity_id, context FROM short_ens)
+SELECT entity_id, 'Collectors' AS condition, context,
+  CASE context WHEN 'Web3WritingCollector' THEN CAST(0.8 AS DOUBLE)
+       WHEN 'BlueChipNftCollector' THEN CAST(0.85 AS DOUBLE)
+       WHEN 'ThreeLetterEnsName' THEN CAST(0.25 AS DOUBLE)
+       WHEN 'Web3MusicCollector' THEN CAST(0.8 AS DOUBLE) END AS weight
+FROM lab
+"""
+
+
 def q_entity_popularity(spark, sf_dir):
     """Hub-entity aggregation via SALTED two-phase agg (north rule: 'skew
     from hub entities is handled with salted aggregations'): total mentions
@@ -3090,6 +3216,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_filter": q_watermark_filter,
         "wic_labels": q_wic_labels,
         "wic_scores": q_wic_scores,
+        "wic_interests": q_wic_interests,
+        "wic_collectors": q_wic_collectors,
         "entity_popularity": q_entity_popularity,
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,

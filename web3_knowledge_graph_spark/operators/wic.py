@@ -38,6 +38,114 @@ WIC_TREE = [
 ]
 
 
+# Interests analyzer tree (analytics/wic/interests/analyze.py:11-80 declares
+# category → context; the keyword lists restate the per-context fulltext
+# predicates in interests/cyphers.py:33-43 etc., e.g. Music = 'music' OR
+# 'album' OR 'musician'). Reference weight for every interests context is 0
+# (analyze.py "weight": 0) — interests label without scoring.
+INTERESTS_TREE = [
+    ("ArtCultureEntertainment", "Music", 0.0, ("music", "album", "musician", "concert")),
+    ("ArtCultureEntertainment", "Gaming", 0.0, ("gaming", "gamer", "videogame")),
+    ("ArtCultureEntertainment", "FilmVideo", 0.0, ("film", "video", "cinema")),
+    ("ArtCultureEntertainment", "Photography", 0.0, ("photography", "photographer", "camera")),
+    ("ArtCultureEntertainment", "WritingPublishing", 0.0, ("writing", "writer", "publishing")),
+    ("ScienceTech", "DataScience", 0.0, ("data", "statistics", "analytics")),
+    ("ScienceTech", "Engineering", 0.0, ("engineer", "software", "developer")),
+    ("Finance", "Defi", 0.0, ("defi", "yield", "liquidity")),
+]
+
+# Collectors analyzer tree (analytics/wic/collectors/analyze.py:12-39:
+# context → weight; seed CSVs under collectors/data/*.csv). "kind" picks the
+# rule shape: seed-list holdings membership or the 3-letter-ENS predicate.
+COLLECTORS_TREE = [
+    ("Collectors", "Web3WritingCollector", 0.8, "writing_tokens"),
+    ("Collectors", "BlueChipNftCollector", 0.85, "seed_tokens"),
+    ("Collectors", "ThreeLetterEnsName", 0.25, "short_ens"),
+    ("Collectors", "Web3MusicCollector", 0.8, "music_tokens"),
+]
+
+
+def interest_labels(
+    texts: DataFrame, tree: list | None = None
+) -> DataFrame:
+    """texts(entity_id, text) → interest labels.
+
+    ONE tokenize+explode pass over the corpus joined to a broadcast
+    keyword→context dictionary batches every keyword context — the
+    reference fires one fulltext index query per context per source
+    (interests/cyphers.py:33-43, ~6 queries × 14 contexts). At corpus
+    scale the explode is the only wide op and the dictionary is always
+    the broadcast side; output is distinct (entity, context).
+    """
+    tree = INTERESTS_TREE if tree is None else tree
+    spark = texts.sparkSession
+    kw_rows = [
+        (kw, cond, ctx, float(w)) for cond, ctx, w, kws in tree for kw in kws
+    ]
+    kw_df = spark.createDataFrame(
+        kw_rows, "kw string, condition string, context string, weight double"
+    )
+    toks = texts.select(
+        F.col("entity_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
+        ).alias("kw"),
+    ).where(F.length("kw") > 0)
+    return (
+        toks.join(F.broadcast(kw_df), "kw")
+        .select("entity_id", "condition", "context", "weight")
+        .dropDuplicates(["entity_id", "context"])
+    )
+
+
+def collector_labels(
+    holdings: DataFrame,
+    ens_aliases: DataFrame,
+    seed_tokens: list[str],
+    writing_tokens: list[str],
+    music_tokens: list[str],
+    tree: list | None = None,
+) -> DataFrame:
+    """holdings(entity_id, token) + ens_aliases(entity_id, name) →
+    collector labels (collectors/analyze.py:12-39).
+
+    The three curated token lists (the reference's bluechip/blur/music
+    seed CSVs, collectors/analyze.py:44-46) resolve in ONE pass over
+    holdings via a token→context CASE — seed lists are broadcast-sized by
+    construction. ThreeLetterEnsName restates collectors' short-ENS rule
+    as a native regex on the alias relation.
+    """
+    tree = COLLECTORS_TREE if tree is None else tree
+    weights = {ctx: float(w) for _, ctx, w, _ in tree}
+    cond = {ctx: c for c, ctx, _, _ in tree}
+    tok = F.lower(F.col("token"))
+    ctx_col = (
+        F.when(tok.isin([t.lower() for t in seed_tokens]), "BlueChipNftCollector")
+        .when(tok.isin([t.lower() for t in writing_tokens]), "Web3WritingCollector")
+        .when(tok.isin([t.lower() for t in music_tokens]), "Web3MusicCollector")
+    )
+    held = (
+        holdings.select("entity_id", ctx_col.alias("context"))
+        .where(F.col("context").isNotNull())
+    )
+    short_ens = ens_aliases.where(
+        F.lower(F.col("name")).rlike(r"^[a-z0-9]{3}\.eth$")
+    ).select("entity_id", F.lit("ThreeLetterEnsName").alias("context"))
+    lab = held.unionByName(short_ens).dropDuplicates(["entity_id", "context"])
+    cond_expr = F.col("context")
+    for ctx, c in cond.items():
+        cond_expr = F.when(F.col("context") == ctx, F.lit(c)).otherwise(cond_expr)
+    w_expr = F.lit(None).cast("double")
+    for ctx, w in weights.items():
+        w_expr = F.when(F.col("context") == ctx, F.lit(w)).otherwise(w_expr)
+    return lab.select(
+        "entity_id",
+        cond_expr.alias("condition"),
+        "context",
+        w_expr.alias("weight"),
+    )
+
+
 def wic_labels(events: DataFrame) -> DataFrame:
     """events → (entity_id, condition, context, weight) label rows, one
     pass per rule kind (not per rule): all type_count/type_value leaves
