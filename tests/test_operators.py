@@ -664,3 +664,28 @@ def test_collector_labels_seeds_and_short_ens(spark):
         ("w4", "ThreeLetterEnsName"): 0.25,
         ("w6", "ThreeLetterEnsName"): 0.25,
     }
+
+
+def test_partition_modularity_two_triangles(spark):
+    """Known closed form: two triangles joined by one bridge edge, the
+    triangles as communities. m=7, 2m=14; per triangle in_c=6 (symmetrized),
+    tot_c=7 → q_term = 6/14 − (7/14)² = 5/28; global Q = 5/14 ≈ 0.3571."""
+    from web3_knowledge_graph_spark.operators.communities import (
+        partition_modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 200)],
+        "id long, community long",
+    )
+    rows = {r["community"]: r for r in partition_modularity(edges, labels).collect()}
+    for c in (100, 200):
+        assert rows[c]["n_members"] == 3
+        assert rows[c]["internal_weight"] == 6
+        assert rows[c]["total_degree"] == 7
+        assert abs(rows[c]["q_term"] - 5 / 28) < 1e-12
+    assert abs(sum(r["q_term"] for r in rows.values()) - 5 / 14) < 1e-12

@@ -574,6 +574,20 @@ def q_community_partitions(spark, sf_dir):
     return materialize_partitions(q_communities(spark, sf_dir))
 
 
+def q_community_modularity(spark, sf_dir):
+    """Modularity report for the LPA partition (quantifies the documented
+    Louvain→LPA divergence, networks.py:48-59): per-community Newman
+    Q-terms over the same projection graph q_communities partitions."""
+    from .operators.communities import partition_modularity
+
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    rel = e.select(k.alias("k"), F.col("user_id").cast("long").alias("u")).distinct()
+    proj = bipartite_project(rel, bottom_col="k", top_col="u", threshold=2)
+    labels = label_propagation(proj, src="top_a", dst="top_b", weight="shared", rounds=4)
+    return partition_modularity(proj, labels, src="top_a", dst="top_b", weight="shared")
+
+
 def q_grant_donor_communities(spark, sf_dir):
     """The gitcoin-communities analytic (analytics/gitcoin/analyze.py:17-44):
     ONE donation bipartite graph (donor, grant), projected on BOTH axes —
@@ -735,6 +749,11 @@ ORACLE_GRAPH["cc_components"] = ORACLE_GRAPH["cc_components"].replace(
     "WITH edges", "WITH RECURSIVE edges", 1
 )
 ORACLE_GRAPH["communities"] = label_propagation_oracle_sql(
+    _COMMUNITIES_EDGES_CTE, rounds=4
+)
+from .operators.communities import partition_modularity_oracle_sql  # noqa: E402
+
+ORACLE_GRAPH["community_modularity"] = partition_modularity_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4
 )
 ORACLE_GRAPH["grant_donor_communities"] = f"""
@@ -3206,6 +3225,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "communities": q_communities,
         "community_partitions": q_community_partitions,
+        "community_modularity": q_community_modularity,
         "grant_donor_communities": q_grant_donor_communities,
         "shortest_paths": q_shortest_paths,
         "url_hosts": q_url_hosts,

@@ -100,6 +100,105 @@ def materialize_partitions(labels: DataFrame) -> DataFrame:
     )
 
 
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Per-community Newman modularity terms for a partition.
+
+    The reference's Louvain (analytics/helpers/networks.py:48-59) optimizes
+    modularity Q = Σ_c [in_c/(2m) − (tot_c/(2m))²]; the LPA stand-in above
+    does not, so this operator QUANTIFIES the divergence: it scores any
+    (id, community) assignment against the same graph. Σ q_term over the
+    output is the partition's global Q.
+
+    Columns: community, n_members, internal_weight (symmetrized intra-
+    community weight = 2× undirected internal weight, exact long),
+    total_degree (Σ member degrees, exact long), q_term (double from two
+    deterministic scalar divisions — no accumulation-order dependence).
+
+    Plan: the edge relation symmetrizes exactly as label_propagation does,
+    then joins the label dimension onto both endpoints (two co-partitioned
+    shuffles on node id); everything after is dimension-sized (one row per
+    community). Scales with |E|, never |V|².
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    e = (
+        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # two label joins + degree agg consume it
+    )
+    memb = labels.select(F.col("id"), F.col("community"))
+    two_m = e.agg(F.sum("w").alias("m2"))  # symmetrized total = 2m, one row
+    deg = e.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("deg"))
+    in_c = (
+        e.join(memb.select(F.col("id").alias("a"), F.col("community").alias("ca")), "a")
+        .join(memb.select(F.col("id").alias("b"), F.col("community").alias("cb")), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").alias("in_w"))
+    )
+    stats = (
+        memb.join(deg, "id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("deg").cast("long").alias("total_degree"),
+        )
+    )
+    t = F.col("total_degree").cast("double") / F.col("m2").cast("double")
+    return (
+        stats.join(in_c, "community", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("internal_weight"),
+            "total_degree",
+            (
+                F.coalesce("in_w", F.lit(0)).cast("double")
+                / F.col("m2").cast("double")
+                - t * t
+            ).alias("q_term"),
+        )
+    )
+
+
+def partition_modularity_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB replay of label_propagation → partition_modularity over an
+    ``e(a, b, w)`` symmetrized edge CTE (same contract as the LPA oracle;
+    the label assignment is the unrolled LPA subquery, so the two oracles
+    can never disagree on the partition)."""
+    lpa = label_propagation_oracle_sql(edges_cte, rounds=rounds)
+    return f"""
+WITH {edges_cte},
+lab AS (SELECT * FROM ({lpa})),
+ndeg AS (SELECT a AS id, SUM(w) AS deg FROM e GROUP BY a),
+twom AS (SELECT SUM(w) AS m2 FROM e),
+in_c AS (
+  SELECT x.community AS community, SUM(e.w) AS in_w
+  FROM e JOIN lab x ON e.a = x.id JOIN lab y ON e.b = y.id
+  WHERE x.community = y.community GROUP BY x.community),
+stats AS (
+  SELECT m.community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d.deg) AS BIGINT) AS total_degree
+  FROM lab m JOIN ndeg d USING (id) GROUP BY m.community)
+SELECT s.community, n_members,
+  CAST(COALESCE(i.in_w, 0) AS BIGINT) AS internal_weight,
+  total_degree,
+  CAST(COALESCE(i.in_w, 0) AS DOUBLE) / CAST(m2 AS DOUBLE)
+    - (CAST(total_degree AS DOUBLE) / CAST(m2 AS DOUBLE))
+      * (CAST(total_degree AS DOUBLE) / CAST(m2 AS DOUBLE)) AS q_term
+FROM stats s LEFT JOIN in_c i USING (community) CROSS JOIN twom
+"""
+
+
 def label_propagation_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
     """DuckDB SQL replaying label_propagation verbatim: ``edges_cte`` must
     define a relation ``e(a, b, w)`` already symmetrized; the rounds are
