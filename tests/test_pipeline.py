@@ -477,3 +477,105 @@ def test_table_diff_cdc(spark, tmp_path):
         "k long, v double, extra string"))
     got = {r.k: r.change for r in t.diff(spark, keys=["k"], v_old=1).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_side_table_edit_triggers_graph_rebuild(spark, tmp_path):
+    """Editing a side table with an UNCHANGED corpus must rebuild the graph
+    on resume (the graph mark's signature covers side tables, not just page
+    ingest — closes the former stale-graph blind spot)."""
+    pages = corpus.pages_df(spark, 150, partitions=4)
+    root = str(tmp_path / "wh")
+    side = _side(spark)
+    run_pipeline(spark, pages, side, root, buckets=3)
+
+    # edit one registration: ens(0) now resolves to wallet(7)
+    reg = corpus.registrations_pdf()
+    reg.loc[0, "owner"] = corpus.D.wallet_address(7)
+    edited = dict(side)
+    edited["registrations"] = spark.createDataFrame(reg)
+
+    resumed = run_pipeline(spark, pages, edited, root, buckets=3)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
+    # the new alias edge exists — the graph was rebuilt from the edit
+    new_edge = (
+        f"Wallet:{corpus.D.wallet_address(7)}",
+        "HAS_ALIAS",
+        f"Ens:{corpus.D.ens_name(0)}",
+    )
+    assert new_edge in got
+    # and extraction was NOT redone (corpus unchanged): one mark per date
+    marks = CheckpointLog(root).to_spark(spark).toPandas()
+    nd = _n_dates(spark, 150)
+    assert len(marks[marks.stage == "extract"]) == nd
+    # unchanged side tables on a third run: graph mark is reused (no new mark)
+    n_graph = len(marks[marks.stage == "graph"])
+    run_pipeline(spark, pages, edited, root, buckets=3)
+    marks2 = CheckpointLog(root).to_spark(spark).toPandas()
+    assert len(marks2[marks2.stage == "graph"]) == n_graph
+
+
+def _crash_mark_once(monkeypatch, stage: str):
+    """Make CheckpointLog.mark raise the FIRST time it commits ``stage`` —
+    the crash window between the data write and its lineage mark."""
+    real_mark = CheckpointLog.mark
+    state = {"done": False}
+
+    class Boom(Exception):
+        pass
+
+    def dying_mark(self, run_id, stg, part, **kw):
+        if stg == stage and not state["done"]:
+            state["done"] = True
+            raise Boom()
+        return real_mark(self, run_id, stg, part, **kw)
+
+    monkeypatch.setattr(CheckpointLog, "mark", dying_mark)
+    return Boom
+
+
+def test_crash_between_extract_write_and_mark(spark, tmp_path, monkeypatch):
+    """Kill AFTER the mentions parquet write but BEFORE the extract mark:
+    resume must reprocess that date (dynamic overwrite rewrites exactly its
+    partition) and end byte-identical to a fresh run."""
+    import pytest as _pytest
+
+    pages = corpus.pages_df(spark, 150, partitions=4)
+    side = _side(spark)
+    fresh = run_pipeline(spark, pages, side, str(tmp_path / "fresh"), buckets=3)
+    fresh_set = {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+
+    root = str(tmp_path / "crashed")
+    Boom = _crash_mark_once(monkeypatch, "extract")
+    with _pytest.raises(Boom):
+        run_pipeline(spark, pages, side, root, buckets=3)
+    monkeypatch.undo()
+
+    resumed = run_pipeline(spark, pages, side, root, buckets=3)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
+    assert got == fresh_set
+
+
+def test_crash_between_merge_and_graph_mark(spark, tmp_path, monkeypatch):
+    """Kill AFTER nodes/edges merge_upsert + triples overwrite but BEFORE
+    the graph mark: resume must rebuild the graph (idempotent MERGE) and
+    end byte-identical to a fresh run."""
+    import pytest as _pytest
+
+    pages = corpus.pages_df(spark, 150, partitions=4)
+    side = _side(spark)
+    fresh = run_pipeline(spark, pages, side, str(tmp_path / "fresh2"), buckets=3)
+    fresh_set = {(r["subj"], r["pred"], r["obj"]) for r in fresh.collect()}
+
+    root = str(tmp_path / "crashed2")
+    Boom = _crash_mark_once(monkeypatch, "graph")
+    with _pytest.raises(Boom):
+        run_pipeline(spark, pages, side, root, buckets=3)
+    monkeypatch.undo()
+
+    resumed = run_pipeline(spark, pages, side, root, buckets=3)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in resumed.collect()}
+    assert got == fresh_set
+    # the merge really ran twice over the same updates — still one row per key
+    wh = Warehouse(root)
+    trip = wh.table("triples").read(spark)
+    assert trip.count() == trip.dropDuplicates(["subj", "pred", "obj"]).count()

@@ -679,20 +679,49 @@ def run_pipeline(
             [], "url string, kind string, value string, n bigint"
         )
 
-    # rebuild the graph unless a graph mark exists FOR THIS EXACT corpus
+    # rebuild the graph unless a graph mark exists FOR THIS EXACT input
     # state. `todo or no-mark` is not enough: a run that crashes AFTER
     # writing its extract marks but BEFORE the graph mark leaves todo empty
     # on the next resume while an OLD run's graph mark still reads "done" —
-    # the stale graph would be served forever. The corpus signature (hash
-    # of every date's (rows, fingerprint)) stored as the graph mark's
-    # input_fp makes the mark self-describing: it certifies the graph was
-    # built from precisely this extract state. (Side-table changes are
-    # outside the signature — the resume contract covers page ingest.)
+    # the stale graph would be served forever. The signature (hash of every
+    # date's (rows, fingerprint) PLUS every side table's multiset row hash)
+    # stored as the graph mark's input_fp makes the mark self-describing:
+    # it certifies the graph was built from precisely this extract state
+    # AND these side tables. The side-table term closes the former blind
+    # spot where an edited registrations/profiles/feed table with an
+    # unchanged corpus served a stale graph on resume (mark schema v3;
+    # v2 corpus-only marks simply miss, forcing a one-time rebuild).
     import hashlib
 
+    # one Spark job for all side tables: per-table (count, wrapped-sum of
+    # to_json(struct(*)) row hashes) — to_json keeps NULL-vs-value column
+    # shifts distinguishable; the sum is multiset-sensitive (see the
+    # per-date fingerprint note above)
+    sig_parts = []
+    for name in sorted(side):
+        df = side[name]
+        sig_parts.append(
+            df.select(
+                F.lit(name).alias("t"),
+                F.xxhash64(F.to_json(F.struct(*df.columns)))
+                .cast("decimal(38,0)")
+                .alias("h"),
+            )
+        )
+    side_u = sig_parts[0]
+    for p in sig_parts[1:]:
+        side_u = side_u.unionByName(p)
+    side_state = sorted(
+        (r["t"], int(r["n"]), int(r["fp"] or 0) % (1 << 64))
+        for r in side_u.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("fp"))
+        .collect()
+    )
     corpus_sig = (
         int.from_bytes(
-            hashlib.md5(repr(sorted(per_date.items())).encode()).digest()[:8],
+            hashlib.md5(
+                repr((sorted(per_date.items()), side_state)).encode()
+            ).digest()[:8],
             "big",
             signed=False,
         )
