@@ -1,0 +1,185 @@
+"""Measured recall of every approximate dedup/ANN operator against its
+exact baseline at a non-toy scale (default sf0.1) — evidence for the
+recall/cost tradeoffs claimed in the operator docstrings (VERDICT r2 item 8).
+
+Each approximate operator is run with the SAME parameters its driver query
+uses; ground truth comes from the exact all-pairs/brute-force mode of the
+same module. Verified-candidate designs make precision 1.0 by construction
+(every surviving pair passed the exact check), so the table reports recall,
+candidate volume, and wall time.
+
+    python tools/recall_report.py [sf_dir]      # updates BENCH.md section
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BEGIN = "<!-- recall-report:begin -->"
+END = "<!-- recall-report:end -->"
+
+
+def pairs(df, a="doc_a", b="doc_b") -> set:
+    return {(r[a], r[b]) for r in df.select(a, b).collect()}
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
+    from pyspark.sql import functions as F
+
+    from web3_knowledge_graph_spark.datasets import dedup as D
+    from web3_knowledge_graph_spark.datasets import similarity as S
+    from web3_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("recall", cores=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").localCheckpoint()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    n_docs, n_vecs = docs.count(), embs.count()
+    rows = []
+
+    # --- MinHash-LSH near-dup (driver params: k=3, 8 hashes, 2 rows/band,
+    # J >= 0.7). Truth: exact shingle-inverted-index all-pairs — complete
+    # for J >= 0.7 (such pairs share shingles; no shingle exceeds the df
+    # cap at this scale).
+    t0 = time.time()
+    truth = pairs(D.jaccard_pairs(docs, k=3, threshold=0.7))
+    t_truth = time.time() - t0
+    t0 = time.time()
+    cand = D.lsh_candidate_pairs(docs, k=3, num_hashes=8, rows_per_band=2)
+    n_cand = cand.count()
+    got = pairs(
+        D.jaccard_pairs(docs, k=3, threshold=0.7, candidates=cand)
+    )
+    t_got = time.time() - t0
+    rows.append(
+        (
+            "minhash-LSH near-dup (J≥0.7)",
+            f"{n_docs} docs",
+            f"{n_cand} candidates",
+            len(truth),
+            len(got & truth),
+            len(got & truth) / len(truth) if truth else 1.0,
+            t_truth,
+            t_got,
+        )
+    )
+
+    # --- banded hyperplane-LSH embedding near-dup (driver params:
+    # threshold 0.35, 3 bits x 4 bands). Truth: exact all-pairs cosine.
+    t0 = time.time()
+    etruth = pairs(
+        S.cosine_neardup_pairs(embs, threshold=0.35, n_bits=0), "vec_a", "vec_b"
+    )
+    t_truth = time.time() - t0
+    t0 = time.time()
+    egot = pairs(
+        S.cosine_neardup_pairs(embs, threshold=0.35, dim=64, n_bits=3, n_bands=4),
+        "vec_a",
+        "vec_b",
+    )
+    t_got = time.time() - t0
+    rows.append(
+        (
+            "hyperplane-LSH embed near-dup (cos≥0.35, 3 bits × 4 bands)",
+            f"{n_vecs} vecs",
+            f"{len(egot)} verified",
+            len(etruth),
+            len(egot & etruth),
+            len(egot & etruth) / len(etruth) if etruth else 1.0,
+            t_truth,
+            t_got,
+        )
+    )
+
+    # --- SemDeDup (driver params: threshold 0.35, 16 cells). Truth: the
+    # global epsilon-ball rule — v dropped iff ANY lower-id vector is
+    # within threshold (= the no-codebook limit of the same greedy).
+    # pairs are emitted with vec_a < vec_b, so the dropped side is vec_b
+    exact_drops = {b for _, b in etruth}
+    t0 = time.time()
+    sd = S.semantic_dedup(embs, threshold=0.35, n_centroids=16)
+    sd_drops = {r["vec_id"] for r in sd.where(~F.col("keep")).collect()}
+    t_got = time.time() - t0
+    rows.append(
+        (
+            "SemDeDup drops (cos≥0.35, 16-cell codebook)",
+            f"{n_vecs} vecs",
+            f"{len(sd_drops)} dropped",
+            len(exact_drops),
+            len(sd_drops & exact_drops),
+            len(sd_drops & exact_drops) / len(exact_drops) if exact_drops else 1.0,
+            t_truth,
+            t_got,
+        )
+    )
+
+    # --- IVF ANN recall@5 (driver params: 16 centroids, 4 probes) over a
+    # 64-query probe set; truth = brute-force cosine top-5.
+    q = embs.where(F.col("vec_id") < 64)
+    t0 = time.time()
+    kt = pairs(S.cosine_topk(embs, q, k=5), "query_id", "neighbor_id")
+    t_truth = time.time() - t0
+    t0 = time.time()
+    kg = pairs(
+        S.ivf_topk(embs, q, k=5, n_centroids=16, n_probe=4),
+        "query_id",
+        "neighbor_id",
+    )
+    t_got = time.time() - t0
+    rows.append(
+        (
+            "IVF ANN recall@5 (16 centroids, 4 probes, 64 queries)",
+            f"{n_vecs} vecs",
+            f"{len(kg)} results",
+            len(kt),
+            len(kg & kt),
+            len(kg & kt) / len(kt) if kt else 1.0,
+            t_truth,
+            t_got,
+        )
+    )
+
+    md = [
+        BEGIN,
+        "## Measured recall vs exact baselines (approximate operators)",
+        "",
+        f"Input: `{sf_dir}` ({n_docs} documents, {n_vecs} embeddings); every",
+        "approximate operator runs with its driver-query parameters; ground",
+        "truth is the exact mode of the same module. Verified-candidate",
+        "designs (LSH→exact-verify) have precision 1.0 by construction.",
+        "",
+        "| operator | input | approx volume | truth | hit | recall | exact s | approx s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, inp, vol, nt, hit, rec, ts, tg in rows:
+        md.append(
+            f"| {name} | {inp} | {vol} | {nt} | {hit} | {rec:.4f} | {ts:.1f} | {tg:.1f} |"
+        )
+    md += [
+        "",
+        "Floors: banded embed near-dup ≥ 0.40 of exact (pytest",
+        "`test_datasets.py` single-band floor); SemDeDup drop recall is",
+        "bounded by codebook granularity (within-cell pairs only — the",
+        "documented cell-locality tradeoff); IVF recall@5 degrades only for",
+        "queries whose true neighbors fall outside the probed cells.",
+        "Regenerate with `python tools/recall_report.py`.",
+        END,
+    ]
+    block = "\n".join(md)
+    bench = open("BENCH.md").read()
+    if BEGIN in bench:
+        bench = re.sub(
+            re.escape(BEGIN) + ".*?" + re.escape(END), block, bench, flags=re.S
+        )
+    else:
+        bench = bench.rstrip() + "\n\n" + block + "\n"
+    open("BENCH.md", "w").write(bench)
+    print(block)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*sys.argv[1:]))
