@@ -111,11 +111,20 @@ def worker(cores: int, mode: str, master: str | None = None, trials: int = 1) ->
         # directly so the submitted master wins; same workload conf dict.
         from pyspark.sql import SparkSession
 
+        from web3_knowledge_graph_spark.session import gc_opts
+
         repo = os.path.dirname(os.path.abspath(__file__))
+        # GC pools sized to the EXECUTOR's 2 cores, not the machine's 32
+        # vCPUs (each executor JVM defaults to machine-sized pools — 4
+        # co-located executors then run 4×32 GC threads; measured 25% off
+        # the 4-executor fused-stage wall, tools/scaling_probe.py)
+        exec_gc = gc_opts(2)
         builder = (
             SparkSession.builder.master(master)
             .appName(f"scale{cores}{mode}cluster")
             .config("spark.executorEnv.PYTHONPATH", repo)
+            .config("spark.executor.extraJavaOptions", exec_gc)
+            .config("spark.driver.extraJavaOptions", exec_gc)
             .config("spark.ui.enabled", "false")
         )
         # same scratch-dir policy as get_spark: tmpfs local dirs when the
@@ -448,8 +457,18 @@ job 1.5-5× via old-gen scan + first-touch page-fault overhead).
 Headline per-query timings: BENCH_r{{N}}.json (driver-run `bench.py`).
 Regenerate this file with `python bench_scaling.py`.
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # preserve delimited sections other tools maintain (tools/recall_report.py)
+    keep = ""
+    try:
+        old = open(path).read()
+        b, e = "<!-- recall-report:begin -->", "<!-- recall-report:end -->"
+        if b in old and e in old:
+            keep = "\n" + old[old.index(b): old.index(e) + len(e)] + "\n"
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write(md + keep)
 
 
 if __name__ == "__main__":

@@ -72,8 +72,23 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     """pages → pages with ``text`` filled where NULL (rows that already carry
     pre-extracted text keep it — mirrors the reference's two ingest paths:
     arweave JSON bodies arrive as text, generic URLs as HTML
-    (scraping/mirror/scrape.py:156-186))."""
-    return df.withColumn(
-        out_col,
-        F.coalesce(F.col(out_col), extract_text_udf(F.col(html_col))),
+    (scraping/mirror/scrape.py:156-186)).
+
+    Split plan, not coalesce-over-UDF: rows whose text is already present
+    NEVER enter the ArrowEvalPython node. The former
+    ``coalesce(text, udf(html))`` shipped EVERY row through the Python
+    worker round trip — measured at 43% of the 4-executor fused-stage wall
+    on an all-pre-extracted corpus (tools/scaling_probe.py full+gc vs
+    noudf+gc) — for rows whose UDF result was then discarded. The union
+    costs a second (filter-complementary) pass over the source and lets
+    Catalyst duplicate downstream projections into both branches; that is
+    plan bloat, but corpus rows crossing the Python boundary drop from
+    100% to exactly the html-bearing fraction, which is the scale-dominant
+    term (the Arrow boundary also splits whole-stage codegen, so the
+    passthrough branch additionally stays fully codegen'd).
+    """
+    has_text = df.where(F.col(out_col).isNotNull())
+    needs = df.where(F.col(out_col).isNull()).withColumn(
+        out_col, extract_text_udf(F.col(html_col))
     )
+    return has_text.unionByName(needs)

@@ -85,6 +85,26 @@ def apply_sql_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def gc_opts(cores: int) -> str:
+    """GC worker threads scaled to the JVM's OWN core budget (~cores/2,
+    capped), not the machine's vCPU count.
+
+    G1's default one-GC-worker-per-vCPU storms the kernel on oversubscribed
+    VMs (lock-holder preemption → 90% sys time), and even ParallelGC
+    workers compete with task threads on allocation-heavy stages when
+    over-provisioned. CRITICAL for multi-executor masters: each executor
+    JVM sizes its GC pools to the MACHINE's vCPUs by default, so 4
+    co-located 2-core executors spawn 4×32 GC threads — measured 25% off
+    the 4-executor fused-stage wall (tools/scaling_probe.py noudf vs
+    noudf+gc). Pass the PER-EXECUTOR core count.
+    """
+    gc_threads = max(2, min(8, cores // 2))
+    return (
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
+    )
+
+
 def get_spark(
     app_name: str = "web3_knowledge_graph_spark",
     cores: int | None = None,
@@ -100,23 +120,12 @@ def get_spark(
     if cores is None:
         cores = default_cores()
 
-    # Scale GC worker threads to the executor's cores (~cores/2, capped):
-    # G1's default one-GC-worker-per-vCPU storms the kernel on
-    # oversubscribed VMs (lock-holder preemption → 90% sys time), and even
-    # ParallelGC workers compete with task threads on allocation-heavy
-    # stages when over-provisioned. Real cluster executors get the same
-    # per-executor proportionality.
-    gc_threads = max(2, min(8, cores // 2))
-    gc_opts = (
-        f"-XX:+UseParallelGC -XX:ParallelGCThreads={gc_threads} "
-        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
-    )
-
+    opts = gc_opts(cores)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.driver.extraJavaOptions", gc_opts)
-        .config("spark.executor.extraJavaOptions", gc_opts)
+        .config("spark.driver.extraJavaOptions", opts)
+        .config("spark.executor.extraJavaOptions", opts)
         # modest heap: a 48g heap measurably degrades GC at high thread
         # counts (old-gen scans + first-touch page faults); local sf0.1
         # workloads fit comfortably in 8g
