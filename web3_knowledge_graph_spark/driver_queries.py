@@ -3249,6 +3249,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gitcoin_edges": q_gitcoin_edges,
         "delegation_edges": q_delegation_edges,
         "ownership_edges": q_ownership_edges,
+        # headline query inside the driver harness's checked prefix
+        "flagship_triples": flagship_triples,
         "near_dedup": q_near_dedup,
         "media_features": q_media_features,
         "ivf_knn": q_ivf_knn,
@@ -3297,7 +3299,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
-        "flagship_triples": flagship_triples,
     }
 
 
