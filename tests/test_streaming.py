@@ -322,3 +322,60 @@ def test_enrich_stream_matches_batch_join(spark, events_dir):
     b = {(r.event_id, r.weight) for r in batch.collect()}
     assert g == b and len(g) > 0
     assert any(w is None for _, w in g)  # view/signup events miss the dim
+
+
+def test_transfer_edges_stream_matches_batch_rule(spark, tmp_path):
+    """Push-path TRANSFERRED maintenance: streamed per-epoch deltas folded
+    by read_transfer_edges must equal operators.edge_rules.transfer_edges'
+    TRANSFERRED weights over the union of all streamed files — including
+    webhook redeliveries (exact duplicate rows) within and across
+    micro-batches, which the watermark-bounded dedup must absorb."""
+    import datetime as dt
+    import time as _time
+
+    from web3_knowledge_graph_spark.operators import edge_rules as ER
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for r in range(60):
+        rows.append(
+            (
+                base + dt.timedelta(minutes=r),
+                f"0xfrom{r % 5}",
+                f"0xto{(r + 1) % 4}",
+                f"0xh{r - (r % 2)}",  # consecutive rows share a tx hash
+                "0xtok",
+                float(r),
+            )
+        )
+    dup_rows = rows[10:20]  # redelivered verbatim in a later file
+    schema = (
+        "ts timestamp, from_address string, to_address string,"
+        " tx_hash string, contract_address string, amount double"
+    )
+    d = tmp_path / "transfers"
+    for chunk in (rows[:30], rows[30:] + dup_rows):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        _time.sleep(1.1)
+
+    out, ckpt = str(tmp_path / "edges_out"), str(tmp_path / "ckpt")
+    q = J.transfer_edges_stream(spark, str(d), out, ckpt)
+    q.awaitTermination()
+    got = {
+        (r["from_address"], r["to_address"]): r["nb_transfer"]
+        for r in J.read_transfer_edges(spark, out).collect()
+    }
+
+    batch = ER.transfer_edges(
+        spark.createDataFrame(rows + dup_rows, schema)
+    ).where(F.col("pred") == "TRANSFERRED")
+    want = {
+        (r["subj_key"], r["obj_key"]): r["weight"] for r in batch.collect()
+    }
+    assert got == want
+    # redeliveries really were absorbed, not recounted: the 60 original
+    # rows are 60 distinct (from, to, hash) triples (hash-sharing pairs
+    # differ in endpoints), and the 10 redelivered rows add nothing
+    assert sum(got.values()) == 60

@@ -29,6 +29,9 @@ upgrade of that push path:
   * trending_stream — per finalized window, top-k event types: append
     mode emits a window exactly once (when the watermark passes its
     end), which is what makes the per-epoch rank globally correct.
+  * transfer_edges_stream — the widened edge vocabulary's push path:
+    streaming TRANSFERRED maintenance (cross-batch (from,to,hash) dedup
+    within the watermark, crash-safe per-epoch weight deltas).
 
 Batch equivalents (driver_queries.q_events_hourly / q_sessionization) carry
 the DuckDB oracle checks; tests drive these streaming versions with the
@@ -360,6 +363,90 @@ def trending_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+TRANSFERS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),  # block time (event time)
+        T.StructField("from_address", T.StringType()),
+        T.StructField("to_address", T.StringType()),
+        T.StructField("tx_hash", T.StringType()),
+        T.StructField("contract_address", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ]
+)
+
+
+def transfer_edges_stream(
+    spark: SparkSession,
+    transfers_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "1 hour",
+):
+    """Push-path maintenance of the TRANSFERRED edge family: token
+    transfers landing as files (the reference's Alchemy webhook push,
+    helpers/Alchemy.py:354-460, feeding the same MERGE the batch scrape
+    uses — tokenHolders/cyphers.py:55-70 increments ``nb_transfer`` ON
+    MATCH) → streaming dedup → per-epoch weight deltas.
+
+    Composition:
+      * dropDuplicatesWithinWatermark on (from, to, hash) replays the
+        batch rule's dedup-before-count (ingest.py:31) ACROSS micro-batches
+        — a webhook redelivering a tx within the watermark horizon does
+        not double nb_transfer; state expires at the horizon (the standard
+        streaming-dedup bound — older redeliveries are the idempotent
+        batch MERGE's job).
+      * accumulation is NOT idempotent, so instead of mutating a running
+        total in foreachBatch (a crash-replayed epoch would double-count),
+        each epoch OVERWRITES its own ``epoch=<id>`` delta partition of
+        per-pair counts; ``read_transfer_edges`` folds the deltas. At
+        scale the delta log compacts into the warehouse edges table with
+        one MERGE (weight = weight + delta) per maintenance window.
+
+    Returns the StreamingQuery (availableNow — drain and stop).
+    """
+    stream = (
+        spark.readStream.schema(TRANSFERS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(transfers_dir)
+    )
+    first_seen = (
+        stream.select(
+            "ts",
+            F.lower(F.trim("from_address")).alias("from_address"),
+            F.lower(F.trim("to_address")).alias("to_address"),
+            F.lower(F.trim("tx_hash")).alias("tx_hash"),
+        )
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["from_address", "to_address", "tx_hash"])
+    )
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.groupBy("from_address", "to_address")
+            .agg(F.count(F.lit(1)).cast("long").alias("nb_delta"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        first_seen.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_transfer_edges(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Fold the per-epoch deltas into the current TRANSFERRED weights —
+    equivalent to operators.edge_rules.transfer_edges' TRANSFERRED family
+    over the union of all streamed files (proven by test)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("from_address", "to_address")
+        .agg(F.sum("nb_delta").cast("double").alias("nb_transfer"))
     )
 
 
