@@ -205,3 +205,196 @@ def test_feed_edge_rules_union_and_missing_feeds(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_nft_holding_rotation_anti_join(spark):
+    # curr holders → HOLDS_TOKEN (weight = distinct tokenIds); prev holders
+    # absent from curr rotate to HELD_TOKEN (tokenHolders/cypher.py:28-150);
+    # balance-0 rows are not holders on either side
+    h = spark.createDataFrame(
+        [
+            (W1, "0xtok", "1", 1, "prev"),
+            (W1, "0xtok", "2", 2, "prev"),   # id 2 absent from curr → rotates
+            (W1, "0xtok", "3", 0, "prev"),   # zero balance: never a holder
+            (W1, "0xtok", "1", 1, "curr"),
+            (W1, "0xtok", "4", 1, "curr"),
+            (W1, "0xtok", "5", 0, "curr"),   # zeroed in curr: not held NOW,
+            (W1, "0xtok", "5", 1, "prev"),   # so its prev twin rotates
+            (W2, "0xtok", "1", 1, "curr"),
+        ],
+        "address string, contract_address string, token_id string,"
+        " balance long, snapshot string",
+    )
+    out = ER.nft_holding_edges(h)
+    holds = _rows(
+        out.where(F.col("pred") == "HOLDS_TOKEN").select(
+            "subj_key", "obj_key", "weight"
+        )
+    )
+    assert holds == {(W1, "0xtok", 2.0), (W2, "0xtok", 1.0)}
+    held = _rows(
+        out.where(F.col("pred") == "HELD_TOKEN").select(
+            "subj_key", "obj_key", "weight"
+        )
+    )
+    assert held == {(W1, "0xtok", 2.0)}  # ids 2 and 5 rotated
+
+
+def test_moloch_edges_gates_and_joins(spark):
+    daos = spark.createDataFrame(
+        [("dao1", W1, "0xtok")],
+        "dao_id string, summoner string, token_address string",
+    )
+    members = spark.createDataFrame(
+        [
+            ("dao1", W2, 3),
+            ("dao1", W2, 9),      # duplicate member: max-shares fold
+            ("dao9", W3, 5),      # dao9 never ingested → drops
+        ],
+        "dao_id string, member string, shares long",
+    )
+    proposals = spark.createDataFrame(
+        [
+            # sponsored, processed, tribute>0, payment=0
+            ("p1", "dao1", W1, W2, W3, W2, 4.0, 0.0),
+            # unsponsored, unprocessed, tribute=0, payment>0, dao unknown
+            ("p2", "dao9", W2, None, None, W3, 0.0, 7.0),
+        ],
+        "proposal_id string, dao_id string, proposer string, sponsor string,"
+        " processor string, applicant string, tribute_offered double,"
+        " payment_requested double",
+    )
+    votes = spark.createDataFrame(
+        [
+            ("v1", "p1", "dao1", W3, 2),
+            ("v2", "p9", "dao1", W3, 2),  # proposal p9 never ingested
+            ("v3", "p2", "dao9", W2, 1),  # p2 exists; dao9 doesn't
+        ],
+        "vote_id string, proposal_id string, dao_id string, voter string,"
+        " shares long",
+    )
+    out = ER.moloch_edges(daos, members, proposals, votes)
+    by = {
+        p: _rows(out.where(F.col("pred") == p).select("subj_key", "obj_key", "weight"))
+        for p in (
+            "SUMMONER", "HAS_TOKEN", "IS_MEMBER", "HAS_PROPOSAL", "AUTHOR",
+            "SPONSORED", "EXECUTED", "IS_APPLICANT", "IS_TRIBUTING",
+            "IS_PAYING", "VOTED", "IS_VOTER",
+        )
+    }
+    assert by["SUMMONER"] == {(W1, "dao1", 1.0)}
+    assert by["HAS_TOKEN"] == {("dao1", "0xtok", 1.0)}
+    assert by["IS_MEMBER"] == {(W2, "dao1", 9.0)}          # max(3, 9); dao9 dropped
+    assert by["HAS_PROPOSAL"] == {("dao1", "p1", 1.0)}     # p2's dao unknown
+    assert by["AUTHOR"] == {(W1, "p1", 1.0), (W2, "p2", 1.0)}
+    assert by["SPONSORED"] == {(W2, "p1", 1.0)}            # NULL sponsor drops
+    assert by["EXECUTED"] == {(W3, "p1", 1.0)}
+    assert by["IS_APPLICANT"] == {(W2, "p1", 1.0), (W3, "p2", 1.0)}
+    assert by["IS_TRIBUTING"] == {(W2, "p1", 4.0)}         # tribute 0 drops
+    assert by["IS_PAYING"] == {("p2", W3, 7.0)}            # payment 0 drops
+    assert by["VOTED"] == {(W3, "p1", 1.0), (W2, "p2", 1.0)}   # p9 drops
+    assert by["IS_VOTER"] == {(W3, "dao1", 1.0)}           # dao9 drops
+
+
+def test_loan_edges_denomination_gate_and_collateral_citation(spark):
+    loans = spark.createDataFrame(
+        [
+            ("l1", W1, W2, "0xnft", "7", "0x" + "d" * 40),
+            ("l2", W2, W3, "0xnft", "9", "0x" + "e" * 10),  # truncated → no denom
+        ],
+        "loan_id string, borrower string, lender string,"
+        " collateral_contract string, collateral_token_id string,"
+        " denomination_token string",
+    )
+    out = ER.loan_edges(loans)
+    assert _rows(
+        out.where(F.col("pred") == "BORROWED").select("subj_key", "obj_key")
+    ) == {(W1, "l1"), (W2, "l2")}
+    assert _rows(
+        out.where(F.col("pred") == "LENT").select("subj_key", "obj_key")
+    ) == {(W2, "l1"), (W3, "l2")}
+    assert _rows(
+        out.where(F.col("pred") == "IS_DENOMINATION").select("subj_key", "obj_key")
+    ) == {("0x" + "d" * 40, "l1")}
+    coll = {
+        (r.obj_key, r.citation)
+        for r in out.where(F.col("pred") == "IS_COLLATERAL").collect()
+    }
+    assert coll == {
+        ("l1", "loan collateral tokenId=7 (NFTfi/cyphers.py:79-88)"),
+        ("l2", "loan collateral tokenId=9 (NFTfi/cyphers.py:79-88)"),
+    }
+
+
+def test_repo_edges_null_drop_and_role_map(spark):
+    repos = spark.createDataFrame(
+        [
+            ("Org/Repo", "Dev1", "owner"),
+            ("org/repo", "dev1", "owner"),     # case-fold dup
+            ("org/repo", None, "contributor"), # NULL handle drops
+            ("org/repo2", "dev2", "subscriber"),
+            (None, "dev3", "contributor"),     # NULL repo drops
+        ],
+        "full_name string, handle string, role string",
+    )
+    got = _rows(ER.repo_edges(repos).select("subj_key", "pred", "obj_key"))
+    assert got == {
+        ("dev1", "OWNER", "org/repo"),
+        ("dev2", "SUBSCRIBER", "org/repo2"),
+    }
+
+
+def test_member_of_requires_ingested_grant(spark):
+    members = spark.createDataFrame(
+        [("g1", "u1"), ("g9", "u2"), ("G1", "U1")],  # g9 unknown; case dup
+        "grant_id string, user_id string",
+    )
+    admins = spark.createDataFrame(
+        [("g1", W1)], "grant_id string, address string"
+    )
+    got = _rows(
+        ER.member_of_edges(members, admins).select(
+            "subj_label", "subj_key", "obj_key"
+        )
+    )
+    assert got == {("GitcoinAccount", "u1", "g1")}
+
+
+def test_domain_edges_host_extraction_and_malformed_drop(spark):
+    sites = spark.createDataFrame(
+        [
+            ("https://User3.example/about",),
+            ("https://user3.example/other",),  # same host, different url
+            ("not a url",),                    # no host → drops
+        ],
+        "website_url string",
+    )
+    got = _rows(ER.domain_edges(sites).select("subj_key", "obj_key"))
+    assert got == {
+        ("https://user3.example/about", "user3.example"),
+        ("https://user3.example/other", "user3.example"),
+    }
+
+
+def test_delegation_role_edges_distinct_hub(spark):
+    d = spark.createDataFrame(
+        [
+            ("compound", W1, W2, 1, "0xh1"),
+            ("compound", W1, W3, 2, "0xh2"),  # same delegator, later target
+            ("uniswap", W2, W3, 1, "0xh3"),
+        ],
+        "protocol string, delegator string, delegate string,"
+        " block_number long, tx_hash string",
+    )
+    out = ER.delegation_role_edges(d)
+    assert _rows(
+        out.where(F.col("pred") == "HAS_DELEGATION").select("subj_key", "obj_key")
+    ) == {("compound", "compound"), ("uniswap", "uniswap")}
+    assert _rows(
+        out.where(F.col("pred") == "IS_DELEGATING").select("subj_key", "obj_key")
+    ) == {(W1, "compound"), (W2, "uniswap")}
+    # BOTH targets of the delegator stay linked to the hub (the reference
+    # never detaches IS_DELEGATE on a re-delegation, only DELEGATES_TO)
+    assert _rows(
+        out.where(F.col("pred") == "IS_DELEGATE").select("subj_key", "obj_key")
+    ) == {(W2, "compound"), (W3, "compound"), (W3, "uniswap")}

@@ -689,3 +689,59 @@ def test_partition_modularity_two_triangles(spark):
         assert rows[c]["total_degree"] == 7
         assert abs(rows[c]["q_term"] - 5 / 28) < 1e-12
     assert abs(sum(r["q_term"] for r in rows.values()) - 5 / 14) < 1e-12
+
+
+def test_graph_wic_labels_each_rule_kind(spark):
+    """One literal triple set exercising every GRAPH_WIC_TREE rule kind:
+    exists (obj-label scoped), count-threshold, child-pred guard, and
+    median benchmark (daoContributors / publicGoods / protocolPoliticians /
+    developers cyphers restated)."""
+    from web3_knowledge_graph_spark.operators.wic import graph_wic_labels
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcdef"]
+    t = []
+    # MultisigSigner: a IS_SIGNER; SnapshotAdmin: b CONTRIBUTOR→Space
+    # (c CONTRIBUTOR→Repository must NOT match it, but is TechnicalContributor
+    # and EcosystemDeveloper)
+    t += [(W[0], "IS_SIGNER", "Wallet:0xm")]
+    t += [(W[1], "CONTRIBUTOR", "Space:s1.eth")]
+    t += [("Github:dev1", "CONTRIBUTOR", "Repository:org/r1")]
+    t += [("Github:dev2", "OWNER", "Repository:org/r2")]
+    # GitcoinGrantDonor: a donates to 3 grants (passes > 2), b to 1 (fails)
+    t += [(W[0], "DONATION", f"Grant:g{i}") for i in range(3)]
+    t += [(W[1], "DONATION", "Grant:g0")]
+    # GitcoinGrantAdmin benchmark: admins a (1 grant) and b (3 grants);
+    # benchmark set = IS_ADMIN|MEMBER_OF counts {a:1, b:3, m:2} → median 2
+    t += [(W[0], "IS_ADMIN", "Grant:g0")]
+    t += [(W[1], "IS_ADMIN", f"Grant:g{i}") for i in range(3)]
+    t += [("GitcoinAccount:m", "MEMBER_OF", f"Grant:g{i}") for i in range(2)]
+    # EngagedVoter: c votes on 11 proposals WITH a HAS_PROPOSAL parent,
+    # d votes on 11 orphan proposals (guard drops them)
+    t += [("Dao:dao1", "HAS_PROPOSAL", f"Proposal:p{i}") for i in range(11)]
+    t += [(W[2], "VOTED", f"Proposal:p{i}") for i in range(11)]
+    t += [(W[3], "VOTED", f"Proposal:orphan{i}") for i in range(11)]
+    # ProposalAuthor benchmark: e authors 1, f authors 3 → median 2
+    t += [(W[4], "AUTHOR", "Proposal:p0")]
+    t += [(W[5], "AUTHOR", f"Proposal:p{i}") for i in range(3)]
+    # Delegate: f
+    t += [(W[5], "IS_DELEGATE", "Delegation:compound")]
+
+    trip = spark.createDataFrame(t, "subj string, pred string, obj string")
+    got = {
+        (r.entity_id, r.context): (r.weight, r.metric)
+        for r in graph_wic_labels(trip).collect()
+    }
+    assert got == {
+        (W[0], "MultisigSigner"): (0.85, 1.0),
+        (W[1], "SnapshotAdmin"): (0.85, 1.0),
+        ("Github:dev1", "TechnicalContributor"): (0.925, 1.0),
+        (W[0], "GitcoinGrantDonor"): (0.6, 3.0),
+        (W[0], "GitcoinGrantAdmin"): (0.825, 0.5),   # 1 / median 2
+        (W[1], "GitcoinGrantAdmin"): (0.825, 1.5),   # 3 / median 2
+        (W[2], "EngagedVoter"): (0.5, 11.0),
+        (W[4], "ProposalAuthor"): (0.6, 0.5),        # 1 / median 2
+        (W[5], "ProposalAuthor"): (0.6, 1.5),        # 3 / median 2
+        (W[5], "Delegate"): (0.7, 1.0),
+        ("Github:dev1", "EcosystemDeveloper"): (0.9, 1.0),
+        ("Github:dev2", "EcosystemDeveloper"): (0.9, 1.0),
+    }

@@ -845,6 +845,68 @@ def q_ownership_edges(spark, sf_dir):
     return ER.as_named_triples(out)
 
 
+def q_nft_holding_edges(spark, sf_dir):
+    """HOLDS_TOKEN (current per-tokenId holders) + HELD_TOKEN (mark-and-
+    sweep rotation) from two holding snapshots
+    (postProcessing/tokenHolders/cypher.py:28-150)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.nft_holding_edges(feed(spark, sf_dir, "nft_holdings"))
+    )
+
+
+def q_moloch_edges(spark, sf_dir):
+    """The 12 DAOhaus moloch families: SUMMONER / HAS_TOKEN / IS_MEMBER /
+    HAS_PROPOSAL / AUTHOR / SPONSORED / EXECUTED / IS_APPLICANT /
+    IS_TRIBUTING / IS_PAYING / VOTED / IS_VOTER
+    (ingestion/daohaus/cyphers.py:140-408)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.moloch_edges(
+            feed(spark, sf_dir, "moloch_daos"),
+            feed(spark, sf_dir, "moloch_members"),
+            feed(spark, sf_dir, "moloch_proposals"),
+            feed(spark, sf_dir, "moloch_votes"),
+        )
+    )
+
+
+def q_loan_edges(spark, sf_dir):
+    """NFTfi loan families: BORROWED / LENT / IS_COLLATERAL /
+    IS_DENOMINATION (ingestion/NFTfi/cyphers.py:51-103)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.loan_edges(feed(spark, sf_dir, "loans")))
+
+
+def q_repo_edges(spark, sf_dir):
+    """Github OWNER / CONTRIBUTOR / SUBSCRIBER repo links with the
+    NULL-handle drop (postProcessing/github/cyphers.py:231-280)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.repo_edges(feed(spark, sf_dir, "repos")))
+
+
+def q_membership_edges(spark, sf_dir):
+    """Gitcoin MEMBER_OF, members of never-ingested grants dropped by the
+    grant-registry join (ingestion/gitcoin/cyphers.py:139-160), plus
+    Website HAS_DOMAIN (twitterRelations/cyphers.py:130-150)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.member_of_edges(
+            feed(spark, sf_dir, "grant_members"),
+            feed(spark, sf_dir, "grant_admins"),
+        ).unionByName(ER.domain_edges(feed(spark, sf_dir, "websites")))
+    )
+
+
+def q_delegation_role_edges(spark, sf_dir):
+    """The per-protocol Delegation hub: HAS_DELEGATION / IS_DELEGATING /
+    IS_DELEGATE (ingestion/delegation/cyphers.py:91-152)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.delegation_role_edges(feed(spark, sf_dir, "delegations"))
+    )
+
+
 _CIT_TRANSFER = "token transfer (tokenHolders/cyphers.py:55-70)"
 _CIT_RECEIVED = "transfer receipt (helpers/queries.py:142-151)"
 
@@ -960,7 +1022,179 @@ UNION ALL
 SELECT DISTINCT 'Wallet:' || owner, 'IS_OWNER', 'Nft:' || nft_id,
   CAST(1.0 AS DOUBLE), 'NFT owner (mirror/cyphers.py:138-158)' FROM nft
 """,
+    "nft_holding_edges": f"""
+{feed_cte("nft_holdings")},
+cur AS (SELECT DISTINCT lower(trim(address)) AS a,
+               lower(trim(contract_address)) AS c, lower(trim(token_id)) AS t
+        FROM nft_holdings WHERE snapshot = 'curr' AND balance > 0),
+prv AS (SELECT DISTINCT lower(trim(address)) AS a,
+               lower(trim(contract_address)) AS c, lower(trim(token_id)) AS t
+        FROM nft_holdings WHERE snapshot = 'prev' AND balance > 0),
+rot AS (SELECT * FROM prv EXCEPT SELECT * FROM cur)
+SELECT 'Wallet:' || a AS subj, 'HOLDS_TOKEN' AS pred, 'Token:' || c AS obj,
+  CAST(COUNT(*) AS DOUBLE) AS weight,
+  'NFT holding (tokenHolders/cypher.py:57-76)' AS citation
+FROM cur GROUP BY a, c
+UNION ALL
+SELECT 'Wallet:' || a, 'HELD_TOKEN', 'Token:' || c, CAST(COUNT(*) AS DOUBLE),
+  'NFT holding rotation (tokenHolders/cypher.py:118-150)'
+FROM rot GROUP BY a, c
+""",
+    "moloch_edges": f"""
+{feed_cte("moloch_daos", "moloch_members", "moloch_proposals", "moloch_votes")},
+d AS (SELECT lower(trim(dao_id)) AS dao_id, lower(trim(summoner)) AS summoner,
+             lower(trim(token_address)) AS token_address FROM moloch_daos),
+mem AS (SELECT m.dao_id, m.member, CAST(MAX(m.shares) AS DOUBLE) AS shares
+  FROM (SELECT lower(trim(dao_id)) AS dao_id, lower(trim(member)) AS member,
+               shares FROM moloch_members) m
+  JOIN d USING (dao_id) GROUP BY m.dao_id, m.member),
+p AS (SELECT lower(trim(proposal_id)) AS proposal_id,
+             lower(trim(dao_id)) AS dao_id, lower(trim(proposer)) AS proposer,
+             lower(trim(sponsor)) AS sponsor,
+             lower(trim(processor)) AS processor,
+             lower(trim(applicant)) AS applicant,
+             tribute_offered, payment_requested
+      FROM moloch_proposals),
+v AS (SELECT lower(trim(voter)) AS voter,
+             lower(trim(proposal_id)) AS proposal_id,
+             lower(trim(dao_id)) AS dao_id FROM moloch_votes)
+SELECT 'Wallet:' || summoner AS subj, 'SUMMONER' AS pred,
+  'Dao:' || dao_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'dao summoner (daohaus/cyphers.py:190-207)' AS citation FROM d
+UNION ALL
+SELECT 'Dao:' || dao_id, 'HAS_TOKEN', 'Token:' || token_address,
+  CAST(1.0 AS DOUBLE), 'dao token (daohaus/cyphers.py:370-388)' FROM d
+UNION ALL
+SELECT 'Wallet:' || member, 'IS_MEMBER', 'Dao:' || dao_id, shares,
+  'dao member (daohaus/cyphers.py:336-360)' FROM mem
+UNION ALL
+SELECT 'Dao:' || p.dao_id, 'HAS_PROPOSAL', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'dao proposal (daohaus/cyphers.py:391-408)'
+FROM p JOIN d USING (dao_id)
+UNION ALL
+SELECT 'Wallet:' || proposer, 'AUTHOR', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal proposer (daohaus/cyphers.py:250-268)' FROM p
+UNION ALL
+SELECT 'Wallet:' || sponsor, 'SPONSORED', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal sponsor (daohaus/cyphers.py:210-228)'
+FROM p WHERE sponsor IS NOT NULL
+UNION ALL
+SELECT 'Wallet:' || processor, 'EXECUTED', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal processor (daohaus/cyphers.py:230-248)'
+FROM p WHERE processor IS NOT NULL
+UNION ALL
+SELECT 'Wallet:' || applicant, 'IS_APPLICANT', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal applicant (daohaus/cyphers.py:270-288)' FROM p
+UNION ALL
+SELECT 'Wallet:' || applicant, 'IS_TRIBUTING', 'Proposal:' || proposal_id,
+  CAST(tribute_offered AS DOUBLE),
+  'proposal tribute (daohaus/cyphers.py:310-330)'
+FROM p WHERE tribute_offered > 0
+UNION ALL
+SELECT 'Proposal:' || proposal_id, 'IS_PAYING', 'Wallet:' || applicant,
+  CAST(payment_requested AS DOUBLE),
+  'proposal payment (daohaus/cyphers.py:288-308)'
+FROM p WHERE payment_requested > 0
+UNION ALL
+SELECT DISTINCT 'Wallet:' || voter, 'VOTED', 'Proposal:' || v.proposal_id,
+  CAST(1.0 AS DOUBLE), 'moloch vote (daohaus/cyphers.py:140-165)'
+FROM v JOIN p USING (proposal_id)
+UNION ALL
+SELECT DISTINCT 'Wallet:' || voter, 'IS_VOTER', 'Dao:' || v.dao_id,
+  CAST(1.0 AS DOUBLE), 'dao voter (daohaus/cyphers.py:167-188)'
+FROM v JOIN d USING (dao_id)
+""",
+    "loan_edges": f"""
+{feed_cte("loans")},
+ln AS (SELECT lower(trim(loan_id)) AS loan_id, lower(trim(borrower)) AS borrower,
+              lower(trim(lender)) AS lender,
+              lower(trim(collateral_contract)) AS collateral_contract,
+              lower(trim(collateral_token_id)) AS collateral_token_id,
+              lower(trim(denomination_token)) AS denomination_token
+       FROM loans)
+SELECT 'Wallet:' || borrower AS subj, 'BORROWED' AS pred,
+  'Loan:' || loan_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'loan borrower (NFTfi/cyphers.py:51-58)' AS citation FROM ln
+UNION ALL
+SELECT 'Wallet:' || lender, 'LENT', 'Loan:' || loan_id, CAST(1.0 AS DOUBLE),
+  'loan lender (NFTfi/cyphers.py:65-72)' FROM ln
+UNION ALL
+SELECT 'Token:' || collateral_contract, 'IS_COLLATERAL', 'Loan:' || loan_id,
+  CAST(1.0 AS DOUBLE),
+  'loan collateral tokenId=' || collateral_token_id
+      || ' (NFTfi/cyphers.py:79-88)' FROM ln
+UNION ALL
+SELECT 'Token:' || denomination_token, 'IS_DENOMINATION', 'Loan:' || loan_id,
+  CAST(1.0 AS DOUBLE), 'loan denomination (NFTfi/cyphers.py:93-103)'
+FROM ln WHERE regexp_matches(denomination_token, '^0x[a-fA-F0-9]{{40}}$')
+""",
+    "repo_edges": f"""
+{feed_cte("repos")},
+r AS (SELECT DISTINCT lower(trim(handle)) AS handle,
+             lower(trim(full_name)) AS full_name, lower(trim(role)) AS role
+      FROM repos WHERE handle IS NOT NULL AND full_name IS NOT NULL)
+SELECT 'Github:' || handle AS subj,
+  CASE WHEN role = 'owner' THEN 'OWNER'
+       WHEN role = 'contributor' THEN 'CONTRIBUTOR'
+       ELSE 'SUBSCRIBER' END AS pred,
+  'Repository:' || full_name AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'github ' || role || ' (github/cyphers.py:231-280)' AS citation
+FROM r
+""",
+    "membership_edges": f"""
+{feed_cte("grant_members", "grant_admins", "websites")},
+grants AS (SELECT DISTINCT lower(trim(grant_id)) AS grant_id FROM grant_admins),
+mem AS (SELECT DISTINCT lower(trim(grant_id)) AS grant_id,
+               lower(trim(user_id)) AS user_id FROM grant_members),
+w AS (SELECT DISTINCT lower(trim(website_url)) AS website_url,
+             lower(regexp_extract(trim(website_url),
+                                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                 AS domain
+      FROM websites)
+SELECT 'GitcoinAccount:' || user_id AS subj, 'MEMBER_OF' AS pred,
+  'Grant:' || grant_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'grant team member (gitcoin/cyphers.py:139-160)' AS citation
+FROM mem JOIN grants USING (grant_id)
+UNION ALL
+SELECT 'Website:' || website_url, 'HAS_DOMAIN', 'Domain:' || domain,
+  CAST(1.0 AS DOUBLE), 'website domain (twitterRelations/cyphers.py:130-150)'
+FROM w WHERE domain IS NOT NULL AND domain != ''
+""",
+    "delegation_role_edges": f"""
+{feed_cte("delegations")},
+dd AS (SELECT DISTINCT lower(trim(protocol)) AS protocol,
+              lower(trim(delegator)) AS delegator,
+              lower(trim(delegate)) AS delegate FROM delegations)
+SELECT DISTINCT 'Entity:' || protocol AS subj, 'HAS_DELEGATION' AS pred,
+  'Delegation:' || protocol AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'protocol delegation hub (delegation/cyphers.py:91-109)' AS citation FROM dd
+UNION ALL
+SELECT DISTINCT 'Wallet:' || delegator, 'IS_DELEGATING',
+  'Delegation:' || protocol, CAST(1.0 AS DOUBLE),
+  'delegator link (delegation/cyphers.py:111-128)' FROM dd
+UNION ALL
+SELECT DISTINCT 'Wallet:' || delegate, 'IS_DELEGATE',
+  'Delegation:' || protocol, CAST(1.0 AS DOUBLE),
+  'delegate link (delegation/cyphers.py:130-152)' FROM dd
+""",
 }
+
+# every feed-rule family — the flagship's feed_edges CTE and the graph-WIC
+# oracle both union exactly this set, so neither can drift from the rules
+# wired into edge_rules.feed_edge_rules
+_FEED_RULE_QUERIES = (
+    "transferred_edges", "follows_edges", "governance_edges",
+    "gitcoin_edges", "delegation_edges", "ownership_edges",
+    "nft_holding_edges", "moloch_edges", "loan_edges", "repo_edges",
+    "membership_edges", "delegation_role_edges",
+)
+
+
+def _feed_edges_union_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT subj, pred, obj FROM ({ORACLE_EDGE_RULES[q]})"
+        for q in _FEED_RULE_QUERIES
+    )
 
 
 _WIC_CTES = """WITH per_type AS (
@@ -1286,6 +1520,95 @@ SELECT entity_id, 'Collectors' AS condition, context,
        WHEN 'Web3MusicCollector' THEN CAST(0.8 AS DOUBLE) END AS weight
 FROM lab
 """
+
+
+def q_graph_wic(spark, sf_dir):
+    """Graph-pattern WIC analyzers — daoContributors, publicGoods (Grants),
+    protocolPoliticians, developers (analytics/wic/*/cyphers.py Cypher
+    MATCH rules, weights from the analyze.py condition trees) — walked as
+    declarative patterns over the feed-rule edge vocabulary
+    (operators/wic.py GRAPH_WIC_TREE)."""
+    from .operators.wic import graph_wic_labels
+    from .sources.feeds import all_feeds
+
+    _prep(spark)
+    trip = ER.as_named_triples(ER.feed_edge_rules(all_feeds(spark, sf_dir)))
+    return graph_wic_labels(trip)
+
+
+def _graph_wic_sql() -> str:
+    """UNION ALL of one SELECT per GRAPH_WIC_TREE rule over the feed-edge
+    union — generated from the tree, so the oracle cannot drift from the
+    Spark rule set."""
+    from .operators.wic import GRAPH_WIC_TREE
+
+    selects = []
+    for condition, context, weight, kind, params in GRAPH_WIC_TREE:
+        proj = (
+            f"'{condition}' AS condition, '{context}' AS context, "
+            f"CAST({weight} AS DOUBLE) AS weight"
+        )
+        if kind in ("subjects", "subjects_any"):
+            pred, label = params
+            preds = (pred,) if isinstance(pred, str) else tuple(pred)
+            where = "pred IN (" + ", ".join(f"'{p}'" for p in preds) + ")"
+            if label:
+                where += f" AND obj LIKE '{label}:%'"
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj}, "
+                f"CAST(1.0 AS DOUBLE) AS metric FROM t WHERE {where}"
+            )
+        elif kind == "count_gt":
+            pred, label, k = params
+            selects.append(
+                f"SELECT subj AS entity_id, {proj}, CAST(c AS DOUBLE) AS metric"
+                f" FROM (SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred = '{pred}' AND obj LIKE '{label}:%'"
+                f" GROUP BY subj) WHERE c > {k}"
+            )
+        elif kind == "count_gt_child":
+            pred, child, k = params
+            selects.append(
+                f"SELECT subj AS entity_id, {proj}, CAST(c AS DOUBLE) AS metric"
+                f" FROM (SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred = '{pred}'"
+                f" AND obj IN (SELECT obj FROM t WHERE pred = '{child}')"
+                f" GROUP BY subj) WHERE c > {k}"
+            )
+        elif kind == "benchmark":
+            pred, bench_preds, label = params
+            bp = ", ".join(f"'{p}'" for p in bench_preds)
+            bench = (
+                f"SELECT quantile_cont(c, 0.5) FROM ("
+                f"SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred IN ({bp}) AND obj LIKE '{label}:%' GROUP BY subj)"
+            )
+            selects.append(
+                f"SELECT subj AS entity_id, {proj}, c / ({bench}) AS metric"
+                f" FROM (SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred = '{pred}' AND obj LIKE '{label}:%' GROUP BY subj)"
+            )
+        else:  # benchmark_child
+            pred, child = params
+            base = (
+                f"SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred = '{pred}'"
+                f" AND obj IN (SELECT obj FROM t WHERE pred = '{child}')"
+                f" GROUP BY subj"
+            )
+            selects.append(
+                f"SELECT subj AS entity_id, {proj},"
+                f" c / (SELECT quantile_cont(c, 0.5) FROM ({base})) AS metric"
+                f" FROM ({base})"
+            )
+    return (
+        f"WITH feed_edges AS ({_feed_edges_union_sql()}),\n"
+        "t AS (SELECT DISTINCT subj, pred, obj FROM feed_edges)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLE_EDGE_RULES["graph_wic"] = _graph_wic_sql()
 
 
 def q_entity_popularity(spark, sf_dir):
@@ -2937,13 +3260,7 @@ l_scored AS (SELECT 'Wallet:' || refs.wallet AS subj,
 has_account AS (SELECT DISTINCT subj, obj FROM (
   SELECT * FROM l_two UNION ALL SELECT * FROM l_scored
   UNION ALL SELECT * FROM l_dict)),
-feed_edges AS ({" UNION ALL ".join(
-    f"SELECT subj, pred, obj FROM ({ORACLE_EDGE_RULES[q]})"
-    for q in (
-        "transferred_edges", "follows_edges", "governance_edges",
-        "gitcoin_edges", "delegation_edges", "ownership_edges",
-    )
-)})
+feed_edges AS ({_feed_edges_union_sql()})
 SELECT subj, pred, obj FROM (
   SELECT DISTINCT subj, pred, obj FROM feed_edges
   UNION
@@ -3238,6 +3555,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wic_scores": q_wic_scores,
         "wic_interests": q_wic_interests,
         "wic_collectors": q_wic_collectors,
+        "graph_wic": q_graph_wic,
         "entity_popularity": q_entity_popularity,
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,
@@ -3249,6 +3567,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gitcoin_edges": q_gitcoin_edges,
         "delegation_edges": q_delegation_edges,
         "ownership_edges": q_ownership_edges,
+        "nft_holding_edges": q_nft_holding_edges,
+        "moloch_edges": q_moloch_edges,
+        "loan_edges": q_loan_edges,
+        "repo_edges": q_repo_edges,
+        "membership_edges": q_membership_edges,
+        "delegation_role_edges": q_delegation_role_edges,
         # headline query inside the driver harness's checked prefix
         "flagship_triples": flagship_triples,
         "near_dedup": q_near_dedup,

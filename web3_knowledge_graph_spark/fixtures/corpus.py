@@ -456,10 +456,173 @@ def nfts_pdf() -> pd.DataFrame:
     )
 
 
+def nft_holdings_pdf() -> pd.DataFrame:
+    """Two per-tokenId holding snapshots with heavy key overlap; balance-0
+    rows restate holders the latest scrape zeroed out
+    (tokenHolders/cypher.py:28-41) — they are not current holders, so
+    their prev twins rotate to HELD_TOKEN."""
+    rows = []
+    for k in range(40):
+        rows.append(
+            {
+                "address": D.wallet_address(k % 12),
+                "contract_address": "0x" + D._md5(f"fnftc{k % 4}"),
+                "token_id": str(k % 9),
+                "balance": 0 if k % 7 == 0 else 1 + k % 3,
+                "snapshot": "prev",
+            }
+        )
+    for k in range(20, 55):
+        rows.append(
+            {
+                "address": D.wallet_address(k % 12),
+                "contract_address": "0x" + D._md5(f"fnftc{k % 4}"),
+                "token_id": str(k % 9),
+                "balance": 0 if k % 11 == 0 else 1 + k % 3,
+                "snapshot": "curr",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def moloch_daos_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "dao_id": f"mdao{d}",
+                "summoner": D.wallet_address((d * 9 + 1) % 50),
+                "token_address": D.token_contract(d % D.N_TOKEN_ENTITIES),
+            }
+            for d in range(4)
+        ]
+    )
+
+
+def moloch_members_pdf() -> pd.DataFrame:
+    """Members; daos mdao4/5 never exist (MATCH-drop negatives), every 9th
+    member re-lands with different shares (max-fold trap)."""
+    rows = []
+    for k in range(30):
+        rows.append(
+            {
+                "dao_id": f"mdao{k % 6}",
+                "member": D.wallet_address(k % 20),
+                "shares": 1 + k % 7,
+            }
+        )
+        if k % 9 == 0:
+            dup = dict(rows[-1])
+            dup["shares"] = dup["shares"] + 5
+            rows.append(dup)
+    return pd.DataFrame(rows)
+
+
+def moloch_proposals_pdf() -> pd.DataFrame:
+    """Proposals; NULL sponsor/processor rows restate unsponsored /
+    unprocessed proposals, zero tribute/payment rows gate IS_TRIBUTING /
+    IS_PAYING, daos mdao4/5 drop at the HAS_PROPOSAL dao join."""
+    return pd.DataFrame(
+        [
+            {
+                "proposal_id": f"mp{p}",
+                "dao_id": f"mdao{p % 6}",
+                "proposer": D.wallet_address(p % 20),
+                "sponsor": None if p % 3 == 0 else D.wallet_address((p + 4) % 20),
+                "processor": D.wallet_address((p + 8) % 20) if p % 4 == 0 else None,
+                "applicant": D.wallet_address((p + 2) % 20),
+                "tribute_offered": float(p % 5),
+                "payment_requested": float(p % 7),
+            }
+            for p in range(18)
+        ]
+    )
+
+
+def moloch_votes_pdf() -> pd.DataFrame:
+    """Votes referencing mp0..mp23 — ids ≥ 18 never exist (VOTED MATCH
+    negatives); dao ids cycle to mdao5 (IS_VOTER negatives)."""
+    return pd.DataFrame(
+        [
+            {
+                "vote_id": f"mv{v}",
+                "proposal_id": f"mp{v % 24}",
+                "dao_id": f"mdao{v % 6}",
+                "voter": D.wallet_address((v * 3) % 20),
+                "shares": 1 + v % 10,
+            }
+            for v in range(50)
+        ]
+    )
+
+
+def loans_pdf() -> pd.DataFrame:
+    """NFTfi loans; l % 5 == 0 rows carry a truncated denomination token
+    (the :Token:ERC20 address-validity negative)."""
+    return pd.DataFrame(
+        [
+            {
+                "loan_id": f"floan{l}",
+                "borrower": D.wallet_address(l % 20),
+                "lender": D.wallet_address((l + 5) % 20),
+                "collateral_contract": "0x" + D._md5(f"fnftc{l % 4}"),
+                "collateral_token_id": str(l % 9),
+                "denomination_token": (
+                    "0x" + D._md5(f"ftok{l % 6}")[:10]
+                    if l % 5 == 0
+                    else D.token_contract(l % D.N_TOKEN_ENTITIES)
+                ),
+            }
+            for l in range(12)
+        ]
+    )
+
+
+def repos_pdf() -> pd.DataFrame:
+    """Repo role lists; r % 7 == 0 rows have NULL handles (the reference's
+    WHERE IS NOT NULL drop), every 10th handle re-lands upper-cased
+    (case-fold dedup trap)."""
+    rows = []
+    for r in range(30):
+        handle = None if r % 7 == 0 else f"dev{r % 13}"
+        if handle and r % 10 == 0:
+            handle = handle.upper()
+        rows.append(
+            {
+                "full_name": f"org{r % 5}/repo{r % 11}",
+                "handle": handle,
+                "role": ("owner", "contributor", "subscriber")[r % 3],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def grant_members_pdf() -> pd.DataFrame:
+    """Team members; grants 8-9 were never ingested (grant_admins carries
+    0-7), so their member rows drop at the registry join."""
+    return pd.DataFrame(
+        [
+            {"grant_id": f"grant{g % 10}", "user_id": f"gcuser{g % 9}"}
+            for g in range(20)
+        ]
+    )
+
+
+def websites_pdf() -> pd.DataFrame:
+    """Profile websites; the hostless row restates the reference's
+    urlparse guard (twitterRelations/process.py:55-73)."""
+    rows = [
+        {"website_url": f"https://user{w % 8}.example/about"} for w in range(12)
+    ]
+    rows.append({"website_url": "not a url"})
+    return pd.DataFrame(rows)
+
+
 FEED_NAMES = (
     "transfers", "followers", "proposals", "votes", "space_members",
     "strategies", "grant_admins", "donations", "delegations", "deployments",
-    "multisig_signers", "nfts",
+    "multisig_signers", "nfts", "nft_holdings", "moloch_daos",
+    "moloch_members", "moloch_proposals", "moloch_votes", "loans", "repos",
+    "grant_members", "websites",
 )
 
 
@@ -524,6 +687,99 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
     for r in nfts_pdf().to_dict("records"):
         rows.add((f"Page:{r['article_url']}", "HAS_NFT", f"Nft:{r['nft_id']}"))
         rows.add((f"Wallet:{r['owner']}", "IS_OWNER", f"Nft:{r['nft_id']}"))
+
+    # delegation hub roles (same feed as DELEGATES_TO)
+    for r in delegations_pdf().to_dict("records"):
+        p = r["protocol"]
+        rows.add((f"Entity:{p}", "HAS_DELEGATION", f"Delegation:{p}"))
+        rows.add((f"Wallet:{r['delegator']}", "IS_DELEGATING", f"Delegation:{p}"))
+        rows.add((f"Wallet:{r['delegate']}", "IS_DELEGATE", f"Delegation:{p}"))
+
+    # NFT per-tokenId holdings: curr holders HOLDS_TOKEN, prev−curr rotate
+    snaps: dict[str, set[tuple[str, str, str]]] = {"prev": set(), "curr": set()}
+    for r in nft_holdings_pdf().to_dict("records"):
+        if r["balance"] > 0:
+            snaps[r["snapshot"]].add(
+                (r["address"], r["contract_address"], r["token_id"])
+            )
+    for a, c, _ in snaps["curr"]:
+        rows.add((f"Wallet:{a}", "HOLDS_TOKEN", f"Token:{c}"))
+    for a, c, _ in snaps["prev"] - snaps["curr"]:
+        rows.add((f"Wallet:{a}", "HELD_TOKEN", f"Token:{c}"))
+
+    # DAOhaus moloch flow
+    daos = {r["dao_id"]: r for r in moloch_daos_pdf().to_dict("records")}
+    for d in daos.values():
+        rows.add((f"Wallet:{d['summoner']}", "SUMMONER", f"Dao:{d['dao_id']}"))
+        rows.add((f"Dao:{d['dao_id']}", "HAS_TOKEN", f"Token:{d['token_address']}"))
+    for r in moloch_members_pdf().to_dict("records"):
+        if r["dao_id"] in daos:
+            rows.add((f"Wallet:{r['member']}", "IS_MEMBER", f"Dao:{r['dao_id']}"))
+    mprops = {
+        r["proposal_id"]: r for r in moloch_proposals_pdf().to_dict("records")
+    }
+    for r in mprops.values():
+        pid = r["proposal_id"]
+        if r["dao_id"] in daos:
+            rows.add((f"Dao:{r['dao_id']}", "HAS_PROPOSAL", f"Proposal:{pid}"))
+        rows.add((f"Wallet:{r['proposer']}", "AUTHOR", f"Proposal:{pid}"))
+        if r["sponsor"]:
+            rows.add((f"Wallet:{r['sponsor']}", "SPONSORED", f"Proposal:{pid}"))
+        if r["processor"]:
+            rows.add((f"Wallet:{r['processor']}", "EXECUTED", f"Proposal:{pid}"))
+        rows.add((f"Wallet:{r['applicant']}", "IS_APPLICANT", f"Proposal:{pid}"))
+        if r["tribute_offered"] > 0:
+            rows.add((f"Wallet:{r['applicant']}", "IS_TRIBUTING", f"Proposal:{pid}"))
+        if r["payment_requested"] > 0:
+            rows.add((f"Proposal:{pid}", "IS_PAYING", f"Wallet:{r['applicant']}"))
+    for r in moloch_votes_pdf().to_dict("records"):
+        if r["proposal_id"] in mprops:
+            rows.add(
+                (f"Wallet:{r['voter']}", "VOTED", f"Proposal:{r['proposal_id']}")
+            )
+        if r["dao_id"] in daos:
+            rows.add((f"Wallet:{r['voter']}", "IS_VOTER", f"Dao:{r['dao_id']}"))
+
+    # NFTfi loans
+    import re as _re
+
+    for r in loans_pdf().to_dict("records"):
+        lid = r["loan_id"]
+        rows.add((f"Wallet:{r['borrower']}", "BORROWED", f"Loan:{lid}"))
+        rows.add((f"Wallet:{r['lender']}", "LENT", f"Loan:{lid}"))
+        rows.add((f"Token:{r['collateral_contract']}", "IS_COLLATERAL", f"Loan:{lid}"))
+        if _re.fullmatch(r"0x[a-fA-F0-9]{40}", r["denomination_token"]):
+            rows.add(
+                (f"Token:{r['denomination_token']}", "IS_DENOMINATION", f"Loan:{lid}")
+            )
+
+    # Github repo roles (NULL handles drop, keys case-fold)
+    for r in repos_pdf().to_dict("records"):
+        if r["handle"] is None:
+            continue
+        rows.add(
+            (
+                f"Github:{r['handle'].lower()}",
+                r["role"].upper(),
+                f"Repository:{r['full_name']}",
+            )
+        )
+
+    # Gitcoin team members (registry join) + profile-website domains
+    grant_ids = {r["grant_id"] for r in grant_admins_pdf().to_dict("records")}
+    for r in grant_members_pdf().to_dict("records"):
+        if r["grant_id"] in grant_ids:
+            rows.add(
+                (f"GitcoinAccount:{r['user_id']}", "MEMBER_OF", f"Grant:{r['grant_id']}")
+            )
+    from urllib.parse import urlparse
+
+    for r in websites_pdf().to_dict("records"):
+        host = urlparse(r["website_url"]).netloc.lower()
+        if host:
+            rows.add(
+                (f"Website:{r['website_url']}", "HAS_DOMAIN", f"Domain:{host}")
+            )
     return rows
 
 

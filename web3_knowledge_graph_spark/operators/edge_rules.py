@@ -344,6 +344,403 @@ def nft_edges(nfts: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NFT per-tokenId holdings → HOLDS_TOKEN / HELD_TOKEN
+# ---------------------------------------------------------------------------
+
+def nft_holding_edges(nft_holdings: DataFrame) -> DataFrame:
+    """(wallet)-[:HOLDS_TOKEN {tokenId}]->(token) for current holders, and
+    the mark-and-sweep rotation to HELD_TOKEN for holders absent from the
+    latest snapshot.
+
+    Reference: postProcessing/tokenHolders/cypher.py:57-76 MERGEs one
+    HOLDS_TOKEN edge per (wallet, token, tokenId); :28-41 zeroes every
+    current balance before the re-merge and :118-150 moves the still-zero
+    edges to HELD_TOKEN — graph state after a run is therefore
+    curr-holders → HOLDS_TOKEN, (prev-holders − curr-holders) → HELD_TOKEN.
+    Restated set-oriented: an anti-join of the two snapshots on the full
+    (wallet, token, tokenId) key. The triple surface carries no property
+    map, so the per-tokenId granularity folds into the weight: the number
+    of distinct tokenIds the pair's edge set holds (resp. rotated).
+
+    Scale: both snapshots shuffle once on the 3-part key; the anti-join is
+    co-partitioned with the agg that follows (same key prefix), and
+    nothing touches the corpus.
+    """
+    def holders(snap: str) -> DataFrame:
+        return (
+            nft_holdings.where(
+                (F.col("snapshot") == snap) & (F.col("balance") > 0)
+            )
+            .select(
+                canonical_key("address").alias("address"),
+                canonical_key("contract_address").alias("contract"),
+                canonical_key("token_id").alias("token_id"),
+            )
+            .dropDuplicates()
+        )
+
+    curr, prev = holders("curr"), holders("prev")
+    holds = _edges(
+        curr.groupBy("address", "contract").agg(
+            F.count(F.lit(1)).alias("n_ids")
+        ),
+        "Wallet", F.col("address"), "HOLDS_TOKEN", "Token", F.col("contract"),
+        weight=F.col("n_ids"),
+        citation="NFT holding (tokenHolders/cypher.py:57-76)",
+    )
+    rotated = prev.join(
+        curr, ["address", "contract", "token_id"], "left_anti"
+    )
+    held = _edges(
+        rotated.groupBy("address", "contract").agg(
+            F.count(F.lit(1)).alias("n_ids")
+        ),
+        "Wallet", F.col("address"), "HELD_TOKEN", "Token", F.col("contract"),
+        weight=F.col("n_ids"),
+        citation="NFT holding rotation (tokenHolders/cypher.py:118-150)",
+    )
+    return holds.unionByName(held)
+
+
+# ---------------------------------------------------------------------------
+# DAOhaus moloch flow → SUMMONER / HAS_TOKEN / IS_MEMBER / HAS_PROPOSAL /
+# AUTHOR / SPONSORED / EXECUTED / IS_APPLICANT / IS_TRIBUTING / IS_PAYING /
+# VOTED / IS_VOTER
+# ---------------------------------------------------------------------------
+
+def moloch_edges(
+    daos: DataFrame,
+    members: DataFrame,
+    proposals: DataFrame,
+    votes: DataFrame,
+) -> DataFrame:
+    """The DAOhaus edge families (ingestion/daohaus/cyphers.py):
+
+      * (summoner)-[:SUMMONER]->(dao)            cyphers.py:190-207
+      * (dao)-[:HAS_TOKEN]->(token)              cyphers.py:370-388
+      * (member)-[:IS_MEMBER {shares}]->(dao)    cyphers.py:336-360 —
+        MATCHes the dao, so rows naming a never-ingested dao drop
+      * (dao)-[:HAS_PROPOSAL]->(proposal)        cyphers.py:391-408 (dao
+        MATCH — same drop rule)
+      * (proposer)-[:AUTHOR]->(proposal)         cyphers.py:250-268
+      * (sponsor)-[:SPONSORED]->(proposal)       cyphers.py:210-228 — the
+        reference stages only sponsored proposals into this CSV; here the
+        NULL-sponsor rows restate that absence
+      * (processor)-[:EXECUTED]->(proposal)      cyphers.py:230-248
+      * (applicant)-[:IS_APPLICANT]->(proposal)  cyphers.py:270-288
+      * (applicant)-[:IS_TRIBUTING]->(proposal)  cyphers.py:310-330, only
+        rows with tributeOffered > 0
+      * (proposal)-[:IS_PAYING]->(applicant)     cyphers.py:288-308, only
+        rows with paymentRequested > 0
+      * (voter)-[:VOTED]->(proposal)             cyphers.py:140-165 —
+        MATCHes the proposal (inner join)
+      * (voter)-[:IS_VOTER]->(dao)               cyphers.py:167-188 —
+        MATCHes the dao
+
+    Scale: daos are a handful of rows and proposals are bounded by
+    governance activity — both broadcast; votes (the only corpus-scale
+    feed here) shuffle once for their two distinct-aggs.
+    """
+    d = daos.select(
+        canonical_key("dao_id").alias("dao_id"),
+        canonical_key("summoner").alias("summoner"),
+        canonical_key("token_address").alias("token_address"),
+    ).dropDuplicates(["dao_id"])
+    dao_ids = F.broadcast(d.select("dao_id"))
+
+    e_summoner = _edges(
+        d, "Wallet", F.col("summoner"), "SUMMONER", "Dao", F.col("dao_id"),
+        citation="dao summoner (daohaus/cyphers.py:190-207)",
+    )
+    e_has_token = _edges(
+        d, "Dao", F.col("dao_id"), "HAS_TOKEN", "Token", F.col("token_address"),
+        citation="dao token (daohaus/cyphers.py:370-388)",
+    )
+
+    # max-shares fold instead of the reference's first-CSV-row-wins ON
+    # CREATE (which is load-order-dependent): deterministic under
+    # duplicate member rows
+    mem = members.select(
+        canonical_key("dao_id").alias("dao_id"),
+        canonical_key("member").alias("member"),
+        F.col("shares").cast("long").alias("shares"),
+    ).groupBy("dao_id", "member").agg(
+        F.max("shares").alias("shares")
+    ).join(dao_ids, "dao_id")
+    e_member = _edges(
+        mem, "Wallet", F.col("member"), "IS_MEMBER", "Dao", F.col("dao_id"),
+        weight=F.col("shares"),
+        citation="dao member (daohaus/cyphers.py:336-360)",
+    )
+
+    prop = proposals.select(
+        canonical_key("proposal_id").alias("proposal_id"),
+        canonical_key("dao_id").alias("dao_id"),
+        canonical_key("proposer").alias("proposer"),
+        canonical_key("sponsor").alias("sponsor"),
+        canonical_key("processor").alias("processor"),
+        canonical_key("applicant").alias("applicant"),
+        F.col("tribute_offered").cast("double").alias("tribute_offered"),
+        F.col("payment_requested").cast("double").alias("payment_requested"),
+    ).dropDuplicates(["proposal_id"])
+
+    e_has_prop = _edges(
+        prop.join(dao_ids, "dao_id"),
+        "Dao", F.col("dao_id"), "HAS_PROPOSAL", "Proposal", F.col("proposal_id"),
+        citation="dao proposal (daohaus/cyphers.py:391-408)",
+    )
+    e_author = _edges(
+        prop, "Wallet", F.col("proposer"), "AUTHOR", "Proposal",
+        F.col("proposal_id"),
+        citation="proposal proposer (daohaus/cyphers.py:250-268)",
+    )
+    e_sponsor = _edges(
+        prop.where(F.col("sponsor").isNotNull()),
+        "Wallet", F.col("sponsor"), "SPONSORED", "Proposal", F.col("proposal_id"),
+        citation="proposal sponsor (daohaus/cyphers.py:210-228)",
+    )
+    e_exec = _edges(
+        prop.where(F.col("processor").isNotNull()),
+        "Wallet", F.col("processor"), "EXECUTED", "Proposal", F.col("proposal_id"),
+        citation="proposal processor (daohaus/cyphers.py:230-248)",
+    )
+    e_applicant = _edges(
+        prop, "Wallet", F.col("applicant"), "IS_APPLICANT", "Proposal",
+        F.col("proposal_id"),
+        citation="proposal applicant (daohaus/cyphers.py:270-288)",
+    )
+    e_tribute = _edges(
+        prop.where(F.col("tribute_offered") > 0),
+        "Wallet", F.col("applicant"), "IS_TRIBUTING", "Proposal",
+        F.col("proposal_id"),
+        weight=F.col("tribute_offered"),
+        citation="proposal tribute (daohaus/cyphers.py:310-330)",
+    )
+    e_paying = _edges(
+        prop.where(F.col("payment_requested") > 0),
+        "Proposal", F.col("proposal_id"), "IS_PAYING", "Wallet",
+        F.col("applicant"),
+        weight=F.col("payment_requested"),
+        citation="proposal payment (daohaus/cyphers.py:288-308)",
+    )
+
+    v = votes.select(
+        canonical_key("voter").alias("voter"),
+        canonical_key("proposal_id").alias("proposal_id"),
+        canonical_key("dao_id").alias("dao_id"),
+    )
+    e_voted = _edges(
+        v.select("voter", "proposal_id").dropDuplicates().join(
+            F.broadcast(prop.select("proposal_id")), "proposal_id"
+        ),
+        "Wallet", F.col("voter"), "VOTED", "Proposal", F.col("proposal_id"),
+        citation="moloch vote (daohaus/cyphers.py:140-165)",
+    )
+    e_is_voter = _edges(
+        v.select("voter", "dao_id").dropDuplicates().join(dao_ids, "dao_id"),
+        "Wallet", F.col("voter"), "IS_VOTER", "Dao", F.col("dao_id"),
+        citation="dao voter (daohaus/cyphers.py:167-188)",
+    )
+
+    out = e_summoner
+    for e in (
+        e_has_token, e_member, e_has_prop, e_author, e_sponsor, e_exec,
+        e_applicant, e_tribute, e_paying, e_voted, e_is_voter,
+    ):
+        out = out.unionByName(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# NFTfi loans → BORROWED / LENT / IS_COLLATERAL / IS_DENOMINATION
+# ---------------------------------------------------------------------------
+
+def loan_edges(loans: DataFrame) -> DataFrame:
+    """(borrower)-[:BORROWED]->(loan), (lender)-[:LENT]->(loan),
+    (collateral token)-[:IS_COLLATERAL {tokenId}]->(loan) and
+    (denomination token)-[:IS_DENOMINATION]->(loan).
+
+    Reference: ingestion/NFTfi/cyphers.py:51-58 (BORROWED), :65-72 (LENT),
+    :79-88 (IS_COLLATERAL — tokenId rides in the citation, the triple
+    surface carries no property map) and :93-103 (IS_DENOMINATION — the
+    MATCH on :Token:ERC20 by address is restated as the same
+    ^0x[40 hex]$ validity gate the snapshot strategy rule uses).
+
+    Pure projections off one feed scan — no joins, no corpus access.
+    """
+    ln = loans.select(
+        canonical_key("loan_id").alias("loan_id"),
+        canonical_key("borrower").alias("borrower"),
+        canonical_key("lender").alias("lender"),
+        canonical_key("collateral_contract").alias("collateral_contract"),
+        canonical_key("collateral_token_id").alias("collateral_token_id"),
+        canonical_key("denomination_token").alias("denomination_token"),
+    ).dropDuplicates(["loan_id"])
+    e_borrowed = _edges(
+        ln, "Wallet", F.col("borrower"), "BORROWED", "Loan", F.col("loan_id"),
+        citation="loan borrower (NFTfi/cyphers.py:51-58)",
+    )
+    e_lent = _edges(
+        ln, "Wallet", F.col("lender"), "LENT", "Loan", F.col("loan_id"),
+        citation="loan lender (NFTfi/cyphers.py:65-72)",
+    )
+    e_collateral = _edges(
+        ln, "Token", F.col("collateral_contract"), "IS_COLLATERAL", "Loan",
+        F.col("loan_id"),
+        citation_col=F.concat(
+            F.lit("loan collateral tokenId="), F.col("collateral_token_id"),
+            F.lit(" (NFTfi/cyphers.py:79-88)"),
+        ),
+    )
+    e_denom = _edges(
+        ln.where(F.col("denomination_token").rlike(WALLET_RE)),
+        "Token", F.col("denomination_token"), "IS_DENOMINATION", "Loan",
+        F.col("loan_id"),
+        citation="loan denomination (NFTfi/cyphers.py:93-103)",
+    )
+    return (
+        e_borrowed.unionByName(e_lent).unionByName(e_collateral)
+        .unionByName(e_denom)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Github repositories → OWNER / CONTRIBUTOR / SUBSCRIBER
+# ---------------------------------------------------------------------------
+
+def repo_edges(repos: DataFrame) -> DataFrame:
+    """(handle)-[:OWNER|CONTRIBUTOR|SUBSCRIBER]->(repo), one rule per
+    role list.
+
+    Reference: postProcessing/github/cyphers.py:231-246 (link_owners),
+    :248-263 (link_contributors), :265-280 (link_subscribers) — each
+    guarded by ``WHERE data.X IS NOT NULL AND data.full_name IS NOT
+    NULL``, restated as the isNotNull filter. The role→predicate CASE
+    replaces the reference's three per-CSV loops with one scan.
+    """
+    rows = repos.where(
+        F.col("handle").isNotNull() & F.col("full_name").isNotNull()
+    ).select(
+        canonical_key("handle").alias("handle"),
+        canonical_key("full_name").alias("full_name"),
+        canonical_key("role").alias("role"),
+    ).dropDuplicates()
+    pred = (
+        F.when(F.col("role") == "owner", F.lit("OWNER"))
+        .when(F.col("role") == "contributor", F.lit("CONTRIBUTOR"))
+        .otherwise(F.lit("SUBSCRIBER"))
+    )
+    cit = F.concat(
+        F.lit("github "), F.col("role"),
+        F.lit(" (github/cyphers.py:231-280)"),
+    )
+    return rows.select(
+        F.lit("Github").alias("subj_label"),
+        F.col("handle").alias("subj_key"),
+        pred.alias("pred"),
+        F.lit("Repository").alias("obj_label"),
+        F.col("full_name").alias("obj_key"),
+        F.lit(1.0).alias("weight"),
+        cit.alias("citation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gitcoin team members → MEMBER_OF
+# ---------------------------------------------------------------------------
+
+def member_of_edges(grant_members: DataFrame, grant_admins: DataFrame) -> DataFrame:
+    """(member account)-[:MEMBER_OF]->(grant).
+
+    Reference: ingestion/gitcoin/cyphers.py:139-160 MATCHes the grant
+    before the MERGE, so members naming a never-ingested grant drop —
+    restated as the inner join against the grant registry (the admins
+    feed carries every ingested grant id, same CSV family in the
+    reference). Registry is dimension-sized → broadcast.
+    """
+    grants = F.broadcast(
+        grant_admins.select(
+            canonical_key("grant_id").alias("grant_id")
+        ).dropDuplicates()
+    )
+    mem = grant_members.select(
+        canonical_key("grant_id").alias("grant_id"),
+        canonical_key("user_id").alias("user_id"),
+    ).dropDuplicates().join(grants, "grant_id")
+    return _edges(
+        mem, "GitcoinAccount", F.col("user_id"), "MEMBER_OF", "Grant",
+        F.col("grant_id"),
+        citation="grant team member (gitcoin/cyphers.py:139-160)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# profile websites → HAS_DOMAIN
+# ---------------------------------------------------------------------------
+
+def domain_edges(websites: DataFrame) -> DataFrame:
+    """(website)-[:HAS_DOMAIN]->(domain) — postProcessing/twitterRelations/
+    cyphers.py:130-150; domain = urlparse(url).netloc (process.py:55-73),
+    natively ``try_parse_url(url, 'HOST')`` (the try_ variant: ANSI-mode
+    parse_url THROWS on a malformed url; here a malformed row must drop,
+    as the reference's urlparse guard does)."""
+    rows = websites.select(
+        canonical_key("website_url").alias("website_url"),
+        F.lower(F.try_parse_url(F.trim("website_url"), F.lit("HOST"))).alias("domain"),
+    ).where(
+        F.col("domain").isNotNull() & (F.col("domain") != "")
+    ).dropDuplicates()
+    return _edges(
+        rows, "Website", F.col("website_url"), "HAS_DOMAIN", "Domain",
+        F.col("domain"),
+        citation="website domain (twitterRelations/cyphers.py:130-150)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# delegation participants → IS_DELEGATING / IS_DELEGATE / HAS_DELEGATION
+# ---------------------------------------------------------------------------
+
+def delegation_role_edges(delegations: DataFrame) -> DataFrame:
+    """The per-protocol Delegation hub node's edges: the reference keeps
+    ONE :Delegation node per protocol and links every participant to it.
+
+      * (entity {name: protocol})-[:HAS_DELEGATION]->(delegation)
+        ingestion/delegation/cyphers.py:91-109
+      * (delegator)-[:IS_DELEGATING]->(delegation)   cyphers.py:111-128
+      * (delegate)-[:IS_DELEGATE]->(delegation)      cyphers.py:130-152
+
+    All three are distinct-projections off the same event stream the
+    DELEGATES_TO rule consumes — they never re-shuffle it (distinct on
+    (protocol, wallet) is the only exchange, bounded by participants).
+    """
+    d = delegations.select(
+        canonical_key("protocol").alias("protocol"),
+        canonical_key("delegator").alias("delegator"),
+        canonical_key("delegate").alias("delegate"),
+    )
+    e_has = _edges(
+        d.select("protocol").dropDuplicates(),
+        "Entity", F.col("protocol"), "HAS_DELEGATION", "Delegation",
+        F.col("protocol"),
+        citation="protocol delegation hub (delegation/cyphers.py:91-109)",
+    )
+    e_ing = _edges(
+        d.select("protocol", "delegator").dropDuplicates(),
+        "Wallet", F.col("delegator"), "IS_DELEGATING", "Delegation",
+        F.col("protocol"),
+        citation="delegator link (delegation/cyphers.py:111-128)",
+    )
+    e_del = _edges(
+        d.select("protocol", "delegate").dropDuplicates(),
+        "Wallet", F.col("delegate"), "IS_DELEGATE", "Delegation",
+        F.col("protocol"),
+        citation="delegate link (delegation/cyphers.py:130-152)",
+    )
+    return e_has.unionByName(e_ing).unionByName(e_del)
+
+
+# ---------------------------------------------------------------------------
 # adapters
 # ---------------------------------------------------------------------------
 
@@ -367,12 +764,33 @@ def feed_edge_rules(feeds: dict[str, DataFrame]) -> DataFrame:
         outs.append(gitcoin_edges(feeds["grant_admins"], feeds["donations"]))
     if "delegations" in feeds:
         outs.append(delegation_edges(feeds["delegations"]))
+        outs.append(delegation_role_edges(feeds["delegations"]))
     if "deployments" in feeds:
         outs.append(deployment_edges(feeds["deployments"]))
     if "multisig_signers" in feeds:
         outs.append(signer_edges(feeds["multisig_signers"]))
     if "nfts" in feeds:
         outs.append(nft_edges(feeds["nfts"]))
+    if "nft_holdings" in feeds:
+        outs.append(nft_holding_edges(feeds["nft_holdings"]))
+    if all(
+        k in feeds
+        for k in ("moloch_daos", "moloch_members", "moloch_proposals", "moloch_votes")
+    ):
+        outs.append(
+            moloch_edges(
+                feeds["moloch_daos"], feeds["moloch_members"],
+                feeds["moloch_proposals"], feeds["moloch_votes"],
+            )
+        )
+    if "loans" in feeds:
+        outs.append(loan_edges(feeds["loans"]))
+    if "repos" in feeds:
+        outs.append(repo_edges(feeds["repos"]))
+    if all(k in feeds for k in ("grant_members", "grant_admins")):
+        outs.append(member_of_edges(feeds["grant_members"], feeds["grant_admins"]))
+    if "websites" in feeds:
+        outs.append(domain_edges(feeds["websites"]))
     if not outs:
         raise ValueError("no known feed tables present")
     out = outs[0]

@@ -146,6 +146,140 @@ def collector_labels(
     )
 
 
+# Graph-pattern WIC trees: contexts defined as Cypher MATCHes over the
+# knowledge graph itself (not behavioral event streams). Restated as
+# declarative patterns over the (subj, pred, obj) triple relation —
+# (condition group, context, weight, kind, params):
+#   subjects        — distinct subjects of pred (optionally obj-label
+#                     scoped): a bare MATCH-exists rule
+#   subjects_any    — same over several predicates (the reference's
+#                     [:A|B|C] alternation)
+#   count_gt        — subjects with > k distinct objects via pred
+#   count_gt_child  — ditto, but objects must also have an incoming
+#                     child_pred edge (the `(p)<-[:HAS_PROPOSAL]-(e)`
+#                     guard in the reference's voting rules)
+#   benchmark       — every subject of pred qualifies; metric =
+#                     distinct-count / corpus median of the benchmark
+#                     predicate set's counts (apoc.agg.percentiles [.5]
+#                     → percentile 0.5)
+#   benchmark_child — benchmark with the child_pred guard
+# Divergences kept deliberately (documented per rule): MultisigSigner
+# drops the reference's extra `(entity)-[:HAS_ACCOUNT]->(multisig)` guard
+# (no entity↔multisig fixture surface), and the two TRANSFERRED-flow
+# daoContributors rules are out of scope (they recurse on prior _Context
+# state).
+GRAPH_WIC_TREE = [
+    # daoContributors/analyze.py:11-44 + cyphers.py:12-35,81-95
+    ("DaoContributors", "MultisigSigner", 0.85, "subjects", ("IS_SIGNER", None)),
+    ("DaoContributors", "SnapshotAdmin", 0.85, "subjects", ("CONTRIBUTOR", "Space")),
+    ("DaoContributors", "TechnicalContributor", 0.925, "subjects",
+     ("CONTRIBUTOR", "Repository")),
+    # publicGoods/analyze.py:10-36 + cyphers.py:8-60
+    ("Grants", "GitcoinGrantDonor", 0.6, "count_gt", ("DONATION", "Grant", 2)),
+    ("Grants", "GitcoinGrantAdmin", 0.825, "benchmark",
+     ("IS_ADMIN", ("IS_ADMIN", "MEMBER_OF"), "Grant")),
+    # protocolPoliticians/analyze.py:9-40 + cyphers.py:9-50
+    ("Voting", "EngagedVoter", 0.5, "count_gt_child",
+     ("VOTED", "HAS_PROPOSAL", 10)),
+    ("Proposals", "ProposalAuthor", 0.6, "benchmark_child",
+     ("AUTHOR", "HAS_PROPOSAL")),
+    ("Delegation", "Delegate", 0.7, "subjects", ("IS_DELEGATE", None)),
+    # developers/analyze.py:38-46 + cyphers.py:55-70
+    ("TechnicalEcosystemDevelopment", "EcosystemDeveloper", 0.9,
+     "subjects_any", (("CONTRIBUTOR", "OWNER", "SUBSCRIBER"), "Repository")),
+]
+
+
+def graph_wic_labels(
+    triples: DataFrame, tree: list | None = None
+) -> DataFrame:
+    """triples('Label:key' subj, pred, 'Label:key' obj, …) →
+    (entity_id, condition, context, weight, metric) graph-WIC labels.
+
+    The reference fires one Cypher per rule site over the live graph
+    (~120 sites across 11 analyzer categories); here every rule is a
+    filter/agg over ONE already-built triple relation, so the whole tree
+    is a union of small plans over a single scan lineage. ``metric`` is
+    the rule's evidence (the reference's `_count` / `_againstBenchmark`
+    edge property): distinct-object count for count rules,
+    count ÷ corpus-median for benchmark rules, 1.0 for exists rules.
+
+    Scale: per-pred slices are filter+distinct aggregations keyed by
+    subject; the child-pred guards semi-join against HAS_PROPOSAL objects
+    (dimension-sized → broadcast); medians reduce count relations that
+    are already ≤ one row per subject.
+    """
+    tree = GRAPH_WIC_TREE if tree is None else tree
+
+    def obj_label(df: DataFrame, label: str) -> DataFrame:
+        return df.where(F.col("obj").startswith(label + ":"))
+
+    def slice_(pred, label=None) -> DataFrame:
+        preds = (pred,) if isinstance(pred, str) else tuple(pred)
+        out = triples.where(F.col("pred").isin(*preds)).select("subj", "obj")
+        return obj_label(out, label) if label else out
+
+    def counts(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(["subj", "obj"]).groupBy("subj").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def with_child_guard(df: DataFrame, child_pred: str) -> DataFrame:
+        parents = (
+            triples.where(F.col("pred") == child_pred)
+            .select(F.col("obj").alias("obj"))
+            .dropDuplicates()
+        )
+        return df.join(F.broadcast(parents), "obj")
+
+    parts = []
+    for condition, context, weight, kind, params in tree:
+        if kind in ("subjects", "subjects_any"):
+            pred, label = params
+            src = slice_(pred, label).select("subj").dropDuplicates().select(
+                "subj", F.lit(1.0).alias("metric")
+            )
+        elif kind == "count_gt":
+            pred, label, k = params
+            src = counts(slice_(pred, label)).where(F.col("c") > k).select(
+                "subj", F.col("c").cast("double").alias("metric")
+            )
+        elif kind == "count_gt_child":
+            pred, child_pred, k = params
+            src = counts(with_child_guard(slice_(pred), child_pred)).where(
+                F.col("c") > k
+            ).select("subj", F.col("c").cast("double").alias("metric"))
+        elif kind == "benchmark":
+            pred, bench_preds, label = params
+            cnt = counts(slice_(pred, label))
+            bench = counts(slice_(bench_preds, label)).agg(
+                F.percentile("c", F.lit(0.5)).alias("b")
+            )
+            src = cnt.crossJoin(F.broadcast(bench)).select(
+                "subj", (F.col("c") / F.col("b")).alias("metric")
+            )
+        else:  # benchmark_child
+            pred, child_pred = params
+            cnt = counts(with_child_guard(slice_(pred), child_pred))
+            bench = cnt.agg(F.percentile("c", F.lit(0.5)).alias("b"))
+            src = cnt.crossJoin(F.broadcast(bench)).select(
+                "subj", (F.col("c") / F.col("b")).alias("metric")
+            )
+        parts.append(
+            src.select(
+                F.col("subj").alias("entity_id"),
+                F.lit(condition).alias("condition"),
+                F.lit(context).alias("context"),
+                F.lit(weight).alias("weight"),
+                "metric",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def wic_labels(events: DataFrame) -> DataFrame:
     """events → (entity_id, condition, context, weight) label rows, one
     pass per rule kind (not per rule): all type_count/type_value leaves

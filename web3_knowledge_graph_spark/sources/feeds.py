@@ -188,6 +188,149 @@ FROM orders
 WHERE o_orderkey % 25 = 0 AND o_orderkey < 2000
 """
 
+# --- NFT per-tokenId holding snapshots (postProcessing/tokenHolders/
+# cypher.py:57-76 link_or_merge_NFT_token_holding MERGEs
+# (wallet)-[HOLDS_TOKEN {tokenId}]->(token); :28-41 zeroes current
+# balances before re-merge and :118-150 rotates balance-0 edges to
+# HELD_TOKEN). Wallet is keyed off o_orderkey % 322 so rows 161 apart
+# share the FULL (wallet, contract, tokenId) key while landing in
+# OPPOSITE snapshots (161 is odd, and 161 ≡ 0 mod both 7 and 23) — the
+# rotation anti-join has real overlap to subtract. The % 11 = 0 rows
+# carry balance 0 (a holder the latest scrape zeroed out): not a current
+# holder, so its prev-snapshot twin rotates.
+NFT_HOLDINGS_SQL = f"""
+SELECT
+  {wallet_sql(f"(o_orderkey % 322) % {WALLET_MOD}")} AS address,
+  '0x' || md5('nftc' || CAST(o_orderkey % 7 AS STRING)) AS contract_address,
+  CAST(o_orderkey % 23 AS STRING) AS token_id,
+  CAST(CASE WHEN o_orderkey % 11 = 0 THEN 0
+            ELSE 1 + o_orderkey % 3 END AS BIGINT) AS balance,
+  CASE WHEN o_orderkey % 2 = 0 THEN 'prev' ELSE 'curr' END AS snapshot
+FROM orders
+WHERE o_orderkey < 600
+"""
+
+# --- DAOhaus moloch registry (ingestion/daohaus/cyphers.py:26-50 creates
+# the Dao nodes; :190-207 SUMMONER; :370-388 HAS_TOKEN). Daos moloch0-5
+# exist; proposal/member/vote rows referencing moloch6/7 are negatives the
+# MATCH-join must drop.
+MOLOCH_DAOS_SQL = f"""
+SELECT
+  'moloch' || CAST(c_custkey % 6 AS STRING) AS dao_id,
+  {wallet_sql(f"(c_custkey * 7 + 1) % {WALLET_MOD}")} AS summoner,
+  '0x' || md5('tok' || CAST(c_custkey % 11 AS STRING)) AS token_address
+FROM customer
+WHERE c_custkey < 6
+"""
+
+# --- moloch members (cyphers.py:336-360 IS_MEMBER {shares}); dao_id
+# cycles 0-7 so the moloch6/7 rows are MATCH-drop negatives.
+MOLOCH_MEMBERS_SQL = f"""
+SELECT
+  'moloch' || CAST(c_custkey % 8 AS STRING) AS dao_id,
+  {wallet_sql(f"c_custkey % {WALLET_MOD}")} AS member,
+  CAST(1 + c_custkey % 20 AS BIGINT) AS shares
+FROM customer
+WHERE c_custkey < 90
+"""
+
+# --- moloch proposals (cyphers.py:60-130 proposal nodes; :250-268 AUTHOR;
+# :210-228 SPONSORED; :230-248 EXECUTED; :270-288 IS_APPLICANT; :288-308
+# IS_PAYING; :310-330 IS_TRIBUTING; :391-408 HAS_PROPOSAL). NULL sponsor /
+# processor rows restate unsponsored / unprocessed proposals (the
+# reference stages them as separate CSVs; here one table with NULLs).
+MOLOCH_PROPOSALS_SQL = f"""
+SELECT
+  'mprop' || CAST(o_orderkey AS STRING) AS proposal_id,
+  'moloch' || CAST(o_orderkey % 8 AS STRING) AS dao_id,
+  {wallet_sql(f"o_custkey % {WALLET_MOD}")} AS proposer,
+  CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS STRING)
+       ELSE {wallet_sql(f"(o_custkey + 5) % {WALLET_MOD}")} END AS sponsor,
+  CASE WHEN o_orderkey % 4 = 0 THEN {wallet_sql(f"(o_custkey + 9) % {WALLET_MOD}")}
+       ELSE CAST(NULL AS STRING) END AS processor,
+  {wallet_sql(f"(o_custkey + 2) % {WALLET_MOD}")} AS applicant,
+  CAST(o_orderkey % 5 AS DOUBLE) AS tribute_offered,
+  CAST(o_orderkey % 7 AS DOUBLE) AS payment_requested
+FROM orders
+WHERE o_orderkey < 260
+"""
+
+# --- moloch votes (cyphers.py:140-165 VOTED MATCHes the proposal — an
+# inner join, votes on never-ingested proposals drop; :167-188 IS_VOTER
+# MATCHes the dao). proposal ids cycle to 400 while only < 260 exist.
+MOLOCH_VOTES_SQL = f"""
+SELECT
+  'mvote' || CAST(event_id AS STRING) AS vote_id,
+  'mprop' || CAST((event_id * 3) % 400 AS STRING) AS proposal_id,
+  'moloch' || CAST(event_id % 8 AS STRING) AS dao_id,
+  {_W_USER} AS voter,
+  CAST(1 + user_id % 10 AS BIGINT) AS shares
+FROM events
+WHERE event_type = 'signup'
+"""
+
+# --- NFTfi loans (ingestion/NFTfi/cyphers.py:51-58 BORROWED, :65-72 LENT,
+# :79-88 IS_COLLATERAL {tokenId}, :93-103 IS_DENOMINATION — the
+# denomination MATCHes a Token:ERC20 by address, restated as the same
+# ^0x[40 hex]$ gate the strategy rule uses; % 6 = 0 rows carry a
+# truncated 10-hex token as that negative). Collateral reuses the
+# nft_holdings contract keyspace so loans attach to the same Token nodes.
+LOANS_SQL = f"""
+SELECT
+  'loan' || CAST(o_orderkey AS STRING) AS loan_id,
+  {wallet_sql(f"o_custkey % {WALLET_MOD}")} AS borrower,
+  {wallet_sql(f"(o_custkey + 13) % {WALLET_MOD}")} AS lender,
+  '0x' || md5('nftc' || CAST(o_orderkey % 7 AS STRING)) AS collateral_contract,
+  CAST(o_orderkey % 23 AS STRING) AS collateral_token_id,
+  CASE WHEN o_orderkey % 6 = 0
+       THEN '0x' || substr(md5('tok' || CAST(o_orderkey % 11 AS STRING)), 1, 10)
+       ELSE '0x' || md5('tok' || CAST(o_orderkey % 11 AS STRING)) END
+    AS denomination_token
+FROM orders
+WHERE o_orderkey % 3 = 1 AND o_orderkey < 540
+"""
+
+# --- Github repo links (postProcessing/github/cyphers.py:231-246 OWNER,
+# :248-263 CONTRIBUTOR, :265-280 SUBSCRIBER — each gated by
+# ``WHERE data.X IS NOT NULL``; the % 13 = 0 NULL-handle rows are that
+# negative).
+REPOS_SQL = """
+SELECT
+  'org' || CAST(c_custkey % 9 AS STRING) || '/repo'
+      || CAST(c_custkey % 21 AS STRING) AS full_name,
+  CASE WHEN c_custkey % 13 = 0 THEN CAST(NULL AS STRING)
+       ELSE 'dev_' || CAST(c_custkey % 37 AS STRING) END AS handle,
+  CASE WHEN c_custkey % 3 = 0 THEN 'owner'
+       WHEN c_custkey % 3 = 1 THEN 'contributor'
+       ELSE 'subscriber' END AS role
+FROM customer
+WHERE c_custkey < 120
+"""
+
+# --- Gitcoin grant team members (ingestion/gitcoin/cyphers.py:139-160
+# MEMBER_OF — MATCHes the grant, so members of never-ingested grants
+# drop; grant ids cycle to 14 while the grant registry (grant_admins)
+# only carries 0-11).
+GRANT_MEMBERS_SQL = """
+SELECT
+  'grant' || CAST(c_custkey % 14 AS STRING) AS grant_id,
+  'gcuser' || CAST(c_custkey % 33 AS STRING) AS user_id
+FROM customer
+WHERE c_custkey < 70
+"""
+
+# --- twitter-profile websites (postProcessing/twitterRelations/
+# cyphers.py:130-150: MERGE (website:Website {url})-[HAS_DOMAIN]->
+# (domain:Domain {name}), domain = urlparse(url).netloc at
+# process.py:55-73).
+WEBSITES_SQL = """
+SELECT
+  'https://user' || CAST(c_custkey % 40 AS STRING) || '.example/about'
+      AS website_url
+FROM customer
+WHERE c_custkey % 4 = 0 AND c_custkey < 200
+"""
+
 ALL_FEEDS: dict[str, str] = {
     "transfers": TRANSFERS_SQL,
     "followers": FOLLOWERS_SQL,
@@ -201,6 +344,15 @@ ALL_FEEDS: dict[str, str] = {
     "deployments": DEPLOYMENTS_SQL,
     "multisig_signers": MULTISIG_SIGNERS_SQL,
     "nfts": NFTS_SQL,
+    "nft_holdings": NFT_HOLDINGS_SQL,
+    "moloch_daos": MOLOCH_DAOS_SQL,
+    "moloch_members": MOLOCH_MEMBERS_SQL,
+    "moloch_proposals": MOLOCH_PROPOSALS_SQL,
+    "moloch_votes": MOLOCH_VOTES_SQL,
+    "loans": LOANS_SQL,
+    "repos": REPOS_SQL,
+    "grant_members": GRANT_MEMBERS_SQL,
+    "websites": WEBSITES_SQL,
 }
 
 
@@ -216,9 +368,9 @@ def feed(spark, sf_dir: str, name: str):
 
 
 def all_feeds(spark, sf_dir: str) -> dict:
-    """All twelve feeds with ONE view registration — ``feed()`` in a loop
-    re-reads the parquet footers 3× per feed (36 schema inferences, ~7 s of
-    driver time at sf0.1); this does 3 total."""
+    """Every feed with ONE view registration — ``feed()`` in a loop
+    re-reads the parquet footers 3× per feed (~60 schema inferences, ~10 s
+    of driver time at sf0.1); this does 3 total."""
     _register_views(spark, sf_dir)
     return {name: spark.sql(sql) for name, sql in ALL_FEEDS.items()}
 
