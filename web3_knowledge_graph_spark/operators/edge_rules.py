@@ -21,7 +21,7 @@ than the feed itself. Weights fold with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import WALLET_RE, canonical_key, node_id
@@ -29,6 +29,42 @@ from ..functions.normalize import WALLET_RE, canonical_key, node_id
 EDGE_COLS = (
     "subj_label", "subj_key", "pred", "obj_label", "obj_key", "weight", "citation"
 )
+
+
+def _edge_struct(
+    subj_label: str,
+    subj_key,
+    pred: str,
+    obj_label: str,
+    obj_key,
+    weight=None,
+    citation=None,
+):
+    """One edge family as a struct expression — several families over the
+    SAME feed scan explode from one array instead of re-scanning the feed
+    per family (the one-pass CASE trick build_graph uses). Conditional
+    families wrap this in F.when(cond, ...): the null elements filter out
+    after the explode."""
+    w = weight if weight is not None else F.lit(1.0)
+    cit = citation if isinstance(citation, Column) else F.lit(citation)
+    return F.struct(
+        F.lit(subj_label).alias("subj_label"),
+        canonical_key(subj_key).alias("subj_key"),
+        F.lit(pred).alias("pred"),
+        F.lit(obj_label).alias("obj_label"),
+        canonical_key(obj_key).alias("obj_key"),
+        w.cast("double").alias("weight"),
+        cit.cast("string").alias("citation"),
+    )
+
+
+def _explode_families(df: DataFrame, *structs) -> DataFrame:
+    """Explode the per-row edge-family array and drop the null (gated-out)
+    elements; returns the uniform EDGE_COLS relation."""
+    e = df.select(
+        F.explode(F.array(*structs)).alias("e")
+    ).where(F.col("e").isNotNull())
+    return e.select(*[F.col(f"e.{c}").alias(c) for c in EDGE_COLS])
 
 
 def _edges(
@@ -439,22 +475,31 @@ def moloch_edges(
 
     Scale: daos are a handful of rows and proposals are bounded by
     governance activity — both broadcast; votes (the only corpus-scale
-    feed here) shuffle once for their two distinct-aggs.
+    feed here) shuffle once for their fused distinct. Families sharing a
+    feed explode from ONE scan (dao: 2, proposal: 7, vote: 2) — the
+    MATCH-join gates become broadcast left-join flags consumed by
+    F.when inside the family array, so the whole 12-family rule costs 4
+    scans + 2 small exchanges instead of 12 scans + 4.
     """
     d = daos.select(
         canonical_key("dao_id").alias("dao_id"),
         canonical_key("summoner").alias("summoner"),
         canonical_key("token_address").alias("token_address"),
     ).dropDuplicates(["dao_id"])
-    dao_ids = F.broadcast(d.select("dao_id"))
-
-    e_summoner = _edges(
-        d, "Wallet", F.col("summoner"), "SUMMONER", "Dao", F.col("dao_id"),
-        citation="dao summoner (daohaus/cyphers.py:190-207)",
+    dao_known = F.broadcast(
+        d.select("dao_id").withColumn("_dao_known", F.lit(True))
     )
-    e_has_token = _edges(
-        d, "Dao", F.col("dao_id"), "HAS_TOKEN", "Token", F.col("token_address"),
-        citation="dao token (daohaus/cyphers.py:370-388)",
+
+    dao_fams = _explode_families(
+        d,
+        _edge_struct(
+            "Wallet", F.col("summoner"), "SUMMONER", "Dao", F.col("dao_id"),
+            citation="dao summoner (daohaus/cyphers.py:190-207)",
+        ),
+        _edge_struct(
+            "Dao", F.col("dao_id"), "HAS_TOKEN", "Token", F.col("token_address"),
+            citation="dao token (daohaus/cyphers.py:370-388)",
+        ),
     )
 
     # max-shares fold instead of the reference's first-CSV-row-wins ON
@@ -466,7 +511,7 @@ def moloch_edges(
         F.col("shares").cast("long").alias("shares"),
     ).groupBy("dao_id", "member").agg(
         F.max("shares").alias("shares")
-    ).join(dao_ids, "dao_id")
+    ).join(dao_known, "dao_id")
     e_member = _edges(
         mem, "Wallet", F.col("member"), "IS_MEMBER", "Dao", F.col("dao_id"),
         weight=F.col("shares"),
@@ -484,71 +529,87 @@ def moloch_edges(
         F.col("payment_requested").cast("double").alias("payment_requested"),
     ).dropDuplicates(["proposal_id"])
 
-    e_has_prop = _edges(
-        prop.join(dao_ids, "dao_id"),
-        "Dao", F.col("dao_id"), "HAS_PROPOSAL", "Proposal", F.col("proposal_id"),
-        citation="dao proposal (daohaus/cyphers.py:391-408)",
-    )
-    e_author = _edges(
-        prop, "Wallet", F.col("proposer"), "AUTHOR", "Proposal",
-        F.col("proposal_id"),
-        citation="proposal proposer (daohaus/cyphers.py:250-268)",
-    )
-    e_sponsor = _edges(
-        prop.where(F.col("sponsor").isNotNull()),
-        "Wallet", F.col("sponsor"), "SPONSORED", "Proposal", F.col("proposal_id"),
-        citation="proposal sponsor (daohaus/cyphers.py:210-228)",
-    )
-    e_exec = _edges(
-        prop.where(F.col("processor").isNotNull()),
-        "Wallet", F.col("processor"), "EXECUTED", "Proposal", F.col("proposal_id"),
-        citation="proposal processor (daohaus/cyphers.py:230-248)",
-    )
-    e_applicant = _edges(
-        prop, "Wallet", F.col("applicant"), "IS_APPLICANT", "Proposal",
-        F.col("proposal_id"),
-        citation="proposal applicant (daohaus/cyphers.py:270-288)",
-    )
-    e_tribute = _edges(
-        prop.where(F.col("tribute_offered") > 0),
-        "Wallet", F.col("applicant"), "IS_TRIBUTING", "Proposal",
-        F.col("proposal_id"),
-        weight=F.col("tribute_offered"),
-        citation="proposal tribute (daohaus/cyphers.py:310-330)",
-    )
-    e_paying = _edges(
-        prop.where(F.col("payment_requested") > 0),
-        "Proposal", F.col("proposal_id"), "IS_PAYING", "Wallet",
-        F.col("applicant"),
-        weight=F.col("payment_requested"),
-        citation="proposal payment (daohaus/cyphers.py:288-308)",
+    pid = F.col("proposal_id")
+    prop_fams = _explode_families(
+        prop.join(dao_known, "dao_id", "left"),
+        F.when(
+            F.col("_dao_known"),
+            _edge_struct(
+                "Dao", F.col("dao_id"), "HAS_PROPOSAL", "Proposal", pid,
+                citation="dao proposal (daohaus/cyphers.py:391-408)",
+            ),
+        ),
+        _edge_struct(
+            "Wallet", F.col("proposer"), "AUTHOR", "Proposal", pid,
+            citation="proposal proposer (daohaus/cyphers.py:250-268)",
+        ),
+        F.when(
+            F.col("sponsor").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("sponsor"), "SPONSORED", "Proposal", pid,
+                citation="proposal sponsor (daohaus/cyphers.py:210-228)",
+            ),
+        ),
+        F.when(
+            F.col("processor").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("processor"), "EXECUTED", "Proposal", pid,
+                citation="proposal processor (daohaus/cyphers.py:230-248)",
+            ),
+        ),
+        _edge_struct(
+            "Wallet", F.col("applicant"), "IS_APPLICANT", "Proposal", pid,
+            citation="proposal applicant (daohaus/cyphers.py:270-288)",
+        ),
+        F.when(
+            F.col("tribute_offered") > 0,
+            _edge_struct(
+                "Wallet", F.col("applicant"), "IS_TRIBUTING", "Proposal", pid,
+                weight=F.col("tribute_offered"),
+                citation="proposal tribute (daohaus/cyphers.py:310-330)",
+            ),
+        ),
+        F.when(
+            F.col("payment_requested") > 0,
+            _edge_struct(
+                "Proposal", pid, "IS_PAYING", "Wallet", F.col("applicant"),
+                weight=F.col("payment_requested"),
+                citation="proposal payment (daohaus/cyphers.py:288-308)",
+            ),
+        ),
     )
 
+    prop_known = F.broadcast(
+        prop.select("proposal_id").withColumn("_prop_known", F.lit(True))
+    )
     v = votes.select(
         canonical_key("voter").alias("voter"),
         canonical_key("proposal_id").alias("proposal_id"),
         canonical_key("dao_id").alias("dao_id"),
-    )
-    e_voted = _edges(
-        v.select("voter", "proposal_id").dropDuplicates().join(
-            F.broadcast(prop.select("proposal_id")), "proposal_id"
+    ).join(prop_known, "proposal_id", "left").join(dao_known, "dao_id", "left")
+    vote_fams = _explode_families(
+        v,
+        F.when(
+            F.col("_prop_known"),
+            _edge_struct(
+                "Wallet", F.col("voter"), "VOTED", "Proposal",
+                F.col("proposal_id"),
+                citation="moloch vote (daohaus/cyphers.py:140-165)",
+            ),
         ),
-        "Wallet", F.col("voter"), "VOTED", "Proposal", F.col("proposal_id"),
-        citation="moloch vote (daohaus/cyphers.py:140-165)",
-    )
-    e_is_voter = _edges(
-        v.select("voter", "dao_id").dropDuplicates().join(dao_ids, "dao_id"),
-        "Wallet", F.col("voter"), "IS_VOTER", "Dao", F.col("dao_id"),
-        citation="dao voter (daohaus/cyphers.py:167-188)",
-    )
+        F.when(
+            F.col("_dao_known"),
+            _edge_struct(
+                "Wallet", F.col("voter"), "IS_VOTER", "Dao", F.col("dao_id"),
+                citation="dao voter (daohaus/cyphers.py:167-188)",
+            ),
+        ),
+    ).dropDuplicates(list(EDGE_COLS))  # MERGE dedup for both vote families
 
-    out = e_summoner
-    for e in (
-        e_has_token, e_member, e_has_prop, e_author, e_sponsor, e_exec,
-        e_applicant, e_tribute, e_paying, e_voted, e_is_voter,
-    ):
-        out = out.unionByName(e)
-    return out
+    return (
+        dao_fams.unionByName(e_member).unionByName(prop_fams)
+        .unionByName(vote_fams)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -566,7 +627,8 @@ def loan_edges(loans: DataFrame) -> DataFrame:
     MATCH on :Token:ERC20 by address is restated as the same
     ^0x[40 hex]$ validity gate the snapshot strategy rule uses).
 
-    Pure projections off one feed scan — no joins, no corpus access.
+    One feed scan: the four families explode from a single array — no
+    joins, no corpus access, no per-family re-scan.
     """
     ln = loans.select(
         canonical_key("loan_id").alias("loan_id"),
@@ -576,31 +638,32 @@ def loan_edges(loans: DataFrame) -> DataFrame:
         canonical_key("collateral_token_id").alias("collateral_token_id"),
         canonical_key("denomination_token").alias("denomination_token"),
     ).dropDuplicates(["loan_id"])
-    e_borrowed = _edges(
-        ln, "Wallet", F.col("borrower"), "BORROWED", "Loan", F.col("loan_id"),
-        citation="loan borrower (NFTfi/cyphers.py:51-58)",
-    )
-    e_lent = _edges(
-        ln, "Wallet", F.col("lender"), "LENT", "Loan", F.col("loan_id"),
-        citation="loan lender (NFTfi/cyphers.py:65-72)",
-    )
-    e_collateral = _edges(
-        ln, "Token", F.col("collateral_contract"), "IS_COLLATERAL", "Loan",
-        F.col("loan_id"),
-        citation_col=F.concat(
-            F.lit("loan collateral tokenId="), F.col("collateral_token_id"),
-            F.lit(" (NFTfi/cyphers.py:79-88)"),
+    lid = F.col("loan_id")
+    return _explode_families(
+        ln,
+        _edge_struct(
+            "Wallet", F.col("borrower"), "BORROWED", "Loan", lid,
+            citation="loan borrower (NFTfi/cyphers.py:51-58)",
         ),
-    )
-    e_denom = _edges(
-        ln.where(F.col("denomination_token").rlike(WALLET_RE)),
-        "Token", F.col("denomination_token"), "IS_DENOMINATION", "Loan",
-        F.col("loan_id"),
-        citation="loan denomination (NFTfi/cyphers.py:93-103)",
-    )
-    return (
-        e_borrowed.unionByName(e_lent).unionByName(e_collateral)
-        .unionByName(e_denom)
+        _edge_struct(
+            "Wallet", F.col("lender"), "LENT", "Loan", lid,
+            citation="loan lender (NFTfi/cyphers.py:65-72)",
+        ),
+        _edge_struct(
+            "Token", F.col("collateral_contract"), "IS_COLLATERAL", "Loan", lid,
+            citation=F.concat(
+                F.lit("loan collateral tokenId="), F.col("collateral_token_id"),
+                F.lit(" (NFTfi/cyphers.py:79-88)"),
+            ),
+        ),
+        F.when(
+            F.col("denomination_token").rlike(WALLET_RE),
+            _edge_struct(
+                "Token", F.col("denomination_token"), "IS_DENOMINATION",
+                "Loan", lid,
+                citation="loan denomination (NFTfi/cyphers.py:93-103)",
+            ),
+        ),
     )
 
 
@@ -710,34 +773,34 @@ def delegation_role_edges(delegations: DataFrame) -> DataFrame:
       * (delegator)-[:IS_DELEGATING]->(delegation)   cyphers.py:111-128
       * (delegate)-[:IS_DELEGATE]->(delegation)      cyphers.py:130-152
 
-    All three are distinct-projections off the same event stream the
-    DELEGATES_TO rule consumes — they never re-shuffle it (distinct on
-    (protocol, wallet) is the only exchange, bounded by participants).
+    All three explode from ONE scan of the event stream the DELEGATES_TO
+    rule consumes, sharing ONE distinct exchange (every family's rows are
+    MERGE-distinct per (protocol, wallet), so a single dedup over the
+    exploded relation implements all three).
     """
     d = delegations.select(
         canonical_key("protocol").alias("protocol"),
         canonical_key("delegator").alias("delegator"),
         canonical_key("delegate").alias("delegate"),
     )
-    e_has = _edges(
-        d.select("protocol").dropDuplicates(),
-        "Entity", F.col("protocol"), "HAS_DELEGATION", "Delegation",
-        F.col("protocol"),
-        citation="protocol delegation hub (delegation/cyphers.py:91-109)",
-    )
-    e_ing = _edges(
-        d.select("protocol", "delegator").dropDuplicates(),
-        "Wallet", F.col("delegator"), "IS_DELEGATING", "Delegation",
-        F.col("protocol"),
-        citation="delegator link (delegation/cyphers.py:111-128)",
-    )
-    e_del = _edges(
-        d.select("protocol", "delegate").dropDuplicates(),
-        "Wallet", F.col("delegate"), "IS_DELEGATE", "Delegation",
-        F.col("protocol"),
-        citation="delegate link (delegation/cyphers.py:130-152)",
-    )
-    return e_has.unionByName(e_ing).unionByName(e_del)
+    return _explode_families(
+        d,
+        _edge_struct(
+            "Entity", F.col("protocol"), "HAS_DELEGATION", "Delegation",
+            F.col("protocol"),
+            citation="protocol delegation hub (delegation/cyphers.py:91-109)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("delegator"), "IS_DELEGATING", "Delegation",
+            F.col("protocol"),
+            citation="delegator link (delegation/cyphers.py:111-128)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("delegate"), "IS_DELEGATE", "Delegation",
+            F.col("protocol"),
+            citation="delegate link (delegation/cyphers.py:130-152)",
+        ),
+    ).dropDuplicates(list(EDGE_COLS))
 
 
 # ---------------------------------------------------------------------------
