@@ -745,3 +745,56 @@ def test_graph_wic_labels_each_rule_kind(spark):
         ("Github:dev1", "EcosystemDeveloper"): (0.9, 1.0),
         ("Github:dev2", "EcosystemDeveloper"): (0.9, 1.0),
     }
+
+
+def test_graph_wic_farmer_and_influencer_kinds(spark):
+    """The seeded farmer kinds (negative weights) and the two-hop
+    influencer count: seed-scoped child guard, quantile benchmark, seed
+    membership, seeded-object deployment, NFT collector fan-in."""
+    from web3_knowledge_graph_spark.operators.wic import graph_wic_labels
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcd"]
+    tree = [
+        ("GovernanceFarming", "SuspiciousSnapshot", -0.5,
+         "subjects_child_seed", ("VOTED", "HAS_PROPOSAL", ("Dao:bad",))),
+        ("MarketplaceFarming", "MirrorFarmer", -1.5,
+         "count_ge_quantile", ("AUTHOR", "Proposal", 0.95, 1.25)),
+        ("WashTrading", "NftWashTrading", -1.25, "seed_subjects", ((W[3],),)),
+        ("Spammers", "SpamTokenDeployer", -2.0,
+         "subjects_seed_obj", ("DEPLOYED", ("Contract:0xspam",))),
+        ("PopularMirrorAuthor", "MirrorInfluencer", 0.9,
+         "two_hop_count_gt", ("HAS_NFT", "IS_OWNER", 1)),
+    ]
+    t = []
+    # a votes on p1 (bad dao's proposal) → suspicious; b votes on p2 (good dao)
+    t += [("Dao:bad", "HAS_PROPOSAL", "Proposal:p1"),
+          ("Dao:good", "HAS_PROPOSAL", "Proposal:p2"),
+          (W[0], "VOTED", "Proposal:p1"), (W[1], "VOTED", "Proposal:p2")]
+    # count_ge_quantile at q=0.5 (3 authors is too few for a q95 tail to
+    # clear the ×1.25 margin): counts (1, 1, 6) → median 1, benchmark
+    # 1 × 1.25 = 1.25 → only the 6-proposal author fires
+    t += [(W[0], "AUTHOR", "Proposal:p1"), (W[1], "AUTHOR", "Proposal:p2")]
+    t += [(W[2], "AUTHOR", f"Proposal:pp{i}") for i in range(6)]
+    tree[1] = ("MarketplaceFarming", "MirrorFarmer", -1.5,
+               "count_ge_quantile", ("AUTHOR", "Proposal", 0.5, 1.25))
+    # d is a seeded wash trader present in the graph
+    t += [(W[3], "TRANSFERRED", W[0])]
+    # b deployed the seeded spam contract; a deployed a clean one
+    t += [(W[1], "DEPLOYED", "Contract:0xspam"), (W[0], "DEPLOYED", "Contract:0xok")]
+    # page1's NFTs held by 2 distinct owners (fires >1); page2 by 1 (no)
+    t += [("Page:u1", "HAS_NFT", "Nft:n1"), ("Page:u1", "HAS_NFT", "Nft:n2"),
+          (W[0], "IS_OWNER", "Nft:n1"), (W[1], "IS_OWNER", "Nft:n2"),
+          ("Page:u2", "HAS_NFT", "Nft:n3"), (W[0], "IS_OWNER", "Nft:n3")]
+
+    trip = spark.createDataFrame(t, "subj string, pred string, obj string")
+    got = {
+        (r.entity_id, r.context): (r.weight, r.metric)
+        for r in graph_wic_labels(trip, tree=tree).collect()
+    }
+    assert got == {
+        (W[0], "SuspiciousSnapshot"): (-0.5, 1.0),
+        (W[2], "MirrorFarmer"): (-1.5, 6.0),
+        (W[3], "NftWashTrading"): (-1.25, 1.0),
+        (W[1], "SpamTokenDeployer"): (-2.0, 1.0),
+        ("Page:u1", "MirrorInfluencer"): (0.9, 2.0),
+    }

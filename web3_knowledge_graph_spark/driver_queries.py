@@ -1522,28 +1522,77 @@ FROM lab
 """
 
 
+# farmers seed lists (the reference ships them as CSVs under
+# analytics/wic/farmers/data/*.csv): wash-trading wallets and spam
+# contracts named in the driver feeds' deterministic keyspaces, plus the
+# suspicious-dao entity list
+def _seed_wallet(k: int) -> str:
+    return (
+        "0x"
+        + _hashlib.md5(f"w{k}".encode()).hexdigest()
+        + _hashlib.md5(f"wx{k}".encode()).hexdigest()[:8]
+    )
+
+
+def _seed_contract(o: int) -> str:
+    return (
+        "0x"
+        + _hashlib.md5(f"ct{o}".encode()).hexdigest()[:32]
+        + _hashlib.md5(f"ctx{o}".encode()).hexdigest()[:8]
+    )
+
+
+WIC_WASH_TRADERS = tuple(f"Wallet:{_seed_wallet(k)}" for k in (7, 21, 34))
+WIC_SPAM_CONTRACTS = tuple(f"Contract:{_seed_contract(o)}" for o in (40, 280, 520))
+WIC_SUS_DAOS = ("Dao:moloch2", "Space:space3.eth")
+
+
+def _graph_wic_driver_tree() -> list:
+    """GRAPH_WIC_TREE + the driver-seeded farmers (OpportunisticUsers,
+    negative weights — farmers/analyze.py:12-44) and influencers
+    (influencers/analyze.py:10-35) rules."""
+    from .operators.wic import GRAPH_WIC_TREE
+
+    return GRAPH_WIC_TREE + [
+        ("GovernanceFarming", "SuspiciousSnapshot", -0.5,
+         "subjects_child_seed", ("VOTED", "HAS_PROPOSAL", WIC_SUS_DAOS)),
+        ("MarketplaceFarming", "MirrorFarmer", -1.5,
+         "count_ge_quantile", ("AUTHOR", "Proposal", 0.95, 1.25)),
+        ("WashTrading", "NftWashTrading", -1.25,
+         "seed_subjects", (WIC_WASH_TRADERS,)),
+        ("Spammers", "SpamTokenDeployer", -2.0,
+         "subjects_seed_obj", ("DEPLOYED", WIC_SPAM_CONTRACTS)),
+        ("PopularMirrorAuthor", "MirrorInfluencer", 0.9,
+         "two_hop_count_gt", ("HAS_NFT", "IS_OWNER", 1)),
+    ]
+
+
 def q_graph_wic(spark, sf_dir):
     """Graph-pattern WIC analyzers — daoContributors, publicGoods (Grants),
     protocolPoliticians, developers (analytics/wic/*/cyphers.py Cypher
-    MATCH rules, weights from the analyze.py condition trees) — walked as
+    MATCH rules, weights from the analyze.py condition trees), plus the
+    seeded farmers (negative weights) and influencers rules — walked as
     declarative patterns over the feed-rule edge vocabulary
-    (operators/wic.py GRAPH_WIC_TREE)."""
+    (operators/wic.py GRAPH_WIC_TREE + the driver-seeded extension)."""
     from .operators.wic import graph_wic_labels
     from .sources.feeds import all_feeds
 
     _prep(spark)
-    trip = ER.as_named_triples(ER.feed_edge_rules(all_feeds(spark, sf_dir)))
-    return graph_wic_labels(trip)
+    # cut lineage once: every tree rule references the triple relation
+    # (some twice), and without this the whole ~17-feed union DAG would
+    # recompute per rule branch
+    trip = ER.as_named_triples(
+        ER.feed_edge_rules(all_feeds(spark, sf_dir))
+    ).localCheckpoint()
+    return graph_wic_labels(trip, tree=_graph_wic_driver_tree())
 
 
 def _graph_wic_sql() -> str:
-    """UNION ALL of one SELECT per GRAPH_WIC_TREE rule over the feed-edge
-    union — generated from the tree, so the oracle cannot drift from the
-    Spark rule set."""
-    from .operators.wic import GRAPH_WIC_TREE
-
+    """UNION ALL of one SELECT per graph-WIC rule over the feed-edge
+    union — generated from the same tree q_graph_wic runs, so the oracle
+    cannot drift from the Spark rule set."""
     selects = []
-    for condition, context, weight, kind, params in GRAPH_WIC_TREE:
+    for condition, context, weight, kind, params in _graph_wic_driver_tree():
         proj = (
             f"'{condition}' AS condition, '{context}' AS context, "
             f"CAST({weight} AS DOUBLE) AS weight"
@@ -1588,7 +1637,7 @@ def _graph_wic_sql() -> str:
                 f" FROM (SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
                 f" WHERE pred = '{pred}' AND obj LIKE '{label}:%' GROUP BY subj)"
             )
-        else:  # benchmark_child
+        elif kind == "benchmark_child":
             pred, child = params
             base = (
                 f"SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
@@ -1601,9 +1650,56 @@ def _graph_wic_sql() -> str:
                 f" c / (SELECT quantile_cont(c, 0.5) FROM ({base})) AS metric"
                 f" FROM ({base})"
             )
+        elif kind == "subjects_child_seed":
+            pred, child, seeds = params
+            seed_sql = ", ".join(f"'{s}'" for s in seeds)
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric FROM t"
+                f" WHERE pred = '{pred}' AND obj IN (SELECT obj FROM t"
+                f" WHERE pred = '{child}' AND subj IN ({seed_sql}))"
+            )
+        elif kind == "count_ge_quantile":
+            pred, label, q, mult = params
+            base = (
+                f"SELECT subj, COUNT(DISTINCT obj) AS c FROM t"
+                f" WHERE pred = '{pred}' AND obj LIKE '{label}:%' GROUP BY subj"
+            )
+            selects.append(
+                f"SELECT subj AS entity_id, {proj}, CAST(c AS DOUBLE) AS metric"
+                f" FROM ({base})"
+                f" WHERE c >= (SELECT quantile_cont(c, {q}) * {mult} FROM ({base}))"
+            )
+        elif kind == "seed_subjects":
+            (seeds,) = params
+            seed_sql = ", ".join(f"'{s}'" for s in seeds)
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric FROM t"
+                f" WHERE subj IN ({seed_sql})"
+            )
+        elif kind == "subjects_seed_obj":
+            pred, seeds = params
+            seed_sql = ", ".join(f"'{s}'" for s in seeds)
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric FROM t"
+                f" WHERE pred = '{pred}' AND obj IN ({seed_sql})"
+            )
+        else:  # two_hop_count_gt
+            pred_a, pred_b, k = params
+            selects.append(
+                f"SELECT subj AS entity_id, {proj}, CAST(c AS DOUBLE) AS metric"
+                f" FROM (SELECT a.subj AS subj, COUNT(DISTINCT b.subj) AS c"
+                f" FROM t a JOIN t b ON a.obj = b.obj AND b.pred = '{pred_b}'"
+                f" WHERE a.pred = '{pred_a}' GROUP BY a.subj) WHERE c > {k}"
+            )
+    # AS MATERIALIZED: every rule references t (some twice, plus quantile
+    # subqueries); DuckDB's default CTE inlining would re-expand the whole
+    # ~17-feed union per reference — same fix as the kcore oracle
     return (
-        f"WITH feed_edges AS ({_feed_edges_union_sql()}),\n"
-        "t AS (SELECT DISTINCT subj, pred, obj FROM feed_edges)\n"
+        f"WITH feed_edges AS MATERIALIZED ({_feed_edges_union_sql()}),\n"
+        "t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM feed_edges)\n"
         + "\nUNION ALL\n".join(selects)
     )
 

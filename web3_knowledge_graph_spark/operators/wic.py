@@ -163,6 +163,22 @@ def collector_labels(
 #                     predicate set's counts (apoc.agg.percentiles [.5]
 #                     → percentile 0.5)
 #   benchmark_child — benchmark with the child_pred guard
+#   subjects_child_seed — subjects of pred whose object's child_pred
+#                     parent is in a seed list (farmers/cyphers.py:12-23:
+#                     votes on proposals of a :SuspiciousDao)
+#   count_ge_quantile — subjects whose distinct-object count reaches
+#                     quantile(q) × multiplier of the corpus distribution
+#                     (farmers/cyphers.py:35-51: apoc percentile [.95]
+#                     × 1.25 Mirror-article benchmark)
+#   seed_subjects   — graph entities named in a seed CSV
+#                     (farmers wash-trading address list)
+#   subjects_seed_obj — subjects of pred pointing at a seeded object
+#                     (farmers/cyphers.py:104-113: DEPLOYED → SpamContract)
+#   two_hop_count_gt — subj -predA-> mid <-predB- z with > k distinct z
+#                     (influencers/cyphers.py:10-29: article NFTs held by
+#                     enough distinct collectors; labels the article node —
+#                     the feed surface carries no corpus AUTHOR edge to
+#                     lift it to the author wallet)
 # Divergences kept deliberately (documented per rule): MultisigSigner
 # drops the reference's extra `(entity)-[:HAS_ACCOUNT]->(multisig)` guard
 # (no entity↔multisig fixture surface), and the two TRANSFERRED-flow
@@ -249,6 +265,59 @@ def graph_wic_labels(
             src = counts(with_child_guard(slice_(pred), child_pred)).where(
                 F.col("c") > k
             ).select("subj", F.col("c").cast("double").alias("metric"))
+        elif kind == "subjects_child_seed":
+            pred, child_pred, seeds = params
+            parents = (
+                triples.where(
+                    (F.col("pred") == child_pred)
+                    & F.col("subj").isin(*seeds)
+                )
+                .select("obj")
+                .dropDuplicates()
+            )
+            src = slice_(pred).join(F.broadcast(parents), "obj").select(
+                "subj"
+            ).dropDuplicates().select("subj", F.lit(1.0).alias("metric"))
+        elif kind == "count_ge_quantile":
+            pred, label, q, mult = params
+            cnt = counts(slice_(pred, label))
+            bench = cnt.agg(
+                (F.percentile("c", F.lit(q)) * mult).alias("b")
+            )
+            src = cnt.crossJoin(F.broadcast(bench)).where(
+                F.col("c") >= F.col("b")
+            ).select("subj", F.col("c").cast("double").alias("metric"))
+        elif kind == "seed_subjects":
+            (seeds,) = params
+            src = (
+                triples.where(F.col("subj").isin(*seeds))
+                .select("subj")
+                .dropDuplicates()
+                .select("subj", F.lit(1.0).alias("metric"))
+            )
+        elif kind == "subjects_seed_obj":
+            pred, seeds = params
+            src = (
+                slice_(pred)
+                .where(F.col("obj").isin(*seeds))
+                .select("subj")
+                .dropDuplicates()
+                .select("subj", F.lit(1.0).alias("metric"))
+            )
+        elif kind == "two_hop_count_gt":
+            pred_a, pred_b, k = params
+            a = slice_(pred_a)
+            b = slice_(pred_b).select(
+                F.col("obj").alias("obj"), F.col("subj").alias("z")
+            )
+            src = (
+                a.join(b, "obj")
+                .dropDuplicates(["subj", "z"])
+                .groupBy("subj")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > k)
+                .select("subj", F.col("c").cast("double").alias("metric"))
+            )
         elif kind == "benchmark":
             pred, bench_preds, label = params
             cnt = counts(slice_(pred, label))
