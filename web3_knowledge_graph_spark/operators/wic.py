@@ -203,6 +203,13 @@ GRAPH_WIC_TREE = [
     # developers/analyze.py:38-46 + cyphers.py:55-70
     ("TechnicalEcosystemDevelopment", "EcosystemDeveloper", 0.9,
      "subjects_any", (("CONTRIBUTOR", "OWNER", "SUBSCRIBER"), "Repository")),
+    # traders/analyze.py:27-90 + cyphers.py:179-199 (the NFTfi pair; the
+    # per-marketplace x2y2/paraspace/arcade/bend variants are the same
+    # MATCH with a Marketplace-name filter — one rule per feed here)
+    ("NftCollateralizedBorrower", "NftfiBorrower", 0.7,
+     "subjects", ("BORROWED", "Loan")),
+    ("NftCollateralizedLender", "NftfiLender", 0.65,
+     "subjects", ("LENT", "Loan")),
 ]
 
 
