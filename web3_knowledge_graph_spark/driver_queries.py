@@ -3271,9 +3271,28 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cut lineage before the two node-dimension joins in triples(): without
     # this the whole union-of-branches DAG recomputes once per join side
-    # (run_pipeline gets the same effect by writing nodes/edges to parquet)
-    nodes, edges = nodes.localCheckpoint(), edges.localCheckpoint()
-    return triples(nodes, edges)
+    # (run_pipeline gets the same effect by writing nodes/edges to parquet).
+    # The two materializations are independent jobs — run them on parallel
+    # threads so the scheduler interleaves their stages.
+    ckpt_out: dict = {}
+
+    def _ckpt(key, df):
+        def _run():
+            try:
+                ckpt_out[key] = df.localCheckpoint()
+            except BaseException as exc:
+                ckpt_out[f"{key}_exc"] = exc
+        t = threading.Thread(target=_run, name=f"ckpt-{key}")
+        t.start()
+        return t
+
+    ts = [_ckpt("nodes", nodes), _ckpt("edges", edges)]
+    for t in ts:
+        t.join()
+    for key in ("nodes_exc", "edges_exc"):
+        if key in ckpt_out:
+            raise ckpt_out[key]
+    return triples(ckpt_out["nodes"], ckpt_out["edges"])
 
 
 def _flagship_oracle() -> str:
