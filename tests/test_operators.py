@@ -720,13 +720,22 @@ def test_graph_wic_labels_each_rule_kind(spark):
     t += [("Dao:dao1", "HAS_PROPOSAL", f"Proposal:p{i}") for i in range(11)]
     t += [(W[2], "VOTED", f"Proposal:p{i}") for i in range(11)]
     t += [(W[3], "VOTED", f"Proposal:orphan{i}") for i in range(11)]
-    # ProposalAuthor benchmark: e authors 1, f authors 3 → median 2
+    # ProposalAuthor benchmark: e authors 1, f authors 3 → median 2;
+    # Web3Writer (creators): counts (1, 3) → 75th pct 2.5, only f fires
     t += [(W[4], "AUTHOR", "Proposal:p0")]
     t += [(W[5], "AUTHOR", f"Proposal:p{i}") for i in range(3)]
     # Delegate: f
     t += [(W[5], "IS_DELEGATE", "Delegation:compound")]
+    # creators platform accounts: a is a Sound musician; b's Dune account
+    # has follows (weight) > 0, c's has 0 — the property gate drops c
+    acc = [(W[0], "HAS_ACCOUNT", "Sound:acct1", 0.0),
+           (W[1], "HAS_ACCOUNT", "Dune:acct2", 3.0),
+           (W[2], "HAS_ACCOUNT", "Dune:acct3", 0.0)]
 
-    trip = spark.createDataFrame(t, "subj string, pred string, obj string")
+    trip = spark.createDataFrame(
+        [(*r, 1.0) for r in t] + acc,
+        "subj string, pred string, obj string, weight double",
+    )
     got = {
         (r.entity_id, r.context): (r.weight, r.metric)
         for r in graph_wic_labels(trip).collect()
@@ -744,6 +753,9 @@ def test_graph_wic_labels_each_rule_kind(spark):
         (W[5], "Delegate"): (0.7, 1.0),
         ("Github:dev1", "EcosystemDeveloper"): (0.9, 1.0),
         ("Github:dev2", "EcosystemDeveloper"): (0.9, 1.0),
+        (W[5], "Web3Writer"): (0.6, 3.0),            # 3 ≥ 75th pct 2.5
+        (W[0], "Web3Musician"): (0.8, 1.0),
+        (W[1], "Web3DataAnalyst"): (0.8, 1.0),       # follows 3 > 0; c's 0 drops
     }
 
 
@@ -797,4 +809,33 @@ def test_graph_wic_farmer_and_influencer_kinds(spark):
         (W[3], "NftWashTrading"): (-1.25, 1.0),
         (W[1], "SpamTokenDeployer"): (-2.0, 1.0),
         ("Page:u1", "MirrorInfluencer"): (0.9, 2.0),
+    }
+
+
+def test_profession_labels_bio_keywords(spark):
+    """Bio-keyword professional rules (professionals/analyze.py:9-48):
+    word-bounded matches, multi-context bios, case-blindness, the 'vc'
+    whole-word gate, and dedup across a wallet's accounts."""
+    from web3_knowledge_graph_spark.operators.wic import profession_labels
+
+    rows = [
+        ("0xA", "Co-Founder of a seed stage fund"),   # Founder + Investor
+        ("0xB", "marketing and brand work"),           # Marketer
+        ("0xC", "loves advocacy"),                     # no match ('vc' inside a word)
+        ("0xD", "VC at heart"),                        # Investor (whole word)
+        ("0xE", "community manager / devrel"),         # CommunityManager + DevRel
+        ("0xA", "founder again, second account"),      # dedup with 0xA's first
+    ]
+    df = spark.createDataFrame(rows, "address string, bio string")
+    got = {
+        (r.entity_id, r.context): (r.condition, r.weight)
+        for r in profession_labels(df).collect()
+    }
+    assert got == {
+        ("Wallet:0xa", "Founder"): ("Positions", 0.0),
+        ("Wallet:0xa", "Investor"): ("Positions", 0.0),
+        ("Wallet:0xb", "Marketer"): ("Positions", 0.0),
+        ("Wallet:0xd", "Investor"): ("Positions", 0.0),
+        ("Wallet:0xe", "CommunityManager"): ("Positions", 0.0),
+        ("Wallet:0xe", "DeveloperRelationsLead"): ("Positions", 0.0),
     }

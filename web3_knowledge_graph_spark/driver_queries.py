@@ -907,6 +907,16 @@ def q_delegation_role_edges(spark, sf_dir):
     )
 
 
+def q_platform_edges(spark, sf_dir):
+    """Wallet→platform-account HAS_ACCOUNT with the account's follows
+    property as the edge weight (creators/cyphers.py:35-63;
+    professionals/cyphers.py:60-90)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.platform_account_edges(feed(spark, sf_dir, "platform_accounts"))
+    )
+
+
 _CIT_TRANSFER = "token transfer (tokenHolders/cyphers.py:55-70)"
 _CIT_RECEIVED = "transfer receipt (helpers/queries.py:142-151)"
 
@@ -1177,6 +1187,18 @@ SELECT DISTINCT 'Wallet:' || delegate, 'IS_DELEGATE',
   'Delegation:' || protocol, CAST(1.0 AS DOUBLE),
   'delegate link (delegation/cyphers.py:130-152)' FROM dd
 """,
+    "platform_edges": f"""
+{feed_cte("platform_accounts")},
+ded AS (SELECT DISTINCT lower(trim(address)) AS address, platform,
+               lower(trim(account_id)) AS account_id,
+               CAST(follows AS DOUBLE) AS follows
+        FROM platform_accounts)
+SELECT 'Wallet:' || address AS subj, 'HAS_ACCOUNT' AS pred,
+  platform || ':' || account_id AS obj, follows AS weight,
+  'platform account (creators/cyphers.py:35-63; professionals/cyphers.py:60-90)'
+    AS citation
+FROM ded
+""",
 }
 
 # every feed-rule family — the flagship's feed_edges CTE and the graph-WIC
@@ -1186,13 +1208,16 @@ _FEED_RULE_QUERIES = (
     "transferred_edges", "follows_edges", "governance_edges",
     "gitcoin_edges", "delegation_edges", "ownership_edges",
     "nft_holding_edges", "moloch_edges", "loan_edges", "repo_edges",
-    "membership_edges", "delegation_role_edges",
+    "membership_edges", "delegation_role_edges", "platform_edges",
 )
 
 
 def _feed_edges_union_sql() -> str:
+    # weight rides along for the graph-WIC property-gate rules
+    # (subjects_weight_gt); consumers that only need (subj, pred, obj)
+    # project it away
     return " UNION ALL ".join(
-        f"SELECT subj, pred, obj FROM ({ORACLE_EDGE_RULES[q]})"
+        f"SELECT subj, pred, obj, weight FROM ({ORACLE_EDGE_RULES[q]})"
         for q in _FEED_RULE_QUERIES
     )
 
@@ -1492,6 +1517,39 @@ SELECT DISTINCT entity_id, condition, context, weight
 FROM toks JOIN kws USING (kw)
 """
 
+def q_professions(spark, sf_dir):
+    """Professionals analyzer (professionals/analyze.py:9-48, all weight 0):
+    bio-keyword fulltext rules over the platform-account feed, every
+    OR-list evaluated native in one scan."""
+    from .operators.wic import profession_labels
+
+    return profession_labels(feed(spark, sf_dir, "platform_accounts"))
+
+
+def _professions_sql() -> str:
+    """One SELECT per PROFESSIONS_TREE leaf over the platform-account feed
+    — generated from the same tree q_professions runs, so the oracle
+    cannot drift from the Spark rule set."""
+    from .operators.wic import PROFESSIONS_TREE
+
+    selects = []
+    for condition, context, weight, pattern in PROFESSIONS_TREE:
+        pat = pattern.replace("'", "''")
+        selects.append(
+            f"SELECT DISTINCT 'Wallet:' || lower(trim(address)) AS entity_id,"
+            f" '{condition}' AS condition, '{context}' AS context,"
+            f" CAST({weight} AS DOUBLE) AS weight"
+            f" FROM platform_accounts"
+            f" WHERE regexp_matches(lower(bio), '{pat}')"
+        )
+    return (
+        feed_cte("platform_accounts") + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+ORACLE_EDGE_RULES["professions"] = _professions_sql()
+
+
 ORACLE_EDGE_RULES["wic_collectors"] = f"""
 {feed_cte("transfers")},
 holdings AS (SELECT DISTINCT to_address AS entity_id,
@@ -1607,6 +1665,15 @@ def _graph_wic_sql() -> str:
                 f"SELECT DISTINCT subj AS entity_id, {proj}, "
                 f"CAST(1.0 AS DOUBLE) AS metric FROM t WHERE {where}"
             )
+        elif kind == "subjects_weight_gt":
+            pred, label, k = params
+            where = f"pred = '{pred}' AND weight > {k}"
+            if label:
+                where += f" AND obj LIKE '{label}:%'"
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj}, "
+                f"CAST(1.0 AS DOUBLE) AS metric FROM tw WHERE {where}"
+            )
         elif kind == "count_gt":
             pred, label, k = params
             selects.append(
@@ -1699,7 +1766,9 @@ def _graph_wic_sql() -> str:
     # ~17-feed union per reference — same fix as the kcore oracle
     return (
         f"WITH feed_edges AS MATERIALIZED ({_feed_edges_union_sql()}),\n"
-        "t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM feed_edges)\n"
+        "t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM feed_edges),\n"
+        "tw AS MATERIALIZED (SELECT DISTINCT subj, pred, obj, weight"
+        " FROM feed_edges)\n"
         + "\nUNION ALL\n".join(selects)
     )
 
@@ -3740,6 +3809,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
+        "platform_edges": q_platform_edges,
+        "professions": q_professions,
     }
 
 

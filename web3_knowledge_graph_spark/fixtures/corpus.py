@@ -617,12 +617,41 @@ def websites_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def platform_accounts_pdf() -> pd.DataFrame:
+    """Creator/professional platform accounts (creators/cyphers.py:35-63;
+    professionals/cyphers.py:60-90). follows is account-keyed; the even
+    accounts carry follows = 0 — the negative the Dune property gate
+    (``WHERE dune.follows > 0``) must drop. Bios cycle keyword templates
+    for the professionals fulltext rules."""
+    bios = (
+        "Co-Founder building onchain",
+        "investing in early teams",
+        "Marketing and brand work",
+        "VP of Sales; partnerships",
+        "community manager for the dao",
+        "plain web3 enjoyer",
+    )
+    rows = []
+    for k in range(30):
+        acct = k % 7
+        rows.append(
+            {
+                "address": D.wallet_address(k % 50),
+                "platform": ("Sound", "Dune", "Dune", "Twitter")[k % 4],
+                "account_id": f"acct{acct}",
+                "follows": 0 if acct % 2 == 0 else 1 + acct % 5,
+                "bio": bios[acct % 6],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 FEED_NAMES = (
     "transfers", "followers", "proposals", "votes", "space_members",
     "strategies", "grant_admins", "donations", "delegations", "deployments",
     "multisig_signers", "nfts", "nft_holdings", "moloch_daos",
     "moloch_members", "moloch_proposals", "moloch_votes", "loans", "repos",
-    "grant_members", "websites",
+    "grant_members", "websites", "platform_accounts",
 )
 
 
@@ -780,6 +809,18 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
             rows.add(
                 (f"Website:{r['website_url']}", "HAS_DOMAIN", f"Domain:{host}")
             )
+
+    # platform-account HAS_ACCOUNT (follows rides as edge weight; the
+    # edge itself exists regardless of follows — the property gate is a
+    # WIC rule, not an ingest filter)
+    for r in platform_accounts_pdf().to_dict("records"):
+        rows.add(
+            (
+                f"Wallet:{r['address'].lower()}",
+                "HAS_ACCOUNT",
+                f"{r['platform']}:{r['account_id'].lower()}",
+            )
+        )
     return rows
 
 

@@ -807,6 +807,47 @@ def delegation_role_edges(delegations: DataFrame) -> DataFrame:
 # adapters
 # ---------------------------------------------------------------------------
 
+_CIT_PLATFORM = (
+    "platform account (creators/cyphers.py:35-63; "
+    "professionals/cyphers.py:60-90)"
+)
+
+
+def platform_account_edges(accounts: DataFrame) -> DataFrame:
+    """(wallet)-[:HAS_ACCOUNT]->(platform account) for the creator /
+    professional platforms.
+
+    Reference: analytics/wic/creators/cyphers.py:35-47 matches
+    (wallet)-[:HAS_ACCOUNT]->(:Sound:Account) for Web3Musician and
+    :49-63 (:Dune:Account) ``WHERE dune.follows > 0`` for
+    Web3DataAnalyst; professionals/cyphers.py:60-90 walks the same
+    HAS_ACCOUNT hop from bio-matched accounts. The account's ``follows``
+    property rides as the EDGE WEIGHT (the triple surface carries no node
+    properties), so the reference's property gate becomes the
+    ``subjects_weight_gt`` WIC rule kind; the bio text stays on the feed
+    row for ``wic.profession_labels`` (bio rules never join the graph).
+
+    Scale: pure project + dropDuplicates on the feed — no joins; the
+    dedup key includes follows (account-keyed, functionally determined),
+    so the distinct is exactly the reference's MERGE idempotence.
+    """
+    ded = accounts.select(
+        canonical_key(F.col("address")).alias("subj_key"),
+        F.col("platform").alias("obj_label"),
+        canonical_key(F.col("account_id")).alias("obj_key"),
+        F.col("follows").cast("double").alias("weight"),
+    ).dropDuplicates(["subj_key", "obj_label", "obj_key", "weight"])
+    return ded.select(
+        F.lit("Wallet").alias("subj_label"),
+        "subj_key",
+        F.lit("HAS_ACCOUNT").alias("pred"),
+        "obj_label",
+        "obj_key",
+        "weight",
+        F.lit(_CIT_PLATFORM).cast("string").alias("citation"),
+    )
+
+
 def feed_edge_rules(feeds: dict[str, DataFrame]) -> DataFrame:
     """Union of every rule whose feed tables are present in ``feeds``
     (keys as in sources.feeds.ALL_FEEDS). Missing feeds skip their rules —
@@ -854,6 +895,8 @@ def feed_edge_rules(feeds: dict[str, DataFrame]) -> DataFrame:
         outs.append(member_of_edges(feeds["grant_members"], feeds["grant_admins"]))
     if "websites" in feeds:
         outs.append(domain_edges(feeds["websites"]))
+    if "platform_accounts" in feeds:
+        outs.append(platform_account_edges(feeds["platform_accounts"]))
     if not outs:
         raise ValueError("no known feed tables present")
     out = outs[0]

@@ -146,6 +146,79 @@ def collector_labels(
     )
 
 
+# Professionals: bio-keyword fulltext rules (professionals/analyze.py:9-48
+# condition tree, all weight 0; cyphers.py fulltext-queries the wicBios
+# index per OR-list, labels the matched account and links wallets over
+# HAS_ACCOUNT). Each OR-list is restated as a word-bounded, case-blind
+# alternation — plain ASCII literals, identical semantics under Java
+# regex (Spark rlike) and RE2 (DuckDB regexp_matches).
+# (condition group, context, weight, pattern)
+PROFESSIONS_TREE = [
+    # professionals/analyze.py:53-56: "'founder' OR 'co-founder'"
+    ("Positions", "Founder", 0.0, r"\b(founder|co-founder)\b"),
+    # cyphers.py:60-90 identify_investors_bios fulltext OR-list
+    ("Positions", "Investor", 0.0,
+     r"\b(investment fund|venture capital firm|investing in|vc|"
+     r"investment firm|seed stage|pre-seed)\b"),
+    # analyze.py:68-71: "'Marketing' OR 'Marketer' OR 'brand'"
+    ("Positions", "Marketer", 0.0, r"\b(marketing|marketer|brand)\b"),
+    # analyze.py:58-61: "'VP of Sales' or 'BizDev' OR 'business
+    # development' OR 'partnerships'"
+    ("Positions", "SalesPartnerships", 0.0,
+     r"\b(vp of sales|bizdev|business development|partnerships)\b"),
+    # analyze.py:73-76: "'community lead' OR 'community manager'"
+    ("Positions", "CommunityManager", 0.0,
+     r"\b(community lead|community manager)\b"),
+    # analyze.py:78-81: "'devrel' OR 'developer relations' OR
+    # 'ecosystem lead'"
+    ("Positions", "DeveloperRelationsLead", 0.0,
+     r"\b(devrel|developer relations|ecosystem lead)\b"),
+]
+
+
+def profession_labels(accounts: DataFrame, tree: list | None = None) -> DataFrame:
+    """accounts(address, bio, …) → (entity_id, condition, context, weight)
+    professional-position labels.
+
+    The reference runs one fulltext ``db.index.fulltext.queryNodes``
+    keyword query per context over account bios, SETs a marker label on
+    the matched account, then walks HAS_ACCOUNT to the wallet
+    (professionals/cyphers.py:10-32 founders, :60-90 investors, :92-180
+    marketers / sales / community / devrel — all weight 0 per the
+    analyze.py condition tree). Here every OR-list is a native rlike over
+    the lowercased bio and ALL contexts evaluate in ONE scan: each row
+    emits an array of matched context structs and explodes — no per-rule
+    corpus pass, no UDF. The wallet is the feed row's own address column
+    (the HAS_ACCOUNT hop is already materialized on the feed).
+
+    Scale: one projection + explode + dropDuplicates keyed by
+    (entity_id, context) — a single exchange on the label key space.
+    """
+    tree = PROFESSIONS_TREE if tree is None else tree
+    bio = F.lower(F.col("bio"))
+    structs = [
+        F.when(
+            bio.rlike(pattern),
+            F.struct(
+                F.lit(condition).alias("condition"),
+                F.lit(context).alias("context"),
+                F.lit(float(weight)).alias("weight"),
+            ),
+        )
+        for condition, context, weight, pattern in tree
+    ]
+    hits = accounts.select(
+        F.concat(F.lit("Wallet:"), F.lower(F.trim("address"))).alias("entity_id"),
+        F.explode(F.array(*structs)).alias("m"),
+    ).where(F.col("m").isNotNull())
+    return hits.select(
+        "entity_id",
+        F.col("m.condition").alias("condition"),
+        F.col("m.context").alias("context"),
+        F.col("m.weight").alias("weight"),
+    ).dropDuplicates(["entity_id", "context"])
+
+
 # Graph-pattern WIC trees: contexts defined as Cypher MATCHes over the
 # knowledge graph itself (not behavioral event streams). Restated as
 # declarative patterns over the (subj, pred, obj) triple relation —
@@ -179,6 +252,12 @@ def collector_labels(
 #                     enough distinct collectors; labels the article node —
 #                     the feed surface carries no corpus AUTHOR edge to
 #                     lift it to the author wallet)
+#   subjects_weight_gt — distinct subjects of pred (obj-label scoped)
+#                     where the EDGE WEIGHT exceeds k: the reference's
+#                     account-property gates (creators/cyphers.py:49-63
+#                     ``WHERE dune.follows > 0``) restated over the
+#                     property-as-weight convention of
+#                     edge_rules.platform_account_edges
 # Divergences kept deliberately (documented per rule): MultisigSigner
 # drops the reference's extra `(entity)-[:HAS_ACCOUNT]->(multisig)` guard
 # (no entity↔multisig fixture surface), and the two TRANSFERRED-flow
@@ -210,6 +289,19 @@ GRAPH_WIC_TREE = [
      "subjects", ("BORROWED", "Loan")),
     ("NftCollateralizedLender", "NftfiLender", 0.65,
      "subjects", ("LENT", "Loan")),
+    # creators/analyze.py:11-33 + cyphers.py:10-63 — Web3Writer counts
+    # authored articles against the corpus 75th-percentile benchmark
+    # (cc_writers: articles_count >= benchmark, apoc percentiles [.75]);
+    # the feed surface's AUTHOR relation points at Proposal objects (the
+    # Mirror Article stand-in, same relation MirrorFarmer benchmarks at
+    # .95 × 1.25). Web3Musician is the bare Sound-account MATCH;
+    # Web3DataAnalyst gates on the Dune account's follows property —
+    # the edge weight here.
+    ("Creators", "Web3Writer", 0.6,
+     "count_ge_quantile", ("AUTHOR", "Proposal", 0.75, 1.0)),
+    ("Creators", "Web3Musician", 0.8, "subjects", ("HAS_ACCOUNT", "Sound")),
+    ("Creators", "Web3DataAnalyst", 0.8,
+     "subjects_weight_gt", ("HAS_ACCOUNT", "Dune", 0.0)),
 ]
 
 
@@ -233,6 +325,9 @@ def graph_wic_labels(
     are already ≤ one row per subject.
     """
     tree = GRAPH_WIC_TREE if tree is None else tree
+    # weight is optional on the triple relation (bare (subj, pred, obj)
+    # fixtures): rules that never gate on it must not require the column
+    has_weight = "weight" in triples.columns
 
     def obj_label(df: DataFrame, label: str) -> DataFrame:
         return df.where(F.col("obj").startswith(label + ":"))
@@ -260,6 +355,17 @@ def graph_wic_labels(
         if kind in ("subjects", "subjects_any"):
             pred, label = params
             src = slice_(pred, label).select("subj").dropDuplicates().select(
+                "subj", F.lit(1.0).alias("metric")
+            )
+        elif kind == "subjects_weight_gt":
+            pred, label, k = params
+            w = F.col("weight") if has_weight else F.lit(1.0)
+            gated = triples.where(
+                (F.col("pred") == pred) & (w > k)
+            ).select("subj", "obj")
+            if label:
+                gated = obj_label(gated, label)
+            src = gated.select("subj").dropDuplicates().select(
                 "subj", F.lit(1.0).alias("metric")
             )
         elif kind == "count_gt":

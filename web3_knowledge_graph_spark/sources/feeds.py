@@ -319,6 +319,42 @@ FROM customer
 WHERE c_custkey < 70
 """
 
+# --- platform profile accounts (analytics/wic/creators/cyphers.py:35-47
+# matches (wallet)-[:HAS_ACCOUNT]->(:Sound:Account) for Web3Musician and
+# :49-63 (:Dune:Account) WHERE dune.follows > 0 for Web3DataAnalyst;
+# analytics/wic/professionals/cyphers.py:10-32,60-90 fulltext-queries the
+# wicBios index and links matched accounts to wallets over the same
+# HAS_ACCOUNT hop). One feed carries (address, platform, account_id,
+# follows, bio): platform is the account node's label; follows and bio
+# are account-node PROPERTIES in the reference, so both key off the
+# account identity (user_id % 61) — functionally determined per account,
+# dedup-stable in both engines. Even-keyed accounts carry follows = 0 (the
+# negative the web3_data_analysts WHERE-gate must drop); bios cycle
+# through phrase templates so every keyword class has positives AND
+# non-matching fillers.
+PLATFORM_ACCOUNTS_SQL = f"""
+SELECT
+  {_W_USER} AS address,
+  CASE WHEN user_id % 9 = 0 THEN 'Sound'
+       WHEN user_id % 9 IN (1, 2) THEN 'Dune'
+       ELSE 'Twitter' END AS platform,
+  'acct' || CAST(user_id % 61 AS STRING) AS account_id,
+  CAST(CASE WHEN user_id % 61 % 2 = 0 THEN 0
+            ELSE 1 + user_id % 61 % 5 END AS BIGINT) AS follows,
+  CASE WHEN user_id % 61 % 12 = 0 THEN 'Co-Founder building onchain'
+       WHEN user_id % 61 % 12 = 1 THEN 'investing in early teams at a venture capital firm'
+       WHEN user_id % 61 % 12 = 2 THEN 'Marketing lead and brand storyteller'
+       WHEN user_id % 61 % 12 = 3 THEN 'VP of Sales driving partnerships'
+       WHEN user_id % 61 % 12 = 4 THEN 'Community Manager for the collective'
+       WHEN user_id % 61 % 12 = 5 THEN 'DevRel / developer relations engineer'
+       WHEN user_id % 61 % 12 = 6 THEN 'pre-seed angel; VC at heart'
+       WHEN user_id % 61 % 12 = 7 THEN 'community lead, governance nerd'
+       WHEN user_id % 61 % 12 = 8 THEN 'onchain data wizard'
+       ELSE 'web3 curious' END AS bio
+FROM events
+WHERE event_type = 'click' AND event_id % 3 = 0
+"""
+
 # --- twitter-profile websites (postProcessing/twitterRelations/
 # cyphers.py:130-150: MERGE (website:Website {url})-[HAS_DOMAIN]->
 # (domain:Domain {name}), domain = urlparse(url).netloc at
@@ -353,6 +389,7 @@ ALL_FEEDS: dict[str, str] = {
     "repos": REPOS_SQL,
     "grant_members": GRANT_MEMBERS_SQL,
     "websites": WEBSITES_SQL,
+    "platform_accounts": PLATFORM_ACCOUNTS_SQL,
 }
 
 
@@ -369,7 +406,7 @@ def feed(spark, sf_dir: str, name: str):
 
 def all_feeds(spark, sf_dir: str) -> dict:
     """Every feed with ONE view registration, over localCheckpoint'ed base
-    tables: the 21 feed SQLs collectively scan events/orders/customer ~21×,
+    tables: the 22 feed SQLs collectively scan events/orders/customer ~22×,
     and with plain parquet views each scan re-reads the file and re-plans
     (measured 12.4 s cold for the full feed-rule union at sf0.1/8 cores);
     materializing the three base tables once (~1.1 s) drops that to 4.5 s.
