@@ -812,6 +812,37 @@ def test_graph_wic_farmer_and_influencer_kinds(spark):
     }
 
 
+def test_reputation_scores_signed(spark):
+    """wicScore/analyze.py:16-30 compute_score, hand-traced. NOTE the
+    reference quirk kept deliberately: deg/min for a NEGATIVE degree is a
+    POSITIVE ratio (both operands negative), so the most-negative wallet
+    scores +100 — magnitude-within-sign normalization, not a signed
+    scale. Zero stays 0."""
+    from web3_knowledge_graph_spark.operators.rules import reputation_scores_signed
+
+    labels = spark.createDataFrame(
+        [
+            ("a", "X", 0.85), ("a", "Y", 0.65),   # degree +1.5  → max
+            ("b", "X", 0.5),                       # degree +0.5
+            ("c", "S", -2.0), ("c", "T", -1.0),    # degree -3.0  → min
+            ("d", "S", -1.5),                      # degree -1.5
+            ("e", "Z", 0.7), ("e", "W", -0.7),     # degree 0.0
+        ],
+        "entity_id string, context string, weight double",
+    )
+    got = {
+        r.entity_id: (r.raw_score, r.reputation_score)
+        for r in reputation_scores_signed(labels).collect()
+    }
+    assert got == {
+        "a": (1.5, 100.0),
+        "b": (0.5, 500 / 1500 * 100.0),
+        "c": (-3.0, 100.0),                        # -3000 / -3000 × 100
+        "d": (-1.5, 50.0),                         # -1500 / -3000 × 100
+        "e": (0.0, 0.0),
+    }
+
+
 def test_profession_labels_bio_keywords(spark):
     """Bio-keyword professional rules (professionals/analyze.py:9-48):
     word-bounded matches, multi-context bios, case-blindness, the 'vc'

@@ -1776,6 +1776,86 @@ def _graph_wic_sql() -> str:
 ORACLE_EDGE_RULES["graph_wic"] = _graph_wic_sql()
 
 
+def q_wic_reputation_full(spark, sf_dir):
+    """Whole-system reputation rollup: ALL five WIC label surfaces —
+    behavioral tree, interests keywords, collectors seed lists,
+    professionals bios, graph-pattern tree — unioned into one label
+    relation (behavioral user ids resolve into the shared Wallet
+    keyspace) and scored with the reference's SIGN-DEPENDENT
+    normalization (wicScore/analyze.py:16-30: negative weighted degrees
+    divide by the global MIN, positive by the global MAX, ×100 — the
+    reference's magnitude-within-sign scale, which the one-sided
+    `wic_scores` rollup cannot express; the farmers' negative contexts
+    exercise the negative branch)."""
+    from .operators.rules import reputation_scores_signed
+    from .operators.wic import wic_labels
+
+    wallet_of_user = F.expr(
+        "concat('Wallet:0x', md5(concat('w', cast(entity_id % 97 as string))),"
+        " substr(md5(concat('wx', cast(entity_id % 97 as string))), 1, 8))"
+    )
+    beh = wic_labels(_t(spark, sf_dir, "events")).select(
+        wallet_of_user.alias("entity_id"), "context", "weight"
+    )
+    ints = q_wic_interests(spark, sf_dir).select(
+        F.concat(F.lit("Wallet:"), "entity_id").alias("entity_id"),
+        "context", "weight",
+    )
+    coll = q_wic_collectors(spark, sf_dir).select(
+        F.concat(F.lit("Wallet:"), "entity_id").alias("entity_id"),
+        "context", "weight",
+    )
+    prof = q_professions(spark, sf_dir).select("entity_id", "context", "weight")
+    gw = q_graph_wic(spark, sf_dir).select("entity_id", "context", "weight")
+    labels = (
+        beh.unionByName(ints).unionByName(coll).unionByName(prof)
+        .unionByName(gw).distinct()
+    )
+    return reputation_scores_signed(labels)
+
+
+def _wic_reputation_full_sql() -> str:
+    """Union of the five label-surface oracles (each a parenthesized
+    subquery with its own CTEs — composed from the SAME oracle strings the
+    per-surface queries use, so this rollup cannot drift from them) +
+    the fixed-point milli-degree sum and sign-dependent normalization."""
+    from .sources.feeds import wallet_sql
+
+    w = wallet_sql("entity_id % 97")
+    beh = f"{_WIC_CTES}\n{_wic_labels_sql()}"
+    return f"""
+WITH labels AS (
+  SELECT DISTINCT entity_id, context, weight FROM (
+    SELECT 'Wallet:' || {w} AS entity_id, context, weight FROM ({beh})
+    UNION ALL
+    SELECT 'Wallet:' || entity_id AS entity_id, context, weight
+    FROM ({ORACLE_EDGE_RULES["wic_interests"]})
+    UNION ALL
+    SELECT 'Wallet:' || entity_id AS entity_id, context, weight
+    FROM ({ORACLE_EDGE_RULES["wic_collectors"]})
+    UNION ALL
+    SELECT entity_id, context, weight
+    FROM ({ORACLE_EDGE_RULES["professions"]})
+    UNION ALL
+    SELECT entity_id, context, weight
+    FROM ({ORACLE_EDGE_RULES["graph_wic"]})
+  )
+),
+deg AS (SELECT entity_id,
+               CAST(SUM(CAST(round(weight * 1000) AS BIGINT)) AS BIGINT) AS m
+        FROM labels GROUP BY entity_id),
+b AS (SELECT MAX(m) AS mx, MIN(m) AS mn FROM deg)
+SELECT entity_id, m / 1000.0 AS raw_score,
+  CASE WHEN m < 0 THEN m / mn * 100.0
+       WHEN m > 0 THEN m / mx * 100.0
+       ELSE 0.0 END AS reputation_score
+FROM deg, b
+"""
+
+
+ORACLE_EDGE_RULES["wic_reputation_full"] = _wic_reputation_full_sql()
+
+
 def q_entity_popularity(spark, sf_dir):
     """Hub-entity aggregation via SALTED two-phase agg (north rule: 'skew
     from hub entities is handled with salted aggregations'): total mentions
@@ -3811,6 +3891,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "platform_edges": q_platform_edges,
         "professions": q_professions,
+        "wic_reputation_full": q_wic_reputation_full,
     }
 
 

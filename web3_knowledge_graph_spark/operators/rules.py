@@ -62,3 +62,35 @@ def reputation_scores(labels: DataFrame, normalize: str = "max") -> DataFrame:
             (F.col("raw_score") / denom * 100.0).alias("reputation_score"),
         )
     )
+
+
+def reputation_scores_signed(labels: DataFrame) -> DataFrame:
+    """The reference's FULL sign-dependent normalization
+    (wicScore/analyze.py:16-30 compute_score): weighted degree per entity;
+    NEGATIVE degrees divide by the global MIN, positive by the global MAX,
+    zeros stay 0 — ×100. Reference quirk kept deliberately: deg/min for a
+    negative degree is a POSITIVE ratio (both operands negative), so the
+    most-negative wallet scores +100 — the reference normalizes MAGNITUDE
+    within each sign, it does not produce a signed scale.
+
+    Every rule weight in the trees is an exact multiple of 0.025, so
+    degrees fold as fixed-point MILLI-integers (exact, order-free sum —
+    the double divisions at the end are single deterministic IEEE ops on
+    identical operands in any engine). One shuffle on entity_id; the
+    global min/max is a 1-row broadcast.
+    """
+    milli = F.round(F.col("weight") * 1000).cast("bigint")
+    deg = (
+        labels.select("entity_id", milli.alias("w"))
+        .groupBy("entity_id")
+        .agg(F.sum("w").alias("m"))
+    )
+    bound = deg.agg(F.max("m").alias("_mx"), F.min("m").alias("_mn"))
+    return deg.crossJoin(F.broadcast(bound)).select(
+        "entity_id",
+        (F.col("m") / F.lit(1000.0)).alias("raw_score"),
+        F.when(F.col("m") < 0, F.col("m") / F.col("_mn") * 100.0)
+        .when(F.col("m") > 0, F.col("m") / F.col("_mx") * 100.0)
+        .otherwise(F.lit(0.0))
+        .alias("reputation_score"),
+    )
