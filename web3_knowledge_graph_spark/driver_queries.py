@@ -1212,6 +1212,26 @@ _FEED_RULE_QUERIES = (
 )
 
 
+# The materialized feed-rule edge relation, memoized per (application,
+# sf_dir): the feeds derive deterministically from the READ-ONLY base
+# tables, so every consumer (graph_wic, the flagship, the reputation
+# rollup) shares ONE localCheckpoint instead of each re-running the
+# 22-feed union DAG (~4-12 s per evaluation at sf0.1).
+_FEED_REL_CACHE: dict = {}
+
+
+def _feed_rel(spark, sf_dir):
+    from .operators import edge_rules as _ER
+    from .sources.feeds import all_feeds
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FEED_REL_CACHE:
+        _FEED_REL_CACHE[key] = _ER.feed_edge_rules(
+            all_feeds(spark, sf_dir)
+        ).localCheckpoint()
+    return _FEED_REL_CACHE[key]
+
+
 def _feed_edges_union_sql() -> str:
     # weight rides along for the graph-WIC property-gate rules
     # (subjects_weight_gt); consumers that only need (subj, pred, obj)
@@ -1633,15 +1653,13 @@ def q_graph_wic(spark, sf_dir):
     declarative patterns over the feed-rule edge vocabulary
     (operators/wic.py GRAPH_WIC_TREE + the driver-seeded extension)."""
     from .operators.wic import graph_wic_labels
-    from .sources.feeds import all_feeds
 
     _prep(spark)
-    # cut lineage once: every tree rule references the triple relation
-    # (some twice), and without this the whole ~17-feed union DAG would
-    # recompute per rule branch
-    trip = ER.as_named_triples(
-        ER.feed_edge_rules(all_feeds(spark, sf_dir))
-    ).localCheckpoint()
+    # every tree rule references the triple relation (some twice): the
+    # memoized feed checkpoint (_feed_rel) cuts the lineage once and is
+    # shared with the flagship and the reputation rollup; as_named_triples
+    # on top of it is a row-local projection
+    trip = ER.as_named_triples(_feed_rel(spark, sf_dir))
     return graph_wic_labels(trip, tree=_graph_wic_driver_tree())
 
 
@@ -3359,12 +3377,9 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _feed_job():
         try:
-            from .operators import edge_rules as _ER
-            from .sources.feeds import all_feeds
-
-            feed_out["rel"] = _ER.feed_edge_rules(
-                all_feeds(spark, sf_dir)
-            ).localCheckpoint()
+            # memoized: the first flagship/graph-WIC call in a session pays
+            # the 22-feed DAG once; later calls reuse the checkpoint
+            feed_out["rel"] = _feed_rel(spark, sf_dir)
         except BaseException as exc:  # re-raised on the main thread
             feed_out["exc"] = exc
 
