@@ -691,6 +691,39 @@ def test_partition_modularity_two_triangles(spark):
     assert abs(sum(r["q_term"] for r in rows.values()) - 5 / 14) < 1e-12
 
 
+def test_refine_partition_moves_bridge_node(spark):
+    """Hand-traced Louvain phase-1 sweep on the two-triangle graph with
+    node 3 misassigned to the right triangle: m2=14, deg(3)=3,
+    g(left) = 14·2 − 3·4 = 16 > g(right) = 14·1 − 3·(10−3) = −7, so 3
+    moves left; every other node's best community is its own. Global Q
+    rises from 0.1224 to the optimum 5/14."""
+    from web3_knowledge_graph_spark.operators.communities import (
+        partition_modularity,
+        refine_partition,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    wrong = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200), (5, 200), (6, 200)],
+        "id long, community long",
+    )
+    refined = refine_partition(edges, wrong)
+    got = {r["id"]: r["community"] for r in refined.collect()}
+    assert got == {1: 100, 2: 100, 3: 100, 4: 200, 5: 200, 6: 200}
+
+    q_before = sum(
+        r["q_term"] for r in partition_modularity(edges, wrong).collect()
+    )
+    q_after = sum(
+        r["q_term"] for r in partition_modularity(edges, refined).collect()
+    )
+    assert q_after > q_before
+    assert abs(q_after - 5 / 14) < 1e-12
+
+
 def test_graph_wic_labels_each_rule_kind(spark):
     """One literal triple set exercising every GRAPH_WIC_TREE rule kind:
     exists (obj-label scoped), count-threshold, child-pred guard, and

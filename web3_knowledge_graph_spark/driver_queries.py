@@ -588,6 +588,23 @@ def q_community_modularity(spark, sf_dir):
     return partition_modularity(proj, labels, src="top_a", dst="top_b", weight="shared")
 
 
+def q_communities_refined(spark, sf_dir):
+    """LPA partition + ONE synchronous Louvain phase-1 refinement sweep
+    (the modularity objective the reference's sknetwork Louvain optimizes,
+    networks.py:48-59, applied to the LPA assignment): every node moves to
+    the neighboring community with the highest EXACT-integer modularity
+    gain, if strictly positive. Closes the documented Louvain→LPA
+    divergence from 'no objective' to 'one objective-improving sweep'."""
+    from .operators.communities import refine_partition
+
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("long")
+    rel = e.select(k.alias("k"), F.col("user_id").cast("long").alias("u")).distinct()
+    proj = bipartite_project(rel, bottom_col="k", top_col="u", threshold=2)
+    labels = label_propagation(proj, src="top_a", dst="top_b", weight="shared", rounds=4)
+    return refine_partition(proj, labels, src="top_a", dst="top_b", weight="shared")
+
+
 def q_grant_donor_communities(spark, sf_dir):
     """The gitcoin-communities analytic (analytics/gitcoin/analyze.py:17-44):
     ONE donation bipartite graph (donor, grant), projected on BOTH axes —
@@ -752,8 +769,12 @@ ORACLE_GRAPH["communities"] = label_propagation_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4
 )
 from .operators.communities import partition_modularity_oracle_sql  # noqa: E402
+from .operators.communities import refine_oracle_sql  # noqa: E402
 
 ORACLE_GRAPH["community_modularity"] = partition_modularity_oracle_sql(
+    _COMMUNITIES_EDGES_CTE, rounds=4
+)
+ORACLE_GRAPH["communities_refined"] = refine_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4
 )
 ORACLE_GRAPH["grant_donor_communities"] = f"""
@@ -3907,6 +3928,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platform_edges": q_platform_edges,
         "professions": q_professions,
         "wic_reputation_full": q_wic_reputation_full,
+        "communities_refined": q_communities_refined,
     }
 
 

@@ -170,6 +170,132 @@ def partition_modularity(
     )
 
 
+def refine_partition(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """ONE synchronous Louvain phase-1 refinement sweep over an existing
+    (id, community) assignment: every node simultaneously moves to the
+    neighboring community with the highest modularity gain, if positive.
+
+    This adds the modularity OBJECTIVE the LPA stand-in lacks (the
+    documented divergence from the reference's sknetwork Louvain,
+    analytics/helpers/networks.py:48-59): with Q = Σ_c [in_c/m2 −
+    (vol_c/m2)²] over the symmetrized graph (m2 = total symmetrized
+    weight), the gain of moving v from c0 to c clears to the EXACT
+    integer score  g(c) = m2·k(v,c) − deg(v)·volx(c),  where k(v,c) is
+    v's weight into c and volx(c) is c's volume excluding v; v moves to
+    argmax g (min-community tie-break) iff g(best) > g(current). All
+    arithmetic is BIGINT (requires m2·max_degree < 2^63 — true for any
+    graph whose total weight fits in 31 bits, documented bound), so the
+    sweep is bit-exact SQL-replayable. Synchronous moves keep the sweep
+    deterministic (no update-order dependence); apply once after LPA —
+    the reference's Louvain iterates this to a fixed point, driver-bound
+    on a dense matrix.
+
+    Plan: one co-partitioned join+agg for k(v,c) (rows ≤ |E|); degree and
+    volume relations are node- and community-dimensional; m2 is a 1-row
+    broadcast. Scales with |E|.
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    e = (
+        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # k-join + degree agg + m2 consume it
+    )
+    memb = labels.select("id", F.col("community").alias("c0"))
+    deg = e.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("deg"))
+    vol = (
+        memb.join(deg, "id")
+        .groupBy(F.col("c0").alias("c"))
+        .agg(F.sum("deg").alias("vol"))
+    )
+    m2 = e.agg(F.sum("w").alias("m2"))
+    # k(v, c): v's total weight into each neighboring community
+    k = (
+        e.join(memb.select(F.col("id").alias("b"), F.col("c0").alias("c")), "b")
+        .groupBy(F.col("a").alias("id"), "c")
+        .agg(F.sum("w").alias("k"))
+    )
+    # candidate set = neighboring communities ∪ the current community
+    # (k = 0 when v has no intra-community neighbor)
+    cand = (
+        k.unionByName(
+            memb.select("id", F.col("c0").alias("c"), F.lit(0).cast("long").alias("k"))
+        )
+        .groupBy("id", "c")
+        .agg(F.max("k").alias("k"))
+    )
+    scored = (
+        cand.join(memb, "id")
+        .join(deg, "id")
+        .join(F.broadcast(vol), "c")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "id", "c", "c0",
+            (
+                F.col("m2") * F.col("k")
+                - F.col("deg")
+                * (F.col("vol") - F.when(F.col("c") == F.col("c0"), F.col("deg")).otherwise(F.lit(0)))
+            ).alias("g"),
+        )
+    )
+    # argmax by (g desc, c asc) — exact long struct max; move only on a
+    # STRICT gain over staying (g_best > g_current)
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("g"), (-F.col("c")).alias("nc"))).alias("m")
+    ).select("id", (-F.col("m.nc")).alias("c_best"), F.col("m.g").alias("g_best"))
+    stay = scored.where(F.col("c") == F.col("c0")).select(
+        "id", F.col("g").alias("g_stay"), "c0"
+    )
+    return best.join(stay, "id").select(
+        "id",
+        F.when(F.col("g_best") > F.col("g_stay"), F.col("c_best"))
+        .otherwise(F.col("c0"))
+        .alias("community"),
+    )
+
+
+def refine_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB replay of label_propagation → ONE refine_partition sweep
+    over an ``e(a, b, w)`` symmetrized edge CTE (the label assignment is
+    the unrolled LPA subquery, so the oracles can never disagree on the
+    starting partition)."""
+    lpa = label_propagation_oracle_sql(edges_cte, rounds=rounds)
+    return f"""
+WITH {edges_cte},
+lab AS (SELECT id, community AS c0 FROM ({lpa})),
+ndeg AS (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY a),
+vol AS (SELECT lab.c0 AS c, CAST(SUM(d.deg) AS BIGINT) AS vol
+        FROM lab JOIN ndeg d USING (id) GROUP BY lab.c0),
+twom AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e),
+kk AS (SELECT e.a AS id, lab.c0 AS c, CAST(SUM(e.w) AS BIGINT) AS k
+       FROM e JOIN lab ON e.b = lab.id GROUP BY e.a, lab.c0),
+cand AS (SELECT id, c, MAX(k) AS k FROM (
+  SELECT id, c, k FROM kk
+  UNION ALL SELECT id, c0 AS c, CAST(0 AS BIGINT) AS k FROM lab
+) GROUP BY id, c),
+scored AS (
+  SELECT cand.id, cand.c, lab.c0,
+    m2 * cand.k - ndeg.deg *
+      (vol.vol - CASE WHEN cand.c = lab.c0 THEN ndeg.deg ELSE 0 END) AS g
+  FROM cand JOIN lab USING (id) JOIN ndeg USING (id)
+  JOIN vol ON cand.c = vol.c CROSS JOIN twom),
+best AS (SELECT id, c AS c_best, g AS g_best FROM (
+  SELECT id, c, g, ROW_NUMBER() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rn
+  FROM scored) WHERE rn = 1),
+stay AS (SELECT id, g AS g_stay, c0 FROM scored WHERE c = c0)
+SELECT best.id, CASE WHEN g_best > g_stay THEN c_best ELSE c0 END AS community
+FROM best JOIN stay USING (id)
+"""
+
+
 def partition_modularity_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
     """DuckDB replay of label_propagation → partition_modularity over an
     ``e(a, b, w)`` symmetrized edge CTE (same contract as the LPA oracle;
