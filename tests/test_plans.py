@@ -262,3 +262,38 @@ def test_cms_build_exchange_bounded_by_sketch(spark):
     assert "partial_count" in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_profession_labels_pure_scan_no_join(spark):
+    """PLANS.md WIC batching: all six professionals bio-keyword rules
+    evaluate in ONE scan — array-of-when + explode, no join anywhere, and
+    the only exchange is the final (entity, context) dedup."""
+    from web3_knowledge_graph_spark.operators.wic import profession_labels
+    from web3_knowledge_graph_spark.sources.feeds import feed
+
+    plan = _final_plan(profession_labels(feed(spark, SF, "platform_accounts")))
+    final = plan.split("== Initial Plan ==")[0]
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in final, final[:800]
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_refine_partition_broadcasts_dimensions(spark):
+    """PLANS.md: the refinement sweep's community-volume and m2 relations
+    are dimension-sized broadcasts; no cartesian product — the only
+    non-broadcast joins key on the node id."""
+    from web3_knowledge_graph_spark.operators.communities import refine_partition
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200), (5, 200), (6, 200)],
+        "id long, community long",
+    )
+    plan = _final_plan(refine_partition(edges, labels))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final
+    assert "BroadcastNestedLoopJoin" in final  # the 1-row m2 crossJoin
