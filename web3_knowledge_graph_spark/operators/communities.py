@@ -193,8 +193,14 @@ def refine_partition(
     graph whose total weight fits in 31 bits, documented bound), so the
     sweep is bit-exact SQL-replayable. Synchronous moves keep the sweep
     deterministic (no update-order dependence); apply once after LPA —
-    the reference's Louvain iterates this to a fixed point, driver-bound
-    on a dense matrix.
+    the reference's Louvain iterates sequential moves to a fixed point,
+    driver-bound on a dense matrix. Caveat (documented, inherent to the
+    synchronous variant): each node's gain is computed against the OLD
+    assignment, so two simultaneous moves can in principle interact and
+    the global Q is not formally guaranteed to rise on adversarial
+    graphs — on the partition shapes LPA produces (dense local
+    majorities) interacting moves are rare, and the test asserts the
+    canonical bridge-node case improves to the optimum.
 
     Plan: one co-partitioned join+agg for k(v,c) (rows ≤ |E|); degree and
     volume relations are node- and community-dimensional; m2 is a 1-row
