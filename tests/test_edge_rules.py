@@ -324,6 +324,31 @@ def test_loan_edges_denomination_gate_and_collateral_citation(spark):
         ("l1", "loan collateral tokenId=7 (NFTfi/cyphers.py:79-88)"),
         ("l2", "loan collateral tokenId=9 (NFTfi/cyphers.py:79-88)"),
     }
+    # venue-less feed (no marketplace column): no BORROWER/LENDER families
+    assert out.where(F.col("pred").isin("BORROWER", "LENDER")).count() == 0
+
+
+def test_loan_edges_marketplace_families(spark):
+    """The traders-analyzer venue surface (traders/cyphers.py:55-180):
+    a marketplace column adds (wallet)-[:BORROWER|LENDER]->(Marketplace)
+    per loan row."""
+    loans = spark.createDataFrame(
+        [
+            ("l1", W1, W2, "0xnft", "7", "0x" + "d" * 40, "x2y2"),
+            ("l2", W2, W3, "0xnft", "9", "0x" + "e" * 40, "bend"),
+        ],
+        "loan_id string, borrower string, lender string,"
+        " collateral_contract string, collateral_token_id string,"
+        " denomination_token string, marketplace string",
+    )
+    out = ER.loan_edges(loans)
+    assert _rows(
+        out.where(F.col("pred") == "BORROWER").select("subj_key", "obj_key")
+    ) == {(W1, "x2y2"), (W2, "bend")}
+    assert _rows(
+        out.where(F.col("pred") == "LENDER")
+        .select("subj_key", "obj_label", "obj_key")
+    ) == {(W2, "Marketplace", "x2y2"), (W3, "Marketplace", "bend")}
 
 
 def test_repo_edges_null_drop_and_role_map(spark):

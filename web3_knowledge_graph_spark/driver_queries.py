@@ -1141,7 +1141,8 @@ ln AS (SELECT lower(trim(loan_id)) AS loan_id, lower(trim(borrower)) AS borrower
               lower(trim(lender)) AS lender,
               lower(trim(collateral_contract)) AS collateral_contract,
               lower(trim(collateral_token_id)) AS collateral_token_id,
-              lower(trim(denomination_token)) AS denomination_token
+              lower(trim(denomination_token)) AS denomination_token,
+              lower(trim(marketplace)) AS marketplace
        FROM loans)
 SELECT 'Wallet:' || borrower AS subj, 'BORROWED' AS pred,
   'Loan:' || loan_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
@@ -1158,6 +1159,12 @@ UNION ALL
 SELECT 'Token:' || denomination_token, 'IS_DENOMINATION', 'Loan:' || loan_id,
   CAST(1.0 AS DOUBLE), 'loan denomination (NFTfi/cyphers.py:93-103)'
 FROM ln WHERE regexp_matches(denomination_token, '^0x[a-fA-F0-9]{{40}}$')
+UNION ALL
+SELECT 'Wallet:' || borrower, 'BORROWER', 'Marketplace:' || marketplace,
+  CAST(1.0 AS DOUBLE), 'marketplace borrower (traders/cyphers.py:55-120)' FROM ln
+UNION ALL
+SELECT 'Wallet:' || lender, 'LENDER', 'Marketplace:' || marketplace,
+  CAST(1.0 AS DOUBLE), 'marketplace lender (traders/cyphers.py:125-180)' FROM ln
 """,
     "repo_edges": f"""
 {feed_cte("repos")},
@@ -1644,6 +1651,10 @@ def _seed_contract(o: int) -> str:
 WIC_WASH_TRADERS = tuple(f"Wallet:{_seed_wallet(k)}" for k in (7, 21, 34))
 WIC_SPAM_CONTRACTS = tuple(f"Contract:{_seed_contract(o)}" for o in (40, 280, 520))
 WIC_SUS_DAOS = ("Dao:moloch2", "Space:space3.eth")
+# traders power-user seed CSVs (analyze.py:102-115 Dune exports) — wallets
+# named in the shared feed keyspace
+WIC_SUDO_POWER = tuple(f"Wallet:{_seed_wallet(k)}" for k in (3, 11, 58))
+WIC_BLUR_POWER = tuple(f"Wallet:{_seed_wallet(k)}" for k in (11, 29, 71))
 
 
 def _graph_wic_driver_tree() -> list:
@@ -1663,6 +1674,13 @@ def _graph_wic_driver_tree() -> list:
          "subjects_seed_obj", ("DEPLOYED", WIC_SPAM_CONTRACTS)),
         ("PopularMirrorAuthor", "MirrorInfluencer", 0.9,
          "two_hop_count_gt", ("HAS_NFT", "IS_OWNER", 1)),
+        # traders/analyze.py:13-26 + cyphers.py:10-44: SudoSwap/Blur power
+        # users are Dune-exported seed CSVs MATCHed by wallet address —
+        # driver-seeded lists in the shared wallet keyspace here
+        ("PowerTraderMarketplaces", "SudoSwapPowerUser", 0.75,
+         "seed_subjects", (WIC_SUDO_POWER,)),
+        ("PowerTraderMarketplaces", "BlurPowerUser", 0.75,
+         "seed_subjects", (WIC_BLUR_POWER,)),
     ]
 
 

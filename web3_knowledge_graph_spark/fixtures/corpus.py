@@ -556,8 +556,11 @@ def moloch_votes_pdf() -> pd.DataFrame:
 
 
 def loans_pdf() -> pd.DataFrame:
-    """NFTfi loans; l % 5 == 0 rows carry a truncated denomination token
-    (the :Token:ERC20 address-validity negative)."""
+    """NFT-collateralized loans; l % 5 == 0 rows carry a truncated
+    denomination token (the :Token:ERC20 address-validity negative).
+    ``marketplace`` cycles the five traders-analyzer venues
+    (traders/cyphers.py:55-180)."""
+    venues = ("nftfi", "x2y2", "paraspace", "arcade.xyz", "bend")
     return pd.DataFrame(
         [
             {
@@ -571,6 +574,7 @@ def loans_pdf() -> pd.DataFrame:
                     if l % 5 == 0
                     else D.token_contract(l % D.N_TOKEN_ENTITIES)
                 ),
+                "marketplace": venues[l % 5],
             }
             for l in range(12)
         ]
@@ -781,6 +785,12 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
             rows.add(
                 (f"Token:{r['denomination_token']}", "IS_DENOMINATION", f"Loan:{lid}")
             )
+        rows.add(
+            (f"Wallet:{r['borrower']}", "BORROWER", f"Marketplace:{r['marketplace']}")
+        )
+        rows.add(
+            (f"Wallet:{r['lender']}", "LENDER", f"Marketplace:{r['marketplace']}")
+        )
 
     # Github repo roles (NULL handles drop, keys case-fold)
     for r in repos_pdf().to_dict("records"):

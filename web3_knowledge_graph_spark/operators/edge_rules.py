@@ -625,11 +625,21 @@ def loan_edges(loans: DataFrame) -> DataFrame:
     :79-88 (IS_COLLATERAL — tokenId rides in the citation, the triple
     surface carries no property map) and :93-103 (IS_DENOMINATION — the
     MATCH on :Token:ERC20 by address is restated as the same
-    ^0x[40 hex]$ validity gate the snapshot strategy rule uses).
+    ^0x[40 hex]$ validity gate the snapshot strategy rule uses). The
+    per-venue surface the traders analyzers MATCH —
+    (wallet)-[:BORROWER|LENDER]->(:Marketplace {name}),
+    analytics/wic/traders/cyphers.py:55-180 — rides as two extra
+    families keyed on the feed's ``marketplace`` column (optional: an
+    NFTfi-only feed without the column emits just the four loan
+    families, matching the reference's venue-less NFTfi ingestor).
 
-    One feed scan: the four families explode from a single array — no
+    One feed scan: the six families explode from a single array — no
     joins, no corpus access, no per-family re-scan.
     """
+    has_mkt = "marketplace" in loans.columns
+    mkt = (
+        canonical_key("marketplace") if has_mkt else F.lit(None).cast("string")
+    )
     ln = loans.select(
         canonical_key("loan_id").alias("loan_id"),
         canonical_key("borrower").alias("borrower"),
@@ -637,6 +647,7 @@ def loan_edges(loans: DataFrame) -> DataFrame:
         canonical_key("collateral_contract").alias("collateral_contract"),
         canonical_key("collateral_token_id").alias("collateral_token_id"),
         canonical_key("denomination_token").alias("denomination_token"),
+        mkt.alias("marketplace"),
     ).dropDuplicates(["loan_id"])
     lid = F.col("loan_id")
     return _explode_families(
@@ -662,6 +673,22 @@ def loan_edges(loans: DataFrame) -> DataFrame:
                 "Token", F.col("denomination_token"), "IS_DENOMINATION",
                 "Loan", lid,
                 citation="loan denomination (NFTfi/cyphers.py:93-103)",
+            ),
+        ),
+        F.when(
+            F.col("marketplace").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("borrower"), "BORROWER",
+                "Marketplace", F.col("marketplace"),
+                citation="marketplace borrower (traders/cyphers.py:55-120)",
+            ),
+        ),
+        F.when(
+            F.col("marketplace").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("lender"), "LENDER",
+                "Marketplace", F.col("marketplace"),
+                citation="marketplace lender (traders/cyphers.py:125-180)",
             ),
         ),
     )

@@ -282,13 +282,31 @@ GRAPH_WIC_TREE = [
     # developers/analyze.py:38-46 + cyphers.py:55-70
     ("TechnicalEcosystemDevelopment", "EcosystemDeveloper", 0.9,
      "subjects_any", (("CONTRIBUTOR", "OWNER", "SUBSCRIBER"), "Repository")),
-    # traders/analyze.py:27-90 + cyphers.py:179-199 (the NFTfi pair; the
-    # per-marketplace x2y2/paraspace/arcade/bend variants are the same
-    # MATCH with a Marketplace-name filter — one rule per feed here)
+    # traders/analyze.py:27-90 — NftfiBorrower/NftfiLender are the
+    # MATCHes on the Loan relation itself (cyphers.py:191-199 BORROWED,
+    # :124-132 LENT); the per-marketplace variants MATCH the
+    # (wallet)-[:BORROWER|LENDER]->(:Marketplace {name}) surface
+    # (cyphers.py:55-180), one subjects_seed_obj rule per venue.
     ("NftCollateralizedBorrower", "NftfiBorrower", 0.7,
      "subjects", ("BORROWED", "Loan")),
     ("NftCollateralizedLender", "NftfiLender", 0.65,
      "subjects", ("LENT", "Loan")),
+    ("NftCollateralizedBorrower", "x2y2Borrower", 0.7,
+     "subjects_seed_obj", ("BORROWER", ("Marketplace:x2y2",))),
+    ("NftCollateralizedBorrower", "ParaspaceBorrower", 0.7,
+     "subjects_seed_obj", ("BORROWER", ("Marketplace:paraspace",))),
+    ("NftCollateralizedBorrower", "ArcadeBorrower", 0.7,
+     "subjects_seed_obj", ("BORROWER", ("Marketplace:arcade.xyz",))),
+    ("NftCollateralizedBorrower", "BendBorrower", 0.7,
+     "subjects_seed_obj", ("BORROWER", ("Marketplace:bend",))),
+    ("NftCollateralizedLender", "x2y2Lender", 0.65,
+     "subjects_seed_obj", ("LENDER", ("Marketplace:x2y2",))),
+    ("NftCollateralizedLender", "ParaspaceLender", 0.65,
+     "subjects_seed_obj", ("LENDER", ("Marketplace:paraspace",))),
+    ("NftCollateralizedLender", "ArcadeLender", 0.65,
+     "subjects_seed_obj", ("LENDER", ("Marketplace:arcade.xyz",))),
+    ("NftCollateralizedLender", "BendLender", 0.65,
+     "subjects_seed_obj", ("LENDER", ("Marketplace:bend",))),
     # creators/analyze.py:11-33 + cyphers.py:10-63 — Web3Writer counts
     # authored articles against the corpus 75th-percentile benchmark
     # (cc_writers: articles_count >= benchmark, apoc percentiles [.75]);

@@ -269,12 +269,16 @@ FROM events
 WHERE event_type = 'signup'
 """
 
-# --- NFTfi loans (ingestion/NFTfi/cyphers.py:51-58 BORROWED, :65-72 LENT,
-# :79-88 IS_COLLATERAL {tokenId}, :93-103 IS_DENOMINATION — the
-# denomination MATCHes a Token:ERC20 by address, restated as the same
+# --- NFT-collateralized loans (ingestion/NFTfi/cyphers.py:51-58 BORROWED,
+# :65-72 LENT, :79-88 IS_COLLATERAL {tokenId}, :93-103 IS_DENOMINATION —
+# the denomination MATCHes a Token:ERC20 by address, restated as the same
 # ^0x[40 hex]$ gate the strategy rule uses; % 6 = 0 rows carry a
 # truncated 10-hex token as that negative). Collateral reuses the
 # nft_holdings contract keyspace so loans attach to the same Token nodes.
+# ``marketplace`` is the per-venue surface the traders analyzers MATCH
+# ((wallet)-[:BORROWER|LENDER]->(:Marketplace {{name}}),
+# analytics/wic/traders/cyphers.py:55-180) — x2y2 / paraspace /
+# arcade.xyz / bend / nftfi.
 LOANS_SQL = f"""
 SELECT
   'loan' || CAST(o_orderkey AS STRING) AS loan_id,
@@ -285,7 +289,10 @@ SELECT
   CASE WHEN o_orderkey % 6 = 0
        THEN '0x' || substr(md5('tok' || CAST(o_orderkey % 11 AS STRING)), 1, 10)
        ELSE '0x' || md5('tok' || CAST(o_orderkey % 11 AS STRING)) END
-    AS denomination_token
+    AS denomination_token,
+  CASE o_orderkey % 5 WHEN 0 THEN 'nftfi' WHEN 1 THEN 'x2y2'
+       WHEN 2 THEN 'paraspace' WHEN 3 THEN 'arcade.xyz'
+       ELSE 'bend' END AS marketplace
 FROM orders
 WHERE o_orderkey % 3 = 1 AND o_orderkey < 540
 """
