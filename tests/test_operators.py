@@ -618,7 +618,7 @@ def test_interest_labels_keyword_batching(spark):
             ("w1", "I make music; new ALBUM out — musician life"),
             ("w2", "gamer and photography nerd"),
             ("w3", "nothing relevant here"),
-            ("w4", "defi yield farming and data pipelines"),
+            ("w4", "regen refi educator; desci data pipelines"),
         ],
         "entity_id string, text string",
     )
@@ -630,12 +630,16 @@ def test_interest_labels_keyword_batching(spark):
         ("w1", "Music"),
         ("w2", "Gaming"),
         ("w2", "Photography"),
-        ("w4", "Defi"),
+        ("w4", "RegenerativeSystems"),
+        ("w4", "Education"),
+        ("w4", "DeSci"),
         ("w4", "DataScience"),
     }
     # reference interests weight is 0 (analyze.py "weight": 0)
     assert all(v == ("ArtCultureEntertainment", 0.0) for k, v in got.items()
                if k[1] in ("Music", "Gaming", "Photography"))
+    assert got[("w4", "RegenerativeSystems")] == ("SocialJustice", 0.0)
+    assert got[("w4", "DeSci")] == ("ScienceTech", 0.0)
 
 
 def test_collector_labels_seeds_and_short_ens(spark):

@@ -38,20 +38,44 @@ WIC_TREE = [
 ]
 
 
-# Interests analyzer tree (analytics/wic/interests/analyze.py:11-80 declares
-# category → context; the keyword lists restate the per-context fulltext
-# predicates in interests/cyphers.py:33-43 etc., e.g. Music = 'music' OR
-# 'album' OR 'musician'). Reference weight for every interests context is 0
-# (analyze.py "weight": 0) — interests label without scoring.
+# Interests analyzer tree — ALL 12 reference contexts
+# (analytics/wic/interests/analyze.py:11-89 declares category → context,
+# every weight 0; the keyword lists restate the per-context fulltext
+# OR-lists in interests/cyphers.py, cited per row). The batcher joins on
+# single tokens, so multi-word phrase keywords ('video games',
+# 'cultural commentary', 'decentralized science', …) fold to their
+# distinctive token — a documented approximation of queryNodes' phrase
+# matching.
 INTERESTS_TREE = [
-    ("ArtCultureEntertainment", "Music", 0.0, ("music", "album", "musician", "concert")),
-    ("ArtCultureEntertainment", "Gaming", 0.0, ("gaming", "gamer", "videogame")),
-    ("ArtCultureEntertainment", "FilmVideo", 0.0, ("film", "video", "cinema")),
-    ("ArtCultureEntertainment", "Photography", 0.0, ("photography", "photographer", "camera")),
-    ("ArtCultureEntertainment", "WritingPublishing", 0.0, ("writing", "writer", "publishing")),
-    ("ScienceTech", "DataScience", 0.0, ("data", "statistics", "analytics")),
-    ("ScienceTech", "Engineering", 0.0, ("engineer", "software", "developer")),
-    ("Finance", "Defi", 0.0, ("defi", "yield", "liquidity")),
+    # cyphers.py:33-57: 'music' OR 'album' OR 'musician' (+ 'concert')
+    ("ArtCultureEntertainment", "Music", 0.0,
+     ("music", "album", "musician", "concert")),
+    # :84-120: 'gaming' OR 'video games' OR 'gamer'
+    ("ArtCultureEntertainment", "Gaming", 0.0,
+     ("gaming", "gamer", "videogames")),
+    # :137-174: 'outdoors' OR 'nature'
+    ("ArtCultureEntertainment", "Outdoors", 0.0, ("outdoors", "nature")),
+    # :191-227: 'movies' OR 'cinema'
+    ("ArtCultureEntertainment", "FilmVideo", 0.0, ("movies", "cinema")),
+    # :244-280: 'photography' OR 'photographer'
+    ("ArtCultureEntertainment", "Photography", 0.0,
+     ("photography", "photographer")),
+    # :297-333: 'cultural commentary' OR 'web3 culture'
+    ("ArtCultureEntertainment", "CultureCommentary", 0.0, ("commentary",)),
+    # :375-387: 'writing at' OR 'substack' OR 'author' OR 'newsletter'
+    ("ArtCultureEntertainment", "WritingPublishing", 0.0,
+     ("writing", "substack", "author", "newsletter")),
+    # :404-440: 'data science' OR 'data scientist' OR 'machine learning
+    # engineer'
+    ("ScienceTech", "DataScience", 0.0, ("data", "scientist")),
+    # :457-493: 'desci' OR 'decentralized science'
+    ("ScienceTech", "DeSci", 0.0, ("desci",)),
+    # :510-546: 'diversity equity and inclusion' OR 'dei'
+    ("SocialJustice", "DiversityEquityInclusion", 0.0, ("dei", "diversity")),
+    # :563-599: 'regen' OR 'refi'
+    ("SocialJustice", "RegenerativeSystems", 0.0, ("regen", "refi")),
+    # :616-652: 'education' OR 'educator' OR 'teacher'
+    ("SocialJustice", "Education", 0.0, ("education", "educator", "teacher")),
 ]
 
 # Collectors analyzer tree (analytics/wic/collectors/analyze.py:12-39:
