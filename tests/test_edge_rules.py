@@ -391,6 +391,8 @@ def test_domain_edges_host_extraction_and_malformed_drop(spark):
             ("https://User3.example/about",),
             ("https://user3.example/other",),  # same host, different url
             ("not a url",),                    # no host → drops
+            ("https://user3.example:8443/port",),   # :port strips
+            ("https://bob@user3.example/auth",),    # userinfo@ strips
         ],
         "website_url string",
     )
@@ -398,6 +400,8 @@ def test_domain_edges_host_extraction_and_malformed_drop(spark):
     assert got == {
         ("https://user3.example/about", "user3.example"),
         ("https://user3.example/other", "user3.example"),
+        ("https://user3.example:8443/port", "user3.example"),
+        ("https://bob@user3.example/auth", "user3.example"),
     }
 
 
@@ -423,3 +427,35 @@ def test_delegation_role_edges_distinct_hub(spark):
     assert _rows(
         out.where(F.col("pred") == "IS_DELEGATE").select("subj_key", "obj_key")
     ) == {(W2, "compound"), (W3, "compound"), (W3, "uniswap")}
+
+
+def test_dedup_by_id_conflicting_duplicates_deterministic(spark):
+    """A feed violating the unique-id contract must still produce ONE
+    deterministic row per id — the lexicographic MAX of the remaining
+    columns — not an arbitrary partition-order-dependent pick
+    (_dedup_by_id; round-3 advice on dropDuplicates([id]))."""
+    loans = spark.createDataFrame(
+        [
+            # same loan_id, conflicting borrower/lender: the max struct
+            # (W3 > W1 lexicographically on the first field) must win
+            ("l1", W1, W2, "0xnft", "7", "0x" + "d" * 40),
+            ("l1", W3, W2, "0xnft", "7", "0x" + "d" * 40),
+        ],
+        "loan_id string, borrower string, lender string,"
+        " collateral_contract string, collateral_token_id string,"
+        " denomination_token string",
+    )
+    for _ in range(3):  # stable across repeated evaluations
+        out = ER.loan_edges(loans)
+        assert _rows(
+            out.where(F.col("pred") == "BORROWED").select("subj_key", "obj_key")
+        ) == {(W3, "l1")}
+
+    # unique-id (contract-conforming) input: identical to dropDuplicates
+    rows = spark.createDataFrame(
+        [("p1", "s1", W1), ("p2", "s2", W2)],
+        "proposal_id string, space_id string, author string",
+    )
+    ded = ER._dedup_by_id(rows, "proposal_id")
+    assert ded.columns == ["proposal_id", "space_id", "author"]
+    assert _rows(ded) == {("p1", "s1", W1), ("p2", "s2", W2)}

@@ -619,6 +619,9 @@ def test_interest_labels_keyword_batching(spark):
             ("w2", "gamer and photography nerd"),
             ("w3", "nothing relevant here"),
             ("w4", "regen refi educator; desci data pipelines"),
+            # the reference phrase keyword 'video games' must match via its
+            # folded tokens (interests/cyphers.py:84-120)
+            ("w5", "I love video games"),
         ],
         "entity_id string, text string",
     )
@@ -634,6 +637,7 @@ def test_interest_labels_keyword_batching(spark):
         ("w4", "Education"),
         ("w4", "DeSci"),
         ("w4", "DataScience"),
+        ("w5", "Gaming"),
     }
     # reference interests weight is 0 (analyze.py "weight": 0)
     assert all(v == ("ArtCultureEntertainment", 0.0) for k, v in got.items()

@@ -297,3 +297,32 @@ def test_refine_partition_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in final
     assert "BroadcastHashJoin" in final
     assert "BroadcastNestedLoopJoin" in final  # the 1-row m2 crossJoin
+
+
+def test_feed_rel_cache_bounded_and_clearable(spark):
+    """The memoized feed relation must be BOUNDED (evict + unpersist the
+    oldest entry past _FEED_REL_CACHE_MAX) and explicitly invalidatable
+    via clear_feed_cache() — a long-lived session sweeping many sf_dirs
+    must not accumulate executor-storage blocks (round-3 advice)."""
+    import web3_knowledge_graph_spark.driver_queries as dq
+
+    dq.clear_feed_cache()
+    fake1 = spark.range(1).persist()
+    fake1.count()
+    fake2 = spark.range(2).persist()
+    fake2.count()
+    dq._FEED_REL_CACHE[("app", "a")] = fake1
+    dq._FEED_REL_CACHE[("app", "b")] = fake2
+
+    rel = dq._feed_rel(spark, SF)
+    assert len(dq._FEED_REL_CACHE) <= dq._FEED_REL_CACHE_MAX
+    # the oldest fake was evicted AND its blocks released
+    assert ("app", "a") not in dq._FEED_REL_CACHE
+    assert not fake1.storageLevel.useMemory
+    # same key memoizes (no re-materialization)
+    assert dq._feed_rel(spark, SF) is rel
+
+    dq.clear_feed_cache()
+    assert not dq._FEED_REL_CACHE
+    assert not rel.storageLevel.useMemory
+    fake2.unpersist()

@@ -379,3 +379,76 @@ def test_transfer_edges_stream_matches_batch_rule(spark, tmp_path):
     # rows are 60 distinct (from, to, hash) triples (hash-sharing pairs
     # differ in endpoints), and the 10 redelivered rows add nothing
     assert sum(got.values()) == 60
+
+
+def test_transfer_edges_fresh_checkpoint_new_run_namespace(spark, tmp_path):
+    """Restarting the transfer-edge maintenance with a FRESH checkpoint
+    over an EXISTING out_dir must not fold a mix of runs: the new run
+    reprocesses everything into its own run=<id> namespace and
+    read_transfer_edges folds only the latest run (round-3 advice on the
+    flat epoch=<id> layout). A restart WITH the old checkpoint keeps its
+    namespace (epoch replay stays idempotent)."""
+    import datetime as dt
+    import time as _time
+
+    from web3_knowledge_graph_spark.operators import edge_rules as ER
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (
+            base + dt.timedelta(minutes=r),
+            f"0xfrom{r % 3}",
+            f"0xto{(r + 1) % 3}",
+            f"0xh{r}",
+            "0xtok",
+            float(r),
+        )
+        for r in range(20)
+    ]
+    schema = (
+        "ts timestamp, from_address string, to_address string,"
+        " tx_hash string, contract_address string, amount double"
+    )
+    d = tmp_path / "transfers"
+    # two files → two epochs in the first run (maxFilesPerTrigger=1)
+    for chunk in (rows[:10], rows[10:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+        _time.sleep(1.1)
+
+    out = str(tmp_path / "edges_out")
+    q = J.transfer_edges_stream(spark, str(d), out, str(tmp_path / "ckpt1"))
+    q.awaitTermination()
+
+    want = {
+        (r["subj_key"], r["obj_key"]): r["weight"]
+        for r in ER.transfer_edges(spark.createDataFrame(rows, schema))
+        .where(F.col("pred") == "TRANSFERRED")
+        .collect()
+    }
+
+    def _fold():
+        return {
+            (r["from_address"], r["to_address"]): r["nb_transfer"]
+            for r in J.read_transfer_edges(spark, out).collect()
+        }
+
+    assert _fold() == want
+
+    # fresh checkpoint, same out_dir: full reprocess into run=000001;
+    # the fold must still equal the batch rule exactly once
+    q2 = J.transfer_edges_stream(spark, str(d), out, str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert _fold() == want
+    import glob
+    assert sorted(
+        p.rsplit("=", 1)[1] for p in glob.glob(f"{out}/run=*")
+    ) == ["000000", "000001"]
+
+    # restart WITH an existing checkpoint: namespace is pinned, nothing
+    # new to process, fold unchanged
+    q3 = J.transfer_edges_stream(spark, str(d), out, str(tmp_path / "ckpt2"))
+    q3.awaitTermination()
+    assert _fold() == want
+    assert len(glob.glob(f"{out}/run=*")) == 2

@@ -67,6 +67,24 @@ def _explode_families(df: DataFrame, *structs) -> DataFrame:
     return e.select(*[F.col(f"e.{c}").alias(c) for c in EDGE_COLS])
 
 
+def _dedup_by_id(df: DataFrame, *keys: str) -> DataFrame:
+    """One row per id key, DETERMINISTICALLY: keep the lexicographic MAX
+    struct of the remaining columns. ``dropDuplicates([id])`` keeps an
+    arbitrary row when a feed carries conflicting duplicate ids, which
+    would diverge nondeterministically from the (dedup-free) DuckDB
+    oracles; the feeds' contract is unique ids — on conforming input this
+    is exactly dropDuplicates — and on a violating feed the pick is still
+    reproducible. One shuffle on the key; MAX combines map-side."""
+    others = [c for c in df.columns if c not in keys]
+    if not others:
+        return df.dropDuplicates(list(keys))
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(F.struct(*others)).alias("_r"))
+        .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+    )
+
+
 def _edges(
     df: DataFrame,
     subj_label: str,
@@ -186,7 +204,7 @@ def governance_edges(
         canonical_key("proposal_id").alias("proposal_id"),
         canonical_key("space_id").alias("space_id"),
         canonical_key("author").alias("author"),
-    ).dropDuplicates(["proposal_id"])
+    ).transform(lambda d: _dedup_by_id(d, "proposal_id"))
 
     e_prop = _edges(
         prop, "Space", F.col("space_id"), "HAS_PROPOSAL", "Proposal",
@@ -485,7 +503,7 @@ def moloch_edges(
         canonical_key("dao_id").alias("dao_id"),
         canonical_key("summoner").alias("summoner"),
         canonical_key("token_address").alias("token_address"),
-    ).dropDuplicates(["dao_id"])
+    ).transform(lambda d: _dedup_by_id(d, "dao_id"))
     dao_known = F.broadcast(
         d.select("dao_id").withColumn("_dao_known", F.lit(True))
     )
@@ -527,7 +545,7 @@ def moloch_edges(
         canonical_key("applicant").alias("applicant"),
         F.col("tribute_offered").cast("double").alias("tribute_offered"),
         F.col("payment_requested").cast("double").alias("payment_requested"),
-    ).dropDuplicates(["proposal_id"])
+    ).transform(lambda d: _dedup_by_id(d, "proposal_id"))
 
     pid = F.col("proposal_id")
     prop_fams = _explode_families(
@@ -648,7 +666,7 @@ def loan_edges(loans: DataFrame) -> DataFrame:
         canonical_key("collateral_token_id").alias("collateral_token_id"),
         canonical_key("denomination_token").alias("denomination_token"),
         mkt.alias("marketplace"),
-    ).dropDuplicates(["loan_id"])
+    ).transform(lambda d: _dedup_by_id(d, "loan_id"))
     lid = F.col("loan_id")
     return _explode_families(
         ln,
@@ -773,7 +791,10 @@ def domain_edges(websites: DataFrame) -> DataFrame:
     cyphers.py:130-150; domain = urlparse(url).netloc (process.py:55-73),
     natively ``try_parse_url(url, 'HOST')`` (the try_ variant: ANSI-mode
     parse_url THROWS on a malformed url; here a malformed row must drop,
-    as the reference's urlparse guard does)."""
+    as the reference's urlparse guard does). HOST strips userinfo@ and
+    :port where urlparse().netloc keeps them — a deliberate divergence
+    (the domain NODE should not split on port), mirrored exactly by the
+    oracle regex and exercised by port/userinfo-bearing feed rows."""
     rows = websites.select(
         canonical_key("website_url").alias("website_url"),
         F.lower(F.try_parse_url(F.trim("website_url"), F.lit("HOST"))).alias("domain"),

@@ -50,9 +50,12 @@ INTERESTS_TREE = [
     # cyphers.py:33-57: 'music' OR 'album' OR 'musician' (+ 'concert')
     ("ArtCultureEntertainment", "Music", 0.0,
      ("music", "album", "musician", "concert")),
-    # :84-120: 'gaming' OR 'video games' OR 'gamer'
+    # :84-120: 'gaming' OR 'video games' OR 'gamer'. The phrase
+    # 'video games' folds to BOTH its tokens ('video', 'games') — the
+    # tokenizer splits on [^a-z0-9]+ so a one-word 'videogames' spelling
+    # could never be produced from the reference phrase.
     ("ArtCultureEntertainment", "Gaming", 0.0,
-     ("gaming", "gamer", "videogames")),
+     ("gaming", "gamer", "video", "games")),
     # :137-174: 'outdoors' OR 'nature'
     ("ArtCultureEntertainment", "Outdoors", 0.0, ("outdoors", "nature")),
     # :191-227: 'movies' OR 'cinema'

@@ -368,8 +368,16 @@ WHERE event_type = 'click' AND event_id % 3 = 0
 # process.py:55-73).
 WEBSITES_SQL = """
 SELECT
-  'https://user' || CAST(c_custkey % 40 AS STRING) || '.example/about'
-      AS website_url
+  CASE
+    WHEN c_custkey % 16 = 0 THEN
+      'https://user' || CAST(c_custkey % 40 AS STRING)
+        || '.example:8443/about'
+    WHEN c_custkey % 16 = 8 THEN
+      'https://alice@user' || CAST(c_custkey % 40 AS STRING)
+        || '.example/about'
+    ELSE
+      'https://user' || CAST(c_custkey % 40 AS STRING) || '.example/about'
+  END AS website_url
 FROM customer
 WHERE c_custkey % 4 = 0 AND c_custkey < 200
 """
@@ -411,24 +419,29 @@ def feed(spark, sf_dir: str, name: str):
     return spark.sql(ALL_FEEDS[name])
 
 
-def all_feeds(spark, sf_dir: str) -> dict:
-    """Every feed with ONE view registration, over localCheckpoint'ed base
-    tables: the 22 feed SQLs collectively scan events/orders/customer ~22×,
-    and with plain parquet views each scan re-reads the file and re-plans
-    (measured 12.4 s cold for the full feed-rule union at sf0.1/8 cores);
-    materializing the three base tables once (~1.1 s) drops that to 4.5 s.
-    The three checkpoints are independent jobs — run them on parallel
-    threads so the scheduler interleaves their stages (serial they cost
-    ~3.3 s of the feed path's wall; interleaved ~1.3 s).
+def all_feeds(spark, sf_dir: str) -> tuple:
+    """Every feed with ONE view registration, over persist()-materialized
+    base tables: the 22 feed SQLs collectively scan events/orders/customer
+    ~22×, and with plain parquet views each scan re-reads the file and
+    re-plans (measured 12.4 s cold for the full feed-rule union at
+    sf0.1/8 cores); materializing the three base tables once (~1.1 s)
+    drops that to 4.5 s. The three materializations are independent jobs —
+    run them on parallel threads so the scheduler interleaves their stages
+    (serial they cost ~3.3 s of the feed path's wall; interleaved ~1.3 s).
+    persist (not localCheckpoint) so the caller can UNPERSIST the bases
+    once its own downstream materialization holds the data — returns
+    (feeds dict, base-table handles) for exactly that cleanup.
     ``feed()`` (single-feed driver queries) keeps plain views — an eager
-    3-table checkpoint would cost more than the one query it serves."""
+    3-table materialization would cost more than the one query it serves."""
     import threading
 
     out: dict = {}
 
     def _ckpt(t: str) -> None:
         try:
-            out[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").localCheckpoint()
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet").persist()
+            df.count()
+            out[t] = df
         except BaseException as exc:  # re-raised on the caller's thread
             out[f"{t}_exc"] = exc
 
@@ -444,7 +457,9 @@ def all_feeds(spark, sf_dir: str) -> dict:
         if f"{t}_exc" in out:
             raise out[f"{t}_exc"]
         out[t].createOrReplaceTempView(t)
-    return {name: spark.sql(sql) for name, sql in ALL_FEEDS.items()}
+    feeds = {name: spark.sql(sql) for name, sql in ALL_FEEDS.items()}
+    bases = [out[t] for t in ("events", "orders", "customer")]
+    return feeds, bases
 
 
 def feed_cte(*names: str) -> str:

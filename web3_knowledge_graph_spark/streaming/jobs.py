@@ -400,13 +400,24 @@ def transfer_edges_stream(
         batch MERGE's job).
       * accumulation is NOT idempotent, so instead of mutating a running
         total in foreachBatch (a crash-replayed epoch would double-count),
-        each epoch OVERWRITES its own ``epoch=<id>`` delta partition of
-        per-pair counts; ``read_transfer_edges`` folds the deltas. At
-        scale the delta log compacts into the warehouse edges table with
-        one MERGE (weight = weight + delta) per maintenance window.
+        each epoch OVERWRITES its own ``run=<rid>/epoch=<id>`` delta
+        partition of per-pair counts; ``read_transfer_edges`` folds the
+        deltas OF THE LATEST RUN ONLY. At scale the delta log compacts
+        into the warehouse edges table with one MERGE
+        (weight = weight + delta) per maintenance window.
+      * run namespacing decouples the out_dir lifecycle from the
+        checkpoint lifecycle: restarting with a FRESH checkpoint over an
+        existing out_dir resets epoch ids to 0, which under a flat
+        ``epoch=<id>`` layout would overwrite some old partitions while
+        leaving later ones — folding a silent mix of runs. The run id is
+        pinned in the checkpoint dir (same storage contract as the
+        checkpoint itself), so a crash-restart WITH the checkpoint keeps
+        its namespace (epoch replay stays idempotent) while a fresh
+        checkpoint gets the next run id and the reader ignores prior runs.
 
     Returns the StreamingQuery (availableNow — drain and stop).
     """
+    run_id = _pin_run_id(checkpoint_dir, out_dir)
     stream = (
         spark.readStream.schema(TRANSFERS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -428,7 +439,7 @@ def transfer_edges_stream(
             df.groupBy("from_address", "to_address")
             .agg(F.count(F.lit(1)).cast("long").alias("nb_delta"))
             .write.mode("overwrite")
-            .parquet(f"{out_dir}/epoch={epoch_id}")
+            .parquet(f"{out_dir}/run={run_id}/epoch={epoch_id}")
         )
 
     return (
@@ -439,12 +450,46 @@ def transfer_edges_stream(
     )
 
 
+def _pin_run_id(checkpoint_dir: str, out_dir: str) -> str:
+    """Resolve (and pin) the delta-run namespace for a checkpointed sink:
+    reuse the run id stored in the checkpoint dir if one exists (restart
+    with checkpoint → same namespace → epoch-overwrite idempotence),
+    otherwise allocate the next zero-padded id after the existing
+    ``run=*`` dirs and store it. Driver-side file I/O — the same storage
+    the stream's checkpoint already requires."""
+    import glob as _glob
+    import os
+
+    marker = os.path.join(checkpoint_dir, "__delta_run_id__")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return fh.read().strip()
+    existing = _glob.glob(os.path.join(out_dir, "run=*"))
+    nxt = max(
+        (int(os.path.basename(p).split("=", 1)[1]) for p in existing),
+        default=-1,
+    ) + 1
+    run_id = f"{nxt:06d}"
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(run_id)
+    return run_id
+
+
 def read_transfer_edges(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Fold the per-epoch deltas into the current TRANSFERRED weights —
-    equivalent to operators.edge_rules.transfer_edges' TRANSFERRED family
-    over the union of all streamed files (proven by test)."""
+    """Fold the per-epoch deltas of the LATEST run into the current
+    TRANSFERRED weights — equivalent to
+    operators.edge_rules.transfer_edges' TRANSFERRED family over the union
+    of all streamed files (proven by test). Earlier ``run=*`` namespaces
+    are superseded restarts (fresh checkpoint = full reprocess), so
+    folding them would double-count."""
+    import glob as _glob
+    import os
+
+    runs = sorted(_glob.glob(os.path.join(out_dir, "run=*")))
+    latest = runs[-1] if runs else out_dir
     return (
-        spark.read.parquet(out_dir)
+        spark.read.parquet(latest)
         .groupBy("from_address", "to_address")
         .agg(F.sum("nb_delta").cast("double").alias("nb_transfer"))
     )
