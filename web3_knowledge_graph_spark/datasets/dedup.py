@@ -170,6 +170,33 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def minhash_wide(
+    docs: DataFrame,
+    k: int = 1,
+    num_hashes: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures in wide form: (doc_id, mh0..mh{n-1}), one column
+    per permutation. One md5 per shingle in a plain codegen'd projection,
+    then a SINGLE groupBy(doc_id) carrying num_hashes min-aggregates — the
+    map-side partial agg reduces every doc to one row of longs before the
+    exchange, so the shuffle is O(docs), not O(docs × num_hashes). An
+    all-array-domain fold (aggregate over transform(md5)) looks shuffle-free
+    but runs entirely in interpreted higher-order functions — measured 3-8x
+    slower; a seed-index explode multiplies the pre-agg rows by num_hashes
+    for no benefit."""
+    coeffs = minhash_coeffs(num_hashes)
+    sh = shingles(docs, k, id_col, text_col)
+    base = sh.select("doc_id", (_hash60(F.col("shingle")) % MINHASH_P).alias("h"))
+    # a_i·h < 2^62: pure integer arithmetic, no overflow
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 1,
@@ -179,37 +206,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: sig_i(doc) = min over shingles of
     h_i(s) = (a_i·h(s) + b_i) mod P with h(s) a 31-bit md5-derived base hash.
-    One md5 per shingle; the per-permutation work is pure integer arithmetic
-    (a_i·h < 2^62, no overflow). Returns (doc_id, i, minhash) — long form so
-    the band join below and the DuckDB oracle share the shape. Linear work;
-    one groupBy shuffle on (doc_id, i) — and the exploded rows carry only
-    ints, not shingle strings."""
-    coeffs = minhash_coeffs(num_hashes)
-    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
-    # Shape choice: explode shingles, md5 ONCE per shingle in a plain
-    # (codegen'd) projection, drop the string, then explode the seed index
-    # and permute with pure integer arithmetic. An all-array-domain fold
-    # (aggregate over transform(md5)) looks shuffle-free but runs entirely
-    # in interpreted higher-order functions — measured 3-8x slower. The
-    # groupBy here shuffles almost nothing: map-side partial min reduces
-    # each doc to num_hashes rows before the exchange.
-    sh = shingles(docs, k, id_col, text_col)
-    base = sh.select("doc_id", (_hash60(F.col("shingle")) % MINHASH_P).alias("h"))
-    seeded = base.select(
+    Returns (doc_id, i, minhash) — long form shared with the DuckDB oracle;
+    computed as a posexplode of the wide form (minhash_wide), so the only
+    exchange is the single per-doc partial-min shuffle."""
+    wide = minhash_wide(docs, k, num_hashes, id_col, text_col)
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        F.col("h"),
-    )
-    perm = (
-        F.element_at(a_arr, F.col("i") + 1) * F.col("h")
-        + F.element_at(b_arr, F.col("i") + 1)
-    ) % MINHASH_P
-    return (
-        seeded.select("doc_id", "i", perm.alias("mh"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("mh").alias("minhash"))
-    )
+        F.posexplode(F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])),
+    ).select("doc_id", F.col("pos").alias("i"), F.col("col").alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -224,25 +228,32 @@ def lsh_candidate_pairs(
     bands), bucket key = md5(band || minhashes), self-join buckets with a<b.
     Returns distinct candidate pairs (doc_a, doc_b). The classic
     shingle→minhash→band→bucket-join pipeline; candidates are then verified
-    with jaccard_pairs semantics on the candidate subset."""
-    sig = minhash_signatures(docs, k, num_hashes, id_col, text_col)
-    banded = (
-        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "minhash"))).alias("sig"))
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.col("band").cast("string"),
-                    F.concat_ws(
-                        ",", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
-                    ),
-                )
-            ).alias("bucket"),
+    with jaccard_pairs semantics on the candidate subset.
+
+    Banding is a pure projection off the wide signature (band bucket =
+    md5("band,mh_j,mh_j+1,…") — identical bytes to the long-form
+    sort-by-i spelling the DuckDB oracle uses), so the whole candidate
+    plan carries exactly two exchanges: the per-doc partial-min shuffle
+    and the bucket self-join."""
+    wide = minhash_wide(docs, k, num_hashes, id_col, text_col)
+    n_bands = (num_hashes + rows_per_band - 1) // rows_per_band
+    buckets = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(band)),
+                *[
+                    F.col(f"mh{i}").cast("string")
+                    for i in range(
+                        band * rows_per_band,
+                        min((band + 1) * rows_per_band, num_hashes),
+                    )
+                ],
+            )
         )
-    )
+        for band in range(n_bands)
+    ]
+    banded = wide.select("doc_id", F.explode(F.array(*buckets)).alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -66,6 +66,13 @@ def session_conf(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # let AQE coalesce INSIDE persist()-cached plans: off, a cached
+        # multi-branch union materializes at sum-of-branches raw shuffle
+        # partitions (22 feeds × 64 ≈ 1400 blocks here) and that degenerate
+        # partitioning poisons every consumer stage; the trade (cached
+        # output partitioning may change across re-materializations) is
+        # irrelevant because all caches here are eagerly counted once
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
