@@ -139,14 +139,18 @@ def test_delegation_latest_change_wins(spark):
 
 def test_nft_and_ownership_edges(spark):
     nfts = spark.createDataFrame(
-        [("https://s.example/p/1", "0xn:1", W1), ("https://s.example/p/1", "0xn:1", W2)],
-        "article_url string, nft_id string, owner string",
+        [
+            ("https://s.example/p/1", "0xn:1", W1, W3),
+            ("https://s.example/p/1", "0xn:1", W2, W3),
+        ],
+        "article_url string, nft_id string, owner string, funding_recipient string",
     )
     out = ER.nft_edges(nfts)
     assert _rows(out.select("pred", "subj_key", "obj_key")) == {
         ("HAS_NFT", "https://s.example/p/1", "0xn:1"),
         ("IS_OWNER", W1, "0xn:1"),
         ("IS_OWNER", W2, "0xn:1"),
+        ("IS_RECEIPIENT", W3, "0xn:1"),
     }
     dep = ER.deployment_edges(
         spark.createDataFrame(
@@ -159,11 +163,12 @@ def test_nft_and_ownership_edges(spark):
     }
     sig = ER.signer_edges(
         spark.createDataFrame(
-            [(W2, W3)], "multisig string, owner_address string"
+            [(W2, W3, W1)], "multisig string, owner_address string, creator string"
         )
     )
     assert _rows(sig.select("subj_key", "pred", "obj_key")) == {
-        (W3, "IS_SIGNER", W2)
+        (W3, "IS_SIGNER", W2),
+        (W1, "IS_CREATOR", W2),
     }
 
 
@@ -352,20 +357,23 @@ def test_loan_edges_marketplace_families(spark):
 
 
 def test_repo_edges_null_drop_and_role_map(spark):
+    tok = "0x" + "a" * 40
     repos = spark.createDataFrame(
         [
-            ("Org/Repo", "Dev1", "owner"),
-            ("org/repo", "dev1", "owner"),     # case-fold dup
-            ("org/repo", None, "contributor"), # NULL handle drops
-            ("org/repo2", "dev2", "subscriber"),
-            (None, "dev3", "contributor"),     # NULL repo drops
+            ("Org/Repo", "Dev1", "owner", None),
+            ("org/repo", "dev1", "owner", None),     # case-fold dup
+            # NULL handle drops the role family but keeps the token hop
+            ("org/repo", None, "contributor", tok),
+            ("org/repo2", "dev2", "subscriber", None),
+            (None, "dev3", "contributor", tok),      # NULL repo drops both
         ],
-        "full_name string, handle string, role string",
+        "full_name string, handle string, role string, token_address string",
     )
     got = _rows(ER.repo_edges(repos).select("subj_key", "pred", "obj_key"))
     assert got == {
         ("dev1", "OWNER", "org/repo"),
         ("dev2", "SUBSCRIBER", "org/repo2"),
+        (tok, "HAS_REPOSITORY", "org/repo"),
     }
 
 
@@ -406,14 +414,15 @@ def test_domain_edges_host_extraction_and_malformed_drop(spark):
 
 
 def test_delegation_role_edges_distinct_hub(spark):
+    tok_c, tok_u = "0x" + "c" * 40, "0x" + "d" * 40
     d = spark.createDataFrame(
         [
-            ("compound", W1, W2, 1, "0xh1"),
-            ("compound", W1, W3, 2, "0xh2"),  # same delegator, later target
-            ("uniswap", W2, W3, 1, "0xh3"),
+            ("compound", W1, W2, 1, "0xh1", tok_c),
+            ("compound", W1, W3, 2, "0xh2", tok_c),  # same delegator, later target
+            ("uniswap", W2, W3, 1, "0xh3", tok_u),
         ],
         "protocol string, delegator string, delegate string,"
-        " block_number long, tx_hash string",
+        " block_number long, tx_hash string, contract_address string",
     )
     out = ER.delegation_role_edges(d)
     assert _rows(
@@ -427,6 +436,10 @@ def test_delegation_role_edges_distinct_hub(spark):
     assert _rows(
         out.where(F.col("pred") == "IS_DELEGATE").select("subj_key", "obj_key")
     ) == {(W2, "compound"), (W3, "compound"), (W3, "uniswap")}
+    # one USE_TOKEN hop per protocol (delegation/cyphers.py:71-88)
+    assert _rows(
+        out.where(F.col("pred") == "USE_TOKEN").select("subj_key", "obj_key")
+    ) == {("compound", tok_c), ("uniswap", tok_u)}
 
 
 def test_dedup_by_id_conflicting_duplicates_deterministic(spark):
@@ -459,3 +472,144 @@ def test_dedup_by_id_conflicting_duplicates_deterministic(spark):
     ded = ER._dedup_by_id(rows, "proposal_id")
     assert ded.columns == ["proposal_id", "space_id", "author"]
     assert _rows(ded) == {("p1", "s1", W1), ("p2", "s2", W2)}
+
+
+def test_unlock_edges_four_families(spark):
+    locks = spark.createDataFrame(
+        [("0xL1", "0xK1", W1, W2), ("0xL1", "0xK1", W1, W3)],  # two holders
+        "lock_address string, key_address string, manager string, holder string",
+    )
+    got = _rows(ER.unlock_edges(locks).select("subj_key", "pred", "obj_key"))
+    assert got == {
+        (W1, "CREATED", "0xl1"),
+        ("0xl1", "HAS_KEY", "0xk1"),
+        (W2, "HOLDS", "0xl1"),
+        (W2, "HOLDS", "0xk1"),
+        (W3, "HOLDS", "0xl1"),
+        (W3, "HOLDS", "0xk1"),
+    }
+
+
+def test_prophouse_match_drops_and_gates(spark):
+    tok = "0x" + "e" * 40
+    comm = spark.createDataFrame(
+        [("c1", tok), ("c2", tok[:12])],  # c2: truncated-token gate
+        "community_id string, contract_address string",
+    )
+    auct = spark.createDataFrame(
+        [("a1", "c1"), ("a2", "c9")],  # c9 unknown → HAS_AUCTION drops
+        "auction_id string, community_id string",
+    )
+    prop = spark.createDataFrame(
+        [
+            ("p1", "a1", "c1", W1),
+            ("p2", "a9", "c9", W2),  # both joins drop; AUTHOR survives
+        ],
+        "proposal_id string, auction_id string, community_id string, address string",
+    )
+    votes = spark.createDataFrame(
+        [
+            (W3, "p1", 4, 1),
+            (W3, "p1", 2, 0),   # same voter re-votes → max weight wins
+            (W3, "p9", 9, 1),   # unknown proposal → drops
+        ],
+        "address string, proposal_id string, weight long, direction long",
+    )
+    out = ER.prophouse_edges(comm, auct, prop, votes)
+    got = _rows(out.select("subj_key", "pred", "obj_key", "weight"))
+    assert got == {
+        ("c1", "HAS_STRATEGY", tok, 1.0),
+        ("c1", "HAS_TOKEN", tok, 1.0),
+        ("a1", "HAS_AUCTION", "c1", 1.0),
+        ("a1", "HAS_PROPOSAL", "p1", 1.0),
+        (W1, "AUTHOR", "p1", 1.0),
+        (W2, "AUTHOR", "p2", 1.0),
+        ("c1", "HAS_PROPOSAL", "p1", 1.0),
+        (W3, "VOTED", "p1", 4.0),
+    }
+
+
+def test_thread_edges_casefold_roles(spark):
+    t = spark.createDataFrame(
+        [
+            ("Conv1", "Alice", "author"),
+            ("conv1", "alice", "author"),  # case-fold dup
+            ("conv1", "bob", "reply"),
+        ],
+        "conversation_id string, handle string, role string",
+    )
+    got = _rows(ER.thread_edges(t).select("subj_key", "pred", "obj_key"))
+    assert got == {
+        ("alice", "AUTHOR", "conv1"),
+        ("bob", "REPLIED", "conv1"),
+    }
+
+
+def test_ens_registry_event_kinds(spark):
+    e = spark.createDataFrame(
+        [
+            ("n1.eth", W1, W2, "0xt1", 1, "registration"),
+            ("n1.eth", W1, W2, "0xt2", 2, "transfer"),
+            ("n1.eth", W2, W3, "0xt3", 3, "burn"),
+        ],
+        "name string, owner string, to_address string, tx_hash string,"
+        " block_number long, kind string",
+    )
+    got = _rows(ER.ens_registry_edges(e).select("subj_key", "pred", "obj_key"))
+    assert got == {
+        (W1, "REGISTERED", "n1.eth"),
+        (W1, "TRANSFERRED", W2),
+        (W2, "BURNED", "n1.eth"),
+    }
+
+
+def test_bounty_edges_gates(spark):
+    bounties = spark.createDataFrame(
+        [
+            ("b1", "org1", "u1", W1, "fulfilled"),
+            ("b2", "org1", "u2", None, "interested"),  # NULL → no HAS_WALLET
+            ("b3", "org2", "u3", W3, "open"),          # no engagement family
+        ],
+        "bounty_id string, org_name string, user_id string,"
+        " user_wallet string, status string",
+    )
+    tags = spark.createDataFrame(
+        [("g1", "DeFi"), ("g9", "NFT")],  # g9 never ingested → drops
+        "grant_id string, label string",
+    )
+    admins = spark.createDataFrame(
+        [("g1", W2)], "grant_id string, address string"
+    )
+    got = _rows(
+        ER.bounty_edges(bounties, tags, admins).select(
+            "subj_key", "pred", "obj_key"
+        )
+    )
+    assert got == {
+        ("g1", "HAS_TAG", "defi"),
+        ("org1", "HAS_BOUNTY", "b1"),
+        ("org1", "HAS_BOUNTY", "b2"),
+        ("org2", "HAS_BOUNTY", "b3"),
+        ("u1", "HAS_FULLFILLED", "b1"),
+        ("u2", "HAS_INTEREST", "b2"),
+        ("u1", "HAS_WALLET", W1),
+        ("u3", "HAS_WALLET", W3),
+    }
+
+
+def test_watch_edges_item_label_and_seeds(spark):
+    wh = spark.createDataFrame(
+        [("w1", "Wallet", W1), ("w1", "Token", "0xT")],
+        "webhook_id string, item_kind string, address string",
+    )
+    inc = spark.createDataFrame(
+        [("inc1", "org1")], "incubator string, entity string"
+    )
+    got = _rows(
+        ER.watch_edges(wh, inc).select("subj_label", "subj_key", "pred", "obj_key")
+    )
+    assert got == {
+        ("Wallet", W1, "IS_WATCHED_BY", "w1"),
+        ("Token", "0xt", "IS_WATCHED_BY", "w1"),
+        ("Entity", "inc1", "INCUBATED", "org1"),
+    }

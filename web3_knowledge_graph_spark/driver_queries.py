@@ -938,6 +938,71 @@ def q_platform_edges(spark, sf_dir):
     )
 
 
+def q_unlock_edges(spark, sf_dir):
+    """Unlock locks/keys: CREATED / HAS_KEY / HOLDS(lock) / HOLDS(key)
+    (ingestion/unlock/cyphers.py:71-140)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.unlock_edges(feed(spark, sf_dir, "locks")))
+
+
+def q_prophouse_edges(spark, sf_dir):
+    """PropHouse governance: HAS_STRATEGY / HAS_TOKEN / HAS_AUCTION /
+    HAS_PROPOSAL(auction+community) / AUTHOR / VOTED{weight}
+    (ingestion/propHouse/cyphers.py:55-206); votes and auctions naming
+    never-ingested proposals/communities drop on the MATCH joins."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.prophouse_edges(
+            feed(spark, sf_dir, "ph_communities"),
+            feed(spark, sf_dir, "ph_auctions"),
+            feed(spark, sf_dir, "ph_proposals"),
+            feed(spark, sf_dir, "ph_votes"),
+        )
+    )
+
+
+def q_thread_edges(spark, sf_dir):
+    """Twitter thread AUTHOR / REPLIED links
+    (postProcessing/twitterThreads/cyphers.py:92-124)."""
+    _prep(spark)
+    return ER.as_named_triples(ER.thread_edges(feed(spark, sf_dir, "threads")))
+
+
+def q_ens_registry_edges(spark, sf_dir):
+    """ENS subgraph events: REGISTERED / TRANSFERRED{type:ENS} / BURNED
+    (ingestion/ens/cyphers.py:66-116)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.ens_registry_edges(feed(spark, sf_dir, "ens_events"))
+    )
+
+
+def q_bounty_edges(spark, sf_dir):
+    """Gitcoin bounty surface: HAS_TAG (grant-registry gated) / HAS_BOUNTY /
+    HAS_FULLFILLED / HAS_INTEREST / HAS_WALLET
+    (ingestion/gitcoin/cyphers.py:94-555; accounts/cyphers.py:57)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.bounty_edges(
+            feed(spark, sf_dir, "bounties"),
+            feed(spark, sf_dir, "grant_tags"),
+            feed(spark, sf_dir, "grant_admins"),
+        )
+    )
+
+
+def q_watch_edges(spark, sf_dir):
+    """Alchemy webhook IS_WATCHED_BY watch-lists plus the INCUBATED seed
+    dimension (alchemyWebhooks/cyphers.py:94-110;
+    publicGoods/cyphers.py:181)."""
+    _prep(spark)
+    return ER.as_named_triples(
+        ER.watch_edges(
+            feed(spark, sf_dir, "webhooks"), feed(spark, sf_dir, "incubators")
+        )
+    )
+
+
 _CIT_TRANSFER = "token transfer (tokenHolders/cyphers.py:55-70)"
 _CIT_RECEIVED = "transfer receipt (helpers/queries.py:142-151)"
 
@@ -1036,22 +1101,30 @@ FROM lat
 dep AS (SELECT DISTINCT lower(trim(deployer)) AS deployer,
                lower(trim(contract_address)) AS contract_address FROM deployments),
 sig AS (SELECT DISTINCT lower(trim(owner_address)) AS owner_address,
-               lower(trim(multisig)) AS multisig FROM multisig_signers),
+               lower(trim(multisig)) AS multisig,
+               lower(trim(creator)) AS creator FROM multisig_signers),
 nft AS (SELECT DISTINCT lower(trim(article_url)) AS article_url,
-               lower(trim(nft_id)) AS nft_id, lower(trim(owner)) AS owner
+               lower(trim(nft_id)) AS nft_id, lower(trim(owner)) AS owner,
+               lower(trim(funding_recipient)) AS funding_recipient
         FROM nfts)
 SELECT 'Wallet:' || deployer AS subj, 'DEPLOYED' AS pred,
   'Contract:' || contract_address AS obj, CAST(1.0 AS DOUBLE) AS weight,
   'contract deployment (contractDeployers/cyphers.py:43-60)' AS citation FROM dep
 UNION ALL
-SELECT 'Wallet:' || owner_address, 'IS_SIGNER', 'Wallet:' || multisig,
+SELECT DISTINCT 'Wallet:' || owner_address, 'IS_SIGNER', 'Wallet:' || multisig,
   CAST(1.0 AS DOUBLE), 'multisig signer (multisig/cyphers.py:46-57)' FROM sig
+UNION ALL
+SELECT DISTINCT 'Wallet:' || creator, 'IS_CREATOR', 'Wallet:' || multisig,
+  CAST(1.0 AS DOUBLE), 'multisig creator (multisig/cyphers.py:60-70)' FROM sig
 UNION ALL
 SELECT DISTINCT 'Page:' || article_url, 'HAS_NFT', 'Nft:' || nft_id,
   CAST(1.0 AS DOUBLE), 'article NFT (mirror/cyphers.py:111-135)' FROM nft
 UNION ALL
 SELECT DISTINCT 'Wallet:' || owner, 'IS_OWNER', 'Nft:' || nft_id,
   CAST(1.0 AS DOUBLE), 'NFT owner (mirror/cyphers.py:138-158)' FROM nft
+UNION ALL
+SELECT DISTINCT 'Wallet:' || funding_recipient, 'IS_RECEIPIENT', 'Nft:' || nft_id,
+  CAST(1.0 AS DOUBLE), 'NFT funding recipient (mirror/cyphers.py:158-176)' FROM nft
 """,
     "nft_holding_edges": f"""
 {feed_cte("nft_holdings")},
@@ -1169,15 +1242,21 @@ SELECT 'Wallet:' || lender, 'LENDER', 'Marketplace:' || marketplace,
     "repo_edges": f"""
 {feed_cte("repos")},
 r AS (SELECT DISTINCT lower(trim(handle)) AS handle,
-             lower(trim(full_name)) AS full_name, lower(trim(role)) AS role
-      FROM repos WHERE handle IS NOT NULL AND full_name IS NOT NULL)
+             lower(trim(full_name)) AS full_name, lower(trim(role)) AS role,
+             lower(trim(token_address)) AS token_address
+      FROM repos WHERE full_name IS NOT NULL)
 SELECT 'Github:' || handle AS subj,
   CASE WHEN role = 'owner' THEN 'OWNER'
        WHEN role = 'contributor' THEN 'CONTRIBUTOR'
        ELSE 'SUBSCRIBER' END AS pred,
   'Repository:' || full_name AS obj, CAST(1.0 AS DOUBLE) AS weight,
   'github ' || role || ' (github/cyphers.py:231-280)' AS citation
-FROM r
+FROM r WHERE handle IS NOT NULL
+UNION ALL
+SELECT DISTINCT 'Token:' || token_address, 'HAS_REPOSITORY',
+  'Repository:' || full_name, CAST(1.0 AS DOUBLE),
+  'token repository (tokenMetadata/process.py:152)'
+FROM r WHERE token_address IS NOT NULL
 """,
     "membership_edges": f"""
 {feed_cte("grant_members", "grant_admins", "websites")},
@@ -1205,7 +1284,9 @@ FROM w WHERE domain IS NOT NULL AND domain != ''
 {feed_cte("delegations")},
 dd AS (SELECT DISTINCT lower(trim(protocol)) AS protocol,
               lower(trim(delegator)) AS delegator,
-              lower(trim(delegate)) AS delegate FROM delegations)
+              lower(trim(delegate)) AS delegate,
+              lower(trim(contract_address)) AS contract_address
+       FROM delegations)
 SELECT DISTINCT 'Entity:' || protocol AS subj, 'HAS_DELEGATION' AS pred,
   'Delegation:' || protocol AS obj, CAST(1.0 AS DOUBLE) AS weight,
   'protocol delegation hub (delegation/cyphers.py:91-109)' AS citation FROM dd
@@ -1217,6 +1298,10 @@ UNION ALL
 SELECT DISTINCT 'Wallet:' || delegate, 'IS_DELEGATE',
   'Delegation:' || protocol, CAST(1.0 AS DOUBLE),
   'delegate link (delegation/cyphers.py:130-152)' FROM dd
+UNION ALL
+SELECT DISTINCT 'Delegation:' || protocol, 'USE_TOKEN',
+  'Token:' || contract_address, CAST(1.0 AS DOUBLE),
+  'delegation token (delegation/cyphers.py:71-88)' FROM dd
 """,
     "platform_edges": f"""
 {feed_cte("platform_accounts")},
@@ -1230,6 +1315,158 @@ SELECT 'Wallet:' || address AS subj, 'HAS_ACCOUNT' AS pred,
     AS citation
 FROM ded
 """,
+    "unlock_edges": f"""
+{feed_cte("locks")},
+lk AS (SELECT DISTINCT lower(trim(lock_address)) AS lock_address,
+              lower(trim(key_address)) AS key_address,
+              lower(trim(manager)) AS manager,
+              lower(trim(holder)) AS holder FROM locks)
+SELECT DISTINCT 'Wallet:' || manager AS subj, 'CREATED' AS pred,
+  'Nft:' || lock_address AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'lock manager (unlock/cyphers.py:71-85)' AS citation FROM lk
+UNION ALL
+SELECT DISTINCT 'Nft:' || lock_address, 'HAS_KEY', 'Nft:' || key_address,
+  CAST(1.0 AS DOUBLE), 'lock key (unlock/cyphers.py:88-105)' FROM lk
+UNION ALL
+SELECT DISTINCT 'Wallet:' || holder, 'HOLDS', 'Nft:' || lock_address,
+  CAST(1.0 AS DOUBLE), 'lock holder (unlock/cyphers.py:108-124)' FROM lk
+UNION ALL
+SELECT DISTINCT 'Wallet:' || holder, 'HOLDS', 'Nft:' || key_address,
+  CAST(1.0 AS DOUBLE), 'key holder (unlock/cyphers.py:127-140)' FROM lk
+""",
+    "prophouse_edges": f"""
+{feed_cte("ph_communities", "ph_auctions", "ph_proposals", "ph_votes")},
+comm AS (SELECT community_id, contract_address
+         FROM (SELECT lower(trim(community_id)) AS community_id,
+                      lower(trim(contract_address)) AS contract_address,
+                      ROW_NUMBER() OVER (PARTITION BY lower(trim(community_id))
+                        ORDER BY lower(trim(contract_address)) DESC) AS rn
+               FROM ph_communities) WHERE rn = 1),
+auc AS (SELECT auction_id, community_id
+        FROM (SELECT lower(trim(auction_id)) AS auction_id,
+                     lower(trim(community_id)) AS community_id,
+                     ROW_NUMBER() OVER (PARTITION BY lower(trim(auction_id))
+                       ORDER BY lower(trim(community_id)) DESC) AS rn
+              FROM ph_auctions) WHERE rn = 1),
+prop AS (SELECT proposal_id, auction_id, community_id, address
+         FROM (SELECT lower(trim(proposal_id)) AS proposal_id,
+                      lower(trim(auction_id)) AS auction_id,
+                      lower(trim(community_id)) AS community_id,
+                      lower(trim(address)) AS address,
+                      ROW_NUMBER() OVER (PARTITION BY lower(trim(proposal_id))
+                        ORDER BY lower(trim(auction_id)) DESC,
+                                 lower(trim(community_id)) DESC,
+                                 lower(trim(address)) DESC) AS rn
+               FROM ph_proposals) WHERE rn = 1),
+tok AS (SELECT * FROM comm
+        WHERE regexp_matches(contract_address, '^0x[a-fA-F0-9]{{40}}$'))
+SELECT 'Entity:' || community_id AS subj, 'HAS_STRATEGY' AS pred,
+  'Token:' || contract_address AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'community token (propHouse/cyphers.py:55-67)' AS citation FROM tok
+UNION ALL
+SELECT 'Entity:' || community_id, 'HAS_TOKEN', 'Token:' || contract_address,
+  CAST(1.0 AS DOUBLE), 'community token (propHouse/cyphers.py:55-67)' FROM tok
+UNION ALL
+SELECT 'Auction:' || auction_id, 'HAS_AUCTION', 'Entity:' || auc.community_id,
+  CAST(1.0 AS DOUBLE), 'auction community (propHouse/cyphers.py:101-113)'
+FROM auc JOIN comm USING (community_id)
+UNION ALL
+SELECT 'Auction:' || prop.auction_id, 'HAS_PROPOSAL', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'auction proposal (propHouse/cyphers.py:136-148)'
+FROM prop JOIN auc USING (auction_id)
+UNION ALL
+SELECT 'Wallet:' || address, 'AUTHOR', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'proposal author (propHouse/cyphers.py:150-162)' FROM prop
+UNION ALL
+SELECT 'Entity:' || prop.community_id, 'HAS_PROPOSAL', 'Proposal:' || proposal_id,
+  CAST(1.0 AS DOUBLE), 'community proposal (propHouse/cyphers.py:165-177)'
+FROM prop JOIN comm USING (community_id)
+UNION ALL
+SELECT 'Wallet:' || v.address, 'VOTED', 'Proposal:' || v.proposal_id,
+  CAST(MAX(v.weight) AS DOUBLE),
+  'prop house vote (propHouse/cyphers.py:193-206)'
+FROM (SELECT lower(trim(address)) AS address,
+             lower(trim(proposal_id)) AS proposal_id,
+             CAST(weight AS DOUBLE) AS weight FROM ph_votes) v
+JOIN prop USING (proposal_id)
+GROUP BY v.address, v.proposal_id
+""",
+    "thread_edges": f"""
+{feed_cte("threads")},
+t AS (SELECT DISTINCT lower(trim(conversation_id)) AS conversation_id,
+             lower(trim(handle)) AS handle, lower(trim(role)) AS role
+      FROM threads)
+SELECT 'Twitter:' || handle AS subj,
+  CASE WHEN role = 'author' THEN 'AUTHOR' ELSE 'REPLIED' END AS pred,
+  'Thread:' || conversation_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'thread ' || role || ' (twitterThreads/cyphers.py:92-124)' AS citation
+FROM t
+""",
+    "ens_registry_edges": f"""
+{feed_cte("ens_events")},
+e AS (SELECT DISTINCT lower(trim(name)) AS name, lower(trim(owner)) AS owner,
+             lower(trim(to_address)) AS to_address,
+             lower(trim(tx_hash)) AS tx_hash, lower(trim(kind)) AS kind
+      FROM ens_events)
+SELECT 'Wallet:' || owner AS subj, 'REGISTERED' AS pred, 'Ens:' || name AS obj,
+  CAST(1.0 AS DOUBLE) AS weight,
+  'ens registration tx:' || tx_hash || ' (ens/cyphers.py:66-81)' AS citation
+FROM e WHERE kind = 'registration'
+UNION ALL
+SELECT 'Wallet:' || owner, 'TRANSFERRED', 'Wallet:' || to_address,
+  CAST(1.0 AS DOUBLE),
+  'ens transfer ' || name || ' tx:' || tx_hash || ' (ens/cyphers.py:84-99)'
+FROM e WHERE kind = 'transfer'
+UNION ALL
+SELECT 'Wallet:' || owner, 'BURNED', 'Ens:' || name, CAST(1.0 AS DOUBLE),
+  'ens burn tx:' || tx_hash || ' (ens/cyphers.py:101-116)'
+FROM e WHERE kind = 'burn'
+""",
+    "bounty_edges": f"""
+{feed_cte("bounties", "grant_tags", "grant_admins")},
+grants AS (SELECT DISTINCT lower(trim(grant_id)) AS grant_id FROM grant_admins),
+tags AS (SELECT DISTINCT lower(trim(grant_id)) AS grant_id,
+                lower(trim(label)) AS label FROM grant_tags),
+b AS (SELECT DISTINCT lower(trim(bounty_id)) AS bounty_id,
+             lower(trim(org_name)) AS org_name,
+             lower(trim(user_id)) AS user_id,
+             lower(trim(user_wallet)) AS user_wallet,
+             lower(trim(status)) AS status FROM bounties)
+SELECT 'Grant:' || grant_id AS subj, 'HAS_TAG' AS pred, 'Tag:' || label AS obj,
+  CAST(1.0 AS DOUBLE) AS weight,
+  'grant tag (gitcoin/cyphers.py:94-110)' AS citation
+FROM tags JOIN grants USING (grant_id)
+UNION ALL
+SELECT DISTINCT 'Entity:' || org_name, 'HAS_BOUNTY', 'Bounty:' || bounty_id,
+  CAST(1.0 AS DOUBLE), 'org bounty (gitcoin/cyphers.py:322-345)' FROM b
+UNION ALL
+SELECT DISTINCT 'Github:' || user_id, 'HAS_FULLFILLED', 'Bounty:' || bounty_id,
+  CAST(1.0 AS DOUBLE), 'bounty fulfiller (gitcoin/cyphers.py:453-475)'
+FROM b WHERE status = 'fulfilled'
+UNION ALL
+SELECT DISTINCT 'Github:' || user_id, 'HAS_INTEREST', 'Bounty:' || bounty_id,
+  CAST(1.0 AS DOUBLE), 'bounty interest (gitcoin/cyphers.py:538-555)'
+FROM b WHERE status = 'interested'
+UNION ALL
+SELECT DISTINCT 'Github:' || user_id, 'HAS_WALLET', 'Wallet:' || user_wallet,
+  CAST(1.0 AS DOUBLE), 'github wallet link (accounts/cyphers.py:57)'
+FROM b WHERE user_wallet IS NOT NULL
+""",
+    "watch_edges": f"""
+{feed_cte("webhooks", "incubators")},
+wh AS (SELECT DISTINCT lower(trim(webhook_id)) AS webhook_id,
+              lower(trim(address)) AS address,
+              item_kind FROM webhooks),
+inc AS (SELECT DISTINCT lower(trim(incubator)) AS incubator,
+               lower(trim(entity)) AS entity FROM incubators)
+SELECT item_kind || ':' || address AS subj, 'IS_WATCHED_BY' AS pred,
+  'Webhook:' || webhook_id AS obj, CAST(1.0 AS DOUBLE) AS weight,
+  'webhook watch (alchemyWebhooks/cyphers.py:94-110)' AS citation FROM wh
+UNION ALL
+SELECT 'Entity:' || incubator, 'INCUBATED', 'Entity:' || entity,
+  CAST(1.0 AS DOUBLE), 'incubator seed (publicGoods/cyphers.py:181 MATCH)'
+FROM inc
+""",
 }
 
 # every feed-rule family — the flagship's feed_edges CTE and the graph-WIC
@@ -1240,6 +1477,8 @@ _FEED_RULE_QUERIES = (
     "gitcoin_edges", "delegation_edges", "ownership_edges",
     "nft_holding_edges", "moloch_edges", "loan_edges", "repo_edges",
     "membership_edges", "delegation_role_edges", "platform_edges",
+    "unlock_edges", "prophouse_edges", "thread_edges",
+    "ens_registry_edges", "bounty_edges", "watch_edges",
 )
 
 
@@ -3986,6 +4225,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_edges": q_membership_edges,
         "delegation_role_edges": q_delegation_role_edges,
         "platform_edges": q_platform_edges,
+        "unlock_edges": q_unlock_edges,
+        "prophouse_edges": q_prophouse_edges,
+        "thread_edges": q_thread_edges,
+        "ens_registry_edges": q_ens_registry_edges,
+        "bounty_edges": q_bounty_edges,
+        "watch_edges": q_watch_edges,
         "professions": q_professions,
         "wic_reputation_full": q_wic_reputation_full,
         "communities_refined": q_communities_refined,

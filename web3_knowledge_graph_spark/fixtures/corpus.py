@@ -410,6 +410,9 @@ def delegations_pdf() -> pd.DataFrame:
                 "delegate": D.wallet_address((e * 5 + 7) % 50),
                 "block_number": 1000 + e,
                 "tx_hash": "0x" + D._md5(f"fdg{e}"),
+                # governance token is protocol-keyed (USE_TOKEN,
+                # delegation/cyphers.py:71-88)
+                "contract_address": D.token_contract(e % 2),
             }
             for e in range(40)
         ]
@@ -430,11 +433,14 @@ def deployments_pdf() -> pd.DataFrame:
 
 
 def multisig_signers_pdf() -> pd.DataFrame:
+    """Safe signer sets; the creator is safe-keyed (one creation tx per
+    multisig — multisig/cyphers.py:60-70)."""
     return pd.DataFrame(
         [
             {
                 "multisig": D.wallet_address(200 + s % 5),
                 "owner_address": D.wallet_address(s % 50),
+                "creator": D.wallet_address(100 + s % 5),
             }
             for s in range(15)
         ]
@@ -450,6 +456,7 @@ def nfts_pdf() -> pd.DataFrame:
                 "article_url": page_manifest(j * 7)["url"],
                 "nft_id": "0x" + D._md5(f"fnft{j % 5}") + f":{j % 9}",
                 "owner": D.wallet_address((j * 9 + 2) % 50),
+                "funding_recipient": D.wallet_address((j * 5 + 1) % 50),
             }
             for j in range(12)
         ]
@@ -584,7 +591,10 @@ def loans_pdf() -> pd.DataFrame:
 def repos_pdf() -> pd.DataFrame:
     """Repo role lists; r % 7 == 0 rows have NULL handles (the reference's
     WHERE IS NOT NULL drop), every 10th handle re-lands upper-cased
-    (case-fold dedup trap)."""
+    (case-fold dedup trap). r % 6 == 2 rows carry the token whose metadata
+    names this repo (HAS_REPOSITORY, tokenMetadata/process.py:152) — row
+    14 is BOTH NULL-handle and token-bearing, so the role family drops it
+    while the token family keeps it."""
     rows = []
     for r in range(30):
         handle = None if r % 7 == 0 else f"dev{r % 13}"
@@ -595,6 +605,11 @@ def repos_pdf() -> pd.DataFrame:
                 "full_name": f"org{r % 5}/repo{r % 11}",
                 "handle": handle,
                 "role": ("owner", "contributor", "subscriber")[r % 3],
+                "token_address": (
+                    D.token_contract(r % D.N_TOKEN_ENTITIES)
+                    if r % 6 == 2
+                    else None
+                ),
             }
         )
     return pd.DataFrame(rows)
@@ -650,12 +665,192 @@ def platform_accounts_pdf() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def locks_pdf() -> pd.DataFrame:
+    """Unlock locks/keys; key contract is lock-keyed
+    (unlock/cyphers.py:71-140)."""
+    return pd.DataFrame(
+        [
+            {
+                "lock_address": "0x" + D._md5(f"flock{k % 4}"),
+                "key_address": "0x" + D._md5(f"flkey{k % 4}"),
+                "manager": D.wallet_address((k * 3 + 2) % 50),
+                "holder": D.wallet_address((k * 7 + 5) % 50),
+            }
+            for k in range(10)
+        ]
+    )
+
+
+def ph_communities_pdf() -> pd.DataFrame:
+    """PropHouse communities; c % 3 == 0 rows carry a truncated token (the
+    Token:ERC721 MATCH restated as the 40-hex gate,
+    propHouse/cyphers.py:55-67)."""
+    rows = []
+    for c in range(4):
+        tok = D.token_contract(c % D.N_TOKEN_ENTITIES)
+        rows.append(
+            {
+                "community_id": f"phc{c}",
+                "contract_address": tok[:12] if c % 3 == 0 else tok,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ph_auctions_pdf() -> pd.DataFrame:
+    """Auctions; phc4/phc5 never exist (HAS_AUCTION MATCH negatives)."""
+    return pd.DataFrame(
+        [
+            {"auction_id": f"pha{a}", "community_id": f"phc{a % 6}"}
+            for a in range(8)
+        ]
+    )
+
+
+def ph_proposals_pdf() -> pd.DataFrame:
+    """Proposals; auctions pha8/pha9 and communities phc4/phc5 never exist
+    (the two HAS_PROPOSAL MATCH negatives); AUTHOR is unconditional."""
+    return pd.DataFrame(
+        [
+            {
+                "proposal_id": f"php{p}",
+                "auction_id": f"pha{p % 10}",
+                "community_id": f"phc{p % 6}",
+                "address": D.wallet_address(p % 50),
+            }
+            for p in range(14)
+        ]
+    )
+
+
+def ph_votes_pdf() -> pd.DataFrame:
+    """Votes; proposals php14..php19 never exist (VOTED MATCH negatives);
+    the duplicated first vote re-lands with a higher weight (the MERGE SET
+    last-write restated as the deterministic max fold)."""
+    rows = [
+        {
+            "address": D.wallet_address((v * 3 + 1) % 50),
+            "proposal_id": f"php{v % 20}",
+            "weight": 1 + v % 8,
+            "direction": v % 2,
+        }
+        for v in range(30)
+    ]
+    dup = dict(rows[0])
+    dup["weight"] += 3
+    rows.append(dup)
+    return pd.DataFrame(rows)
+
+
+def threads_pdf() -> pd.DataFrame:
+    """Twitter threads; every 9th handle re-lands upper-cased (toLower at
+    the MATCH boundary, twitterThreads/cyphers.py:92-124)."""
+    rows = []
+    for t in range(25):
+        handle = D.twitter_handle(t % 30)
+        if t % 9 == 0:
+            handle = handle.upper()
+        rows.append(
+            {
+                "conversation_id": f"fconv{t % 6}",
+                "handle": handle,
+                "role": "author" if t % 5 == 0 else "reply",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ens_events_pdf() -> pd.DataFrame:
+    """ENS registry events (registration/transfer/burn kinds,
+    ens/cyphers.py:66-116); names reuse the registration keyspace."""
+    kinds = ("registration", "registration", "transfer", "burn")
+    return pd.DataFrame(
+        [
+            {
+                "name": D.ens_name(e % N_ENS),
+                "owner": D.wallet_address(e % 50),
+                "to_address": D.wallet_address((e + 11) % 50),
+                "tx_hash": "0x" + D._md5(f"fens{e}"),
+                "block_number": 3000 + e,
+                "kind": kinds[e % 4],
+            }
+            for e in range(24)
+        ]
+    )
+
+
+def grant_tags_pdf() -> pd.DataFrame:
+    """Grant tags; grants 8/9 were never ingested → their tag rows drop at
+    the registry join (gitcoin/cyphers.py:94-110)."""
+    return pd.DataFrame(
+        [
+            {
+                "grant_id": f"grant{g % 10}",
+                "label": ("DeFi", "NFT", "infra", "public goods")[g % 4],
+            }
+            for g in range(16)
+        ]
+    )
+
+
+def bounties_pdf() -> pd.DataFrame:
+    """Gitcoin bounties; b % 5 == 0 rows have no known wallet (NULL → no
+    HAS_WALLET edge); status cycles fulfilled/interested/open — 'open'
+    rows emit neither engagement family."""
+    return pd.DataFrame(
+        [
+            {
+                "bounty_id": f"fb{b % 9}",
+                "org_name": f"forg{b % 4}",
+                "user_id": f"fgh{b % 7}",
+                "user_wallet": (
+                    None if b % 5 == 0 else D.wallet_address((b * 3 + 4) % 50)
+                ),
+                "status": ("fulfilled", "interested", "open")[b % 3],
+            }
+            for b in range(20)
+        ]
+    )
+
+
+def webhooks_pdf() -> pd.DataFrame:
+    """Alchemy webhook watch-lists; the item label rides the kind column
+    (alchemyWebhooks/cyphers.py:94-110)."""
+    return pd.DataFrame(
+        [
+            {
+                "webhook_id": f"fwh{k % 3}",
+                "item_kind": "Wallet" if k % 2 == 0 else "Token",
+                "address": (
+                    D.wallet_address(k % 50)
+                    if k % 2 == 0
+                    else D.token_contract(k % D.N_TOKEN_ENTITIES)
+                ),
+            }
+            for k in range(12)
+        ]
+    )
+
+
+def incubators_pdf() -> pd.DataFrame:
+    """Incubator seed dimension (publicGoods/cyphers.py:181 MATCH)."""
+    return pd.DataFrame(
+        [
+            {"incubator": f"finc{k % 2}", "entity": f"forg{k % 4}"}
+            for k in range(8)
+        ]
+    )
+
+
 FEED_NAMES = (
     "transfers", "followers", "proposals", "votes", "space_members",
     "strategies", "grant_admins", "donations", "delegations", "deployments",
     "multisig_signers", "nfts", "nft_holdings", "moloch_daos",
     "moloch_members", "moloch_proposals", "moloch_votes", "loans", "repos",
     "grant_members", "websites", "platform_accounts",
+    "locks", "ph_communities", "ph_auctions", "ph_proposals", "ph_votes",
+    "threads", "ens_events", "grant_tags", "bounties", "webhooks",
+    "incubators",
 )
 
 
@@ -717,9 +912,13 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
         rows.add((f"Wallet:{r['deployer']}", "DEPLOYED", f"Contract:{r['contract_address']}"))
     for r in multisig_signers_pdf().to_dict("records"):
         rows.add((f"Wallet:{r['owner_address']}", "IS_SIGNER", f"Wallet:{r['multisig']}"))
+        rows.add((f"Wallet:{r['creator']}", "IS_CREATOR", f"Wallet:{r['multisig']}"))
     for r in nfts_pdf().to_dict("records"):
         rows.add((f"Page:{r['article_url']}", "HAS_NFT", f"Nft:{r['nft_id']}"))
         rows.add((f"Wallet:{r['owner']}", "IS_OWNER", f"Nft:{r['nft_id']}"))
+        rows.add(
+            (f"Wallet:{r['funding_recipient']}", "IS_RECEIPIENT", f"Nft:{r['nft_id']}")
+        )
 
     # delegation hub roles (same feed as DELEGATES_TO)
     for r in delegations_pdf().to_dict("records"):
@@ -727,6 +926,7 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
         rows.add((f"Entity:{p}", "HAS_DELEGATION", f"Delegation:{p}"))
         rows.add((f"Wallet:{r['delegator']}", "IS_DELEGATING", f"Delegation:{p}"))
         rows.add((f"Wallet:{r['delegate']}", "IS_DELEGATE", f"Delegation:{p}"))
+        rows.add((f"Delegation:{p}", "USE_TOKEN", f"Token:{r['contract_address']}"))
 
     # NFT per-tokenId holdings: curr holders HOLDS_TOKEN, prev−curr rotate
     snaps: dict[str, set[tuple[str, str, str]]] = {"prev": set(), "curr": set()}
@@ -792,8 +992,17 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
             (f"Wallet:{r['lender']}", "LENDER", f"Marketplace:{r['marketplace']}")
         )
 
-    # Github repo roles (NULL handles drop, keys case-fold)
+    # Github repo roles (NULL handles drop, keys case-fold) + the
+    # token-metadata HAS_REPOSITORY hop (NULL tokens drop)
     for r in repos_pdf().to_dict("records"):
+        if r["token_address"] is not None:
+            rows.add(
+                (
+                    f"Token:{r['token_address']}",
+                    "HAS_REPOSITORY",
+                    f"Repository:{r['full_name']}",
+                )
+            )
         if r["handle"] is None:
             continue
         rows.add(
@@ -831,6 +1040,86 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
                 f"{r['platform']}:{r['account_id'].lower()}",
             )
         )
+
+    # Unlock locks/keys
+    for r in locks_pdf().to_dict("records"):
+        lock, key = f"Nft:{r['lock_address']}", f"Nft:{r['key_address']}"
+        rows.add((f"Wallet:{r['manager']}", "CREATED", lock))
+        rows.add((lock, "HAS_KEY", key))
+        rows.add((f"Wallet:{r['holder']}", "HOLDS", lock))
+        rows.add((f"Wallet:{r['holder']}", "HOLDS", key))
+
+    # PropHouse (MATCH joins vs the community/auction/proposal registries)
+    import re as _re2
+
+    ph_comm = {
+        r["community_id"]: r["contract_address"]
+        for r in ph_communities_pdf().to_dict("records")
+    }
+    for cid, tok in ph_comm.items():
+        if _re2.fullmatch(r"0x[a-fA-F0-9]{40}", tok):
+            rows.add((f"Entity:{cid}", "HAS_STRATEGY", f"Token:{tok}"))
+            rows.add((f"Entity:{cid}", "HAS_TOKEN", f"Token:{tok}"))
+    ph_aucs = {
+        r["auction_id"]: r["community_id"]
+        for r in ph_auctions_pdf().to_dict("records")
+    }
+    for aid, cid in ph_aucs.items():
+        if cid in ph_comm:
+            rows.add((f"Auction:{aid}", "HAS_AUCTION", f"Entity:{cid}"))
+    ph_props = {
+        r["proposal_id"]: r for r in ph_proposals_pdf().to_dict("records")
+    }
+    for pid, r in ph_props.items():
+        if r["auction_id"] in ph_aucs:
+            rows.add((f"Auction:{r['auction_id']}", "HAS_PROPOSAL", f"Proposal:{pid}"))
+        rows.add((f"Wallet:{r['address']}", "AUTHOR", f"Proposal:{pid}"))
+        if r["community_id"] in ph_comm:
+            rows.add((f"Entity:{r['community_id']}", "HAS_PROPOSAL", f"Proposal:{pid}"))
+    for r in ph_votes_pdf().to_dict("records"):
+        if r["proposal_id"] in ph_props:
+            rows.add((f"Wallet:{r['address']}", "VOTED", f"Proposal:{r['proposal_id']}"))
+
+    # Twitter threads (handles case-fold)
+    for r in threads_pdf().to_dict("records"):
+        pred = "AUTHOR" if r["role"] == "author" else "REPLIED"
+        rows.add(
+            (f"Twitter:{r['handle'].lower()}", pred, f"Thread:{r['conversation_id']}")
+        )
+
+    # ENS registry events
+    for r in ens_events_pdf().to_dict("records"):
+        if r["kind"] == "registration":
+            rows.add((f"Wallet:{r['owner']}", "REGISTERED", f"Ens:{r['name']}"))
+        elif r["kind"] == "transfer":
+            rows.add((f"Wallet:{r['owner']}", "TRANSFERRED", f"Wallet:{r['to_address']}"))
+        else:
+            rows.add((f"Wallet:{r['owner']}", "BURNED", f"Ens:{r['name']}"))
+
+    # Gitcoin bounty surface (tags gated by the grant registry)
+    for r in grant_tags_pdf().to_dict("records"):
+        if r["grant_id"] in grant_ids:
+            rows.add((f"Grant:{r['grant_id']}", "HAS_TAG", f"Tag:{r['label'].lower()}"))
+    for r in bounties_pdf().to_dict("records"):
+        rows.add((f"Entity:{r['org_name']}", "HAS_BOUNTY", f"Bounty:{r['bounty_id']}"))
+        if r["status"] == "fulfilled":
+            rows.add((f"Github:{r['user_id']}", "HAS_FULLFILLED", f"Bounty:{r['bounty_id']}"))
+        elif r["status"] == "interested":
+            rows.add((f"Github:{r['user_id']}", "HAS_INTEREST", f"Bounty:{r['bounty_id']}"))
+        if r["user_wallet"] is not None:
+            rows.add((f"Github:{r['user_id']}", "HAS_WALLET", f"Wallet:{r['user_wallet']}"))
+
+    # webhook watch-lists + incubator seeds
+    for r in webhooks_pdf().to_dict("records"):
+        rows.add(
+            (
+                f"{r['item_kind']}:{r['address'].lower()}",
+                "IS_WATCHED_BY",
+                f"Webhook:{r['webhook_id']}",
+            )
+        )
+    for r in incubators_pdf().to_dict("records"):
+        rows.add((f"Entity:{r['incubator']}", "INCUBATED", f"Entity:{r['entity']}"))
     return rows
 
 

@@ -361,40 +361,60 @@ def deployment_edges(deployments: DataFrame) -> DataFrame:
 
 def signer_edges(multisig_signers: DataFrame) -> DataFrame:
     """(signer)-[:IS_SIGNER]->(multisig) — ingestion/multisig/cyphers.py:46-57
-    (both endpoints :Wallet; the multisig wallet additionally carries the
-    :MultiSig label in the reference's node dimension)."""
+    — and (creator)-[:IS_CREATOR]->(multisig) — cyphers.py:60-70
+    link_multisig_creators (all endpoints :Wallet; the multisig wallet
+    additionally carries the :MultiSig label in the reference's node
+    dimension). Both families ride one feed scan + one distinct."""
     rows = multisig_signers.select(
         canonical_key("owner_address").alias("owner_address"),
         canonical_key("multisig").alias("multisig"),
-    ).dropDuplicates()
-    return _edges(
-        rows, "Wallet", F.col("owner_address"), "IS_SIGNER", "Wallet",
-        F.col("multisig"),
-        citation="multisig signer (multisig/cyphers.py:46-57)",
+        canonical_key("creator").alias("creator"),
     )
+    return _explode_families(
+        rows,
+        _edge_struct(
+            "Wallet", F.col("owner_address"), "IS_SIGNER", "Wallet",
+            F.col("multisig"),
+            citation="multisig signer (multisig/cyphers.py:46-57)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("creator"), "IS_CREATOR", "Wallet",
+            F.col("multisig"),
+            citation="multisig creator (multisig/cyphers.py:60-70)",
+        ),
+    ).dropDuplicates(list(EDGE_COLS))
 
 
 def nft_edges(nfts: DataFrame) -> DataFrame:
-    """(article)-[:HAS_NFT]->(nft) and (wallet)-[:IS_OWNER]->(nft) —
-    ingestion/mirror/cyphers.py:111-135 (HAS_NFT) and :138-158 (IS_OWNER).
-    Article urls reuse the Page keyspace so the NFT edges attach to the
-    same Page nodes the mention edges reference."""
+    """(article)-[:HAS_NFT]->(nft), (wallet)-[:IS_OWNER]->(nft), and
+    (wallet)-[:IS_RECEIPIENT]->(nft) — ingestion/mirror/cyphers.py:111-135
+    (HAS_NFT), :138-158 (IS_OWNER), :158-176 (link_NFTs_to_receipient: the
+    article's funding recipient; the reference keeps its misspelled
+    predicate). Article urls reuse the Page keyspace so the NFT edges
+    attach to the same Page nodes the mention edges reference. Three
+    families, one feed scan, one distinct."""
     rows = nfts.select(
         canonical_key("article_url").alias("article_url"),
         canonical_key("nft_id").alias("nft_id"),
         canonical_key("owner").alias("owner"),
-    ).dropDuplicates()
-    has_nft = _edges(
-        rows.select("article_url", "nft_id").dropDuplicates(),
-        "Page", F.col("article_url"), "HAS_NFT", "Nft", F.col("nft_id"),
-        citation="article NFT (mirror/cyphers.py:111-135)",
+        canonical_key("funding_recipient").alias("funding_recipient"),
     )
-    is_owner = _edges(
-        rows.select("owner", "nft_id").dropDuplicates(),
-        "Wallet", F.col("owner"), "IS_OWNER", "Nft", F.col("nft_id"),
-        citation="NFT owner (mirror/cyphers.py:138-158)",
-    )
-    return has_nft.unionByName(is_owner)
+    return _explode_families(
+        rows,
+        _edge_struct(
+            "Page", F.col("article_url"), "HAS_NFT", "Nft", F.col("nft_id"),
+            citation="article NFT (mirror/cyphers.py:111-135)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("owner"), "IS_OWNER", "Nft", F.col("nft_id"),
+            citation="NFT owner (mirror/cyphers.py:138-158)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("funding_recipient"), "IS_RECEIPIENT", "Nft",
+            F.col("nft_id"),
+            citation="NFT funding recipient (mirror/cyphers.py:158-176)",
+        ),
+    ).dropDuplicates(list(EDGE_COLS))
 
 
 # ---------------------------------------------------------------------------
@@ -725,14 +745,19 @@ def repo_edges(repos: DataFrame) -> DataFrame:
     guarded by ``WHERE data.X IS NOT NULL AND data.full_name IS NOT
     NULL``, restated as the isNotNull filter. The role→predicate CASE
     replaces the reference's three per-CSV loops with one scan.
+
+    The same scan also emits (token)-[:HAS_REPOSITORY]->(repo) for rows
+    whose token_address is set — the token-metadata social parser's
+    create_or_merge_socials(..., "HAS_REPOSITORY") hop
+    (postProcessing/tokenMetadata/process.py:152); NULL-token rows emit
+    no such edge.
     """
-    rows = repos.where(
-        F.col("handle").isNotNull() & F.col("full_name").isNotNull()
-    ).select(
+    rows = repos.where(F.col("full_name").isNotNull()).select(
         canonical_key("handle").alias("handle"),
         canonical_key("full_name").alias("full_name"),
         canonical_key("role").alias("role"),
-    ).dropDuplicates()
+        canonical_key("token_address").alias("token_address"),
+    )
     pred = (
         F.when(F.col("role") == "owner", F.lit("OWNER"))
         .when(F.col("role") == "contributor", F.lit("CONTRIBUTOR"))
@@ -742,14 +767,34 @@ def repo_edges(repos: DataFrame) -> DataFrame:
         F.lit("github "), F.col("role"),
         F.lit(" (github/cyphers.py:231-280)"),
     )
-    return rows.select(
-        F.lit("Github").alias("subj_label"),
-        F.col("handle").alias("subj_key"),
-        pred.alias("pred"),
-        F.lit("Repository").alias("obj_label"),
-        F.col("full_name").alias("obj_key"),
-        F.lit(1.0).alias("weight"),
-        cit.alias("citation"),
+    role_struct = F.when(
+        F.col("handle").isNotNull(),
+        F.struct(
+            F.lit("Github").alias("subj_label"),
+            F.col("handle").alias("subj_key"),
+            pred.alias("pred"),
+            F.lit("Repository").alias("obj_label"),
+            F.col("full_name").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            cit.cast("string").alias("citation"),
+        ),
+    )
+    token_struct = F.when(
+        F.col("token_address").isNotNull(),
+        F.struct(
+            F.lit("Token").alias("subj_label"),
+            F.col("token_address").alias("subj_key"),
+            F.lit("HAS_REPOSITORY").alias("pred"),
+            F.lit("Repository").alias("obj_label"),
+            F.col("full_name").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            F.lit(
+                "token repository (tokenMetadata/process.py:152)"
+            ).cast("string").alias("citation"),
+        ),
+    )
+    return _explode_families(rows, role_struct, token_struct).dropDuplicates(
+        list(EDGE_COLS)
     )
 
 
@@ -821,15 +866,20 @@ def delegation_role_edges(delegations: DataFrame) -> DataFrame:
       * (delegator)-[:IS_DELEGATING]->(delegation)   cyphers.py:111-128
       * (delegate)-[:IS_DELEGATE]->(delegation)      cyphers.py:130-152
 
-    All three explode from ONE scan of the event stream the DELEGATES_TO
+      * (delegation)-[:USE_TOKEN]->(token)           cyphers.py:71-88
+        (the protocol's governance token; functionally determined by the
+        protocol in the event stream)
+
+    All four explode from ONE scan of the event stream the DELEGATES_TO
     rule consumes, sharing ONE distinct exchange (every family's rows are
-    MERGE-distinct per (protocol, wallet), so a single dedup over the
-    exploded relation implements all three).
+    MERGE-distinct per (protocol, wallet/token), so a single dedup over
+    the exploded relation implements all four).
     """
     d = delegations.select(
         canonical_key("protocol").alias("protocol"),
         canonical_key("delegator").alias("delegator"),
         canonical_key("delegate").alias("delegate"),
+        canonical_key("contract_address").alias("contract_address"),
     )
     return _explode_families(
         d,
@@ -848,7 +898,389 @@ def delegation_role_edges(delegations: DataFrame) -> DataFrame:
             F.col("protocol"),
             citation="delegate link (delegation/cyphers.py:130-152)",
         ),
+        _edge_struct(
+            "Delegation", F.col("protocol"), "USE_TOKEN", "Token",
+            F.col("contract_address"),
+            citation="delegation token (delegation/cyphers.py:71-88)",
+        ),
     ).dropDuplicates(list(EDGE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Unlock protocol → CREATED / HAS_KEY / HOLDS
+# ---------------------------------------------------------------------------
+
+def unlock_edges(locks: DataFrame) -> DataFrame:
+    """Unlock membership locks and their key NFTs.
+
+      * (manager)-[:CREATED]->(lock)   ingestion/unlock/cyphers.py:71-85
+      * (lock)-[:HAS_KEY]->(key)       cyphers.py:88-105
+      * (holder)-[:HOLDS]->(lock)      cyphers.py:108-124 (the reference
+        MATCHes the lock by holders.keyId — the holder row's lock column)
+      * (holder)-[:HOLDS]->(key)       cyphers.py:127-140
+
+    Lock and key are :Nft nodes in the reference (:Lock / :Instance
+    sublabels ride in the citation). Four families, one feed scan, one
+    distinct exchange."""
+    rows = locks.select(
+        canonical_key("lock_address").alias("lock_address"),
+        canonical_key("key_address").alias("key_address"),
+        canonical_key("manager").alias("manager"),
+        canonical_key("holder").alias("holder"),
+    )
+    return _explode_families(
+        rows,
+        _edge_struct(
+            "Wallet", F.col("manager"), "CREATED", "Nft", F.col("lock_address"),
+            citation="lock manager (unlock/cyphers.py:71-85)",
+        ),
+        _edge_struct(
+            "Nft", F.col("lock_address"), "HAS_KEY", "Nft", F.col("key_address"),
+            citation="lock key (unlock/cyphers.py:88-105)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("holder"), "HOLDS", "Nft", F.col("lock_address"),
+            citation="lock holder (unlock/cyphers.py:108-124)",
+        ),
+        _edge_struct(
+            "Wallet", F.col("holder"), "HOLDS", "Nft", F.col("key_address"),
+            citation="key holder (unlock/cyphers.py:127-140)",
+        ),
+    ).dropDuplicates(list(EDGE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# PropHouse → HAS_STRATEGY / HAS_TOKEN / HAS_AUCTION / HAS_PROPOSAL /
+#             AUTHOR / VOTED
+# ---------------------------------------------------------------------------
+
+def prophouse_edges(
+    ph_communities: DataFrame,
+    ph_auctions: DataFrame,
+    ph_proposals: DataFrame,
+    ph_votes: DataFrame,
+) -> DataFrame:
+    """The PropHouse governance surface (ingestion/propHouse/cyphers.py).
+
+      * (community entity)-[:HAS_STRATEGY]->(token) and
+        (community entity)-[:HAS_TOKEN]->(token)       cyphers.py:55-67 —
+        the Token:ERC721 MATCH restated as the 40-hex address gate
+      * (auction)-[:HAS_AUCTION]->(community)          cyphers.py:101-113
+        (reference direction: auction → entity)
+      * (auction)-[:HAS_PROPOSAL]->(proposal)          cyphers.py:136-148
+      * (wallet)-[:AUTHOR]->(proposal)                 cyphers.py:150-162
+      * (community)-[:HAS_PROPOSAL]->(proposal)        cyphers.py:165-177
+      * (wallet)-[:VOTED {weight}]->(proposal)         cyphers.py:193-206
+
+    Every cross-feed MATCH is an inner join against a dimension-sized
+    registry (communities, proposals) — broadcast; votes on never-ingested
+    proposals and auctions/proposals naming unknown communities drop
+    exactly as the Cypher MATCH does."""
+    comm = F.broadcast(
+        _dedup_by_id(
+            ph_communities.select(
+                canonical_key("community_id").alias("community_id"),
+                canonical_key("contract_address").alias("contract_address"),
+            ),
+            "community_id",
+        )
+    )
+    comm_ids = F.broadcast(comm.select("community_id"))
+    tok = comm.where(F.col("contract_address").rlike(WALLET_RE))
+    e_strategy = _explode_families(
+        tok,
+        _edge_struct(
+            "Entity", F.col("community_id"), "HAS_STRATEGY", "Token",
+            F.col("contract_address"),
+            citation="community token (propHouse/cyphers.py:55-67)",
+        ),
+        _edge_struct(
+            "Entity", F.col("community_id"), "HAS_TOKEN", "Token",
+            F.col("contract_address"),
+            citation="community token (propHouse/cyphers.py:55-67)",
+        ),
+    )
+    auc = _dedup_by_id(
+        ph_auctions.select(
+            canonical_key("auction_id").alias("auction_id"),
+            canonical_key("community_id").alias("community_id"),
+        ),
+        "auction_id",
+    )
+    e_auction = _edges(
+        auc.join(comm_ids, "community_id"),
+        "Auction", F.col("auction_id"), "HAS_AUCTION", "Entity",
+        F.col("community_id"),
+        citation="auction community (propHouse/cyphers.py:101-113)",
+    )
+    auc_ids = F.broadcast(auc.select("auction_id"))
+    prop = _dedup_by_id(
+        ph_proposals.select(
+            canonical_key("proposal_id").alias("proposal_id"),
+            canonical_key("auction_id").alias("auction_id"),
+            canonical_key("community_id").alias("community_id"),
+            canonical_key("address").alias("address"),
+        ),
+        "proposal_id",
+    )
+    e_auction_prop = _edges(
+        prop.join(auc_ids, "auction_id"),
+        "Auction", F.col("auction_id"), "HAS_PROPOSAL", "Proposal",
+        F.col("proposal_id"),
+        citation="auction proposal (propHouse/cyphers.py:136-148)",
+    )
+    e_author = _edges(
+        prop, "Wallet", F.col("address"), "AUTHOR", "Proposal",
+        F.col("proposal_id"),
+        citation="proposal author (propHouse/cyphers.py:150-162)",
+    )
+    e_comm_prop = _edges(
+        prop.join(comm_ids, "community_id"),
+        "Entity", F.col("community_id"), "HAS_PROPOSAL", "Proposal",
+        F.col("proposal_id"),
+        citation="community proposal (propHouse/cyphers.py:165-177)",
+    )
+    prop_ids = F.broadcast(prop.select("proposal_id"))
+    votes = ph_votes.select(
+        canonical_key("address").alias("address"),
+        canonical_key("proposal_id").alias("proposal_id"),
+        F.col("weight").cast("double").alias("weight"),
+    ).join(prop_ids, "proposal_id")
+    e_voted = _edges(
+        votes.groupBy("address", "proposal_id").agg(
+            F.max("weight").alias("weight")
+        ),
+        "Wallet", F.col("address"), "VOTED", "Proposal", F.col("proposal_id"),
+        weight=F.col("weight"),
+        citation="prop house vote (propHouse/cyphers.py:193-206)",
+    )
+    out = e_strategy
+    for e in (e_auction, e_auction_prop, e_author, e_comm_prop, e_voted):
+        out = out.unionByName(e)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Twitter threads → AUTHOR / REPLIED
+# ---------------------------------------------------------------------------
+
+def thread_edges(threads: DataFrame) -> DataFrame:
+    """(account)-[:AUTHOR]->(thread) / (account)-[:REPLIED]->(thread) —
+    postProcessing/twitterThreads/cyphers.py:92-105 (authors) and
+    :108-124 (replies); handles lowercase at the MATCH boundary. One scan,
+    role→predicate CASE, one distinct."""
+    rows = threads.select(
+        canonical_key("conversation_id").alias("conversation_id"),
+        canonical_key("handle").alias("handle"),
+        canonical_key("role").alias("role"),
+    ).dropDuplicates()
+    pred = F.when(F.col("role") == "author", F.lit("AUTHOR")).otherwise(
+        F.lit("REPLIED")
+    )
+    cit = F.concat(
+        F.lit("thread "), F.col("role"),
+        F.lit(" (twitterThreads/cyphers.py:92-124)"),
+    )
+    return rows.select(
+        F.lit("Twitter").alias("subj_label"),
+        F.col("handle").alias("subj_key"),
+        pred.alias("pred"),
+        F.lit("Thread").alias("obj_label"),
+        F.col("conversation_id").alias("obj_key"),
+        F.lit(1.0).cast("double").alias("weight"),
+        cit.cast("string").alias("citation"),
+    ).dropDuplicates(list(EDGE_COLS))
+
+
+# ---------------------------------------------------------------------------
+# ENS registry events → REGISTERED / TRANSFERRED / BURNED
+# ---------------------------------------------------------------------------
+
+def ens_registry_edges(ens_events: DataFrame) -> DataFrame:
+    """The ENS subgraph event stream (ingestion/ens/cyphers.py).
+
+      * kind='registration' → (owner)-[:REGISTERED {txHash}]->(ens)
+        cyphers.py:66-81
+      * kind='transfer'     → (from)-[:TRANSFERRED {txHash, type:ENS}]->(to)
+        cyphers.py:84-99 (wallet→wallet; the name rides the edge property)
+      * kind='burn'         → (from)-[:BURNED {txHash}]->(ens)
+        cyphers.py:101-116
+
+    The HAS_ALIAS / IS_OWNER domain links from the same scrape ride the
+    registrations side-table path (plans/pipeline.build_graph). Edges are
+    MERGE-keyed by txHash in the reference, so the dedup key here includes
+    the citation (which carries the tx) — one scan, one distinct."""
+    rows = ens_events.select(
+        canonical_key("name").alias("name"),
+        canonical_key("owner").alias("owner"),
+        canonical_key("to_address").alias("to_address"),
+        canonical_key("tx_hash").alias("tx_hash"),
+        canonical_key("kind").alias("kind"),
+    )
+    reg = F.when(
+        F.col("kind") == "registration",
+        F.struct(
+            F.lit("Wallet").alias("subj_label"),
+            F.col("owner").alias("subj_key"),
+            F.lit("REGISTERED").alias("pred"),
+            F.lit("Ens").alias("obj_label"),
+            F.col("name").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            F.concat(
+                F.lit("ens registration tx:"), F.col("tx_hash"),
+                F.lit(" (ens/cyphers.py:66-81)"),
+            ).cast("string").alias("citation"),
+        ),
+    )
+    tra = F.when(
+        F.col("kind") == "transfer",
+        F.struct(
+            F.lit("Wallet").alias("subj_label"),
+            F.col("owner").alias("subj_key"),
+            F.lit("TRANSFERRED").alias("pred"),
+            F.lit("Wallet").alias("obj_label"),
+            F.col("to_address").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            F.concat(
+                F.lit("ens transfer "), F.col("name"), F.lit(" tx:"),
+                F.col("tx_hash"), F.lit(" (ens/cyphers.py:84-99)"),
+            ).cast("string").alias("citation"),
+        ),
+    )
+    burn = F.when(
+        F.col("kind") == "burn",
+        F.struct(
+            F.lit("Wallet").alias("subj_label"),
+            F.col("owner").alias("subj_key"),
+            F.lit("BURNED").alias("pred"),
+            F.lit("Ens").alias("obj_label"),
+            F.col("name").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            F.concat(
+                F.lit("ens burn tx:"), F.col("tx_hash"),
+                F.lit(" (ens/cyphers.py:101-116)"),
+            ).cast("string").alias("citation"),
+        ),
+    )
+    return _explode_families(rows, reg, tra, burn).dropDuplicates(
+        list(EDGE_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gitcoin bounties → HAS_TAG / HAS_BOUNTY / HAS_FULLFILLED / HAS_INTEREST /
+#                    HAS_WALLET
+# ---------------------------------------------------------------------------
+
+def bounty_edges(
+    bounties: DataFrame, grant_tags: DataFrame, grant_admins: DataFrame
+) -> DataFrame:
+    """The Gitcoin bounty/tag surface (ingestion/gitcoin/cyphers.py).
+
+      * (grant)-[:HAS_TAG]->(tag)            cyphers.py:94-110 — MATCHes
+        the grant: inner join vs the broadcast grant registry (the admins
+        feed carries every ingested grant id)
+      * (org entity)-[:HAS_BOUNTY]->(bounty) cyphers.py:322-345
+      * status='fulfilled' → (github user)-[:HAS_FULLFILLED]->(bounty)
+        cyphers.py:453-475
+      * status='interested' → (github user)-[:HAS_INTEREST]->(bounty)
+        cyphers.py:538-555
+      * user_wallet set → (github user)-[:HAS_WALLET]->(wallet) — the
+        out-of-band account link the accounts/WIC stages MATCH
+        (accounts/cyphers.py:57, publicGoods/cyphers.py:118); NULL-wallet
+        rows emit none."""
+    grants = F.broadcast(
+        grant_admins.select(
+            canonical_key("grant_id").alias("grant_id")
+        ).dropDuplicates()
+    )
+    tags = grant_tags.select(
+        canonical_key("grant_id").alias("grant_id"),
+        canonical_key("label").alias("label"),
+    ).dropDuplicates().join(grants, "grant_id")
+    e_tags = _edges(
+        tags, "Grant", F.col("grant_id"), "HAS_TAG", "Tag", F.col("label"),
+        citation="grant tag (gitcoin/cyphers.py:94-110)",
+    )
+    b = bounties.select(
+        canonical_key("bounty_id").alias("bounty_id"),
+        canonical_key("org_name").alias("org_name"),
+        canonical_key("user_id").alias("user_id"),
+        canonical_key("user_wallet").alias("user_wallet"),
+        canonical_key("status").alias("status"),
+    )
+    fams = _explode_families(
+        b,
+        _edge_struct(
+            "Entity", F.col("org_name"), "HAS_BOUNTY", "Bounty",
+            F.col("bounty_id"),
+            citation="org bounty (gitcoin/cyphers.py:322-345)",
+        ),
+        F.when(
+            F.col("status") == "fulfilled",
+            _edge_struct(
+                "Github", F.col("user_id"), "HAS_FULLFILLED", "Bounty",
+                F.col("bounty_id"),
+                citation="bounty fulfiller (gitcoin/cyphers.py:453-475)",
+            ),
+        ),
+        F.when(
+            F.col("status") == "interested",
+            _edge_struct(
+                "Github", F.col("user_id"), "HAS_INTEREST", "Bounty",
+                F.col("bounty_id"),
+                citation="bounty interest (gitcoin/cyphers.py:538-555)",
+            ),
+        ),
+        F.when(
+            F.col("user_wallet").isNotNull(),
+            _edge_struct(
+                "Github", F.col("user_id"), "HAS_WALLET", "Wallet",
+                F.col("user_wallet"),
+                citation="github wallet link (accounts/cyphers.py:57)",
+            ),
+        ),
+    ).dropDuplicates(list(EDGE_COLS))
+    return e_tags.unionByName(fams)
+
+
+# ---------------------------------------------------------------------------
+# webhook watch-lists + incubator seeds → IS_WATCHED_BY / INCUBATED
+# ---------------------------------------------------------------------------
+
+def watch_edges(webhooks: DataFrame, incubators: DataFrame) -> DataFrame:
+    """(item:Wallet|Token)-[:IS_WATCHED_BY]->(webhook) —
+    postProcessing/alchemyWebhooks/cyphers.py:94-110 (the item label comes
+    from the watch-list kind; addresses arrive lowercased) — plus the
+    incubator seed dimension (incubator entity)-[:INCUBATED]->(org
+    entity) that analytics/wic/publicGoods/cyphers.py:181 MATCHes (seeded
+    out-of-band in the reference)."""
+    wh = webhooks.select(
+        canonical_key("webhook_id").alias("webhook_id"),
+        canonical_key("address").alias("address"),
+        F.col("item_kind").cast("string").alias("item_kind"),
+    ).dropDuplicates()
+    e_watch = wh.select(
+        F.col("item_kind").alias("subj_label"),
+        F.col("address").alias("subj_key"),
+        F.lit("IS_WATCHED_BY").alias("pred"),
+        F.lit("Webhook").alias("obj_label"),
+        F.col("webhook_id").alias("obj_key"),
+        F.lit(1.0).cast("double").alias("weight"),
+        F.lit(
+            "webhook watch (alchemyWebhooks/cyphers.py:94-110)"
+        ).cast("string").alias("citation"),
+    )
+    inc = incubators.select(
+        canonical_key("incubator").alias("incubator"),
+        canonical_key("entity").alias("entity"),
+    ).dropDuplicates()
+    e_inc = _edges(
+        inc, "Entity", F.col("incubator"), "INCUBATED", "Entity",
+        F.col("entity"),
+        citation="incubator seed (publicGoods/cyphers.py:181 MATCH)",
+    )
+    return e_watch.unionByName(e_inc)
 
 
 # ---------------------------------------------------------------------------
@@ -945,6 +1377,28 @@ def feed_edge_rules(feeds: dict[str, DataFrame]) -> DataFrame:
         outs.append(domain_edges(feeds["websites"]))
     if "platform_accounts" in feeds:
         outs.append(platform_account_edges(feeds["platform_accounts"]))
+    if "locks" in feeds:
+        outs.append(unlock_edges(feeds["locks"]))
+    if all(
+        k in feeds
+        for k in ("ph_communities", "ph_auctions", "ph_proposals", "ph_votes")
+    ):
+        outs.append(
+            prophouse_edges(
+                feeds["ph_communities"], feeds["ph_auctions"],
+                feeds["ph_proposals"], feeds["ph_votes"],
+            )
+        )
+    if "threads" in feeds:
+        outs.append(thread_edges(feeds["threads"]))
+    if "ens_events" in feeds:
+        outs.append(ens_registry_edges(feeds["ens_events"]))
+    if all(k in feeds for k in ("bounties", "grant_tags", "grant_admins")):
+        outs.append(
+            bounty_edges(feeds["bounties"], feeds["grant_tags"], feeds["grant_admins"])
+        )
+    if all(k in feeds for k in ("webhooks", "incubators")):
+        outs.append(watch_edges(feeds["webhooks"], feeds["incubators"]))
     if not outs:
         raise ValueError("no known feed tables present")
     out = outs[0]

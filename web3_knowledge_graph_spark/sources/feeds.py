@@ -146,7 +146,8 @@ SELECT
   {wallet_sql("user_id % 30")} AS delegator,
   {wallet_sql(f"(user_id + 3 + event_id % 11) % {WALLET_MOD}")} AS delegate,
   CAST(1000 + event_id AS BIGINT) AS block_number,
-  '0x' || md5('dg' || CAST(event_id AS STRING)) AS tx_hash
+  '0x' || md5('dg' || CAST(event_id AS STRING)) AS tx_hash,
+  '0x' || md5('tok' || CAST(event_id % 2 AS STRING)) AS contract_address
 FROM events
 WHERE event_type = 'purchase' AND event_id % 5 < 2
 """
@@ -164,11 +165,16 @@ WHERE o_orderkey % 40 = 0
 """
 
 # --- multisig signers (ingestion/multisig/cyphers.py:46-57 MERGE
-# (signer)-[IS_SIGNER]->(multisig) — both endpoints :Wallet).
+# (signer)-[IS_SIGNER]->(multisig); :60-70 link_multisig_creators MERGEs
+# (creator)-[IS_CREATOR]->(multisig) — all endpoints :Wallet. The creator
+# is functionally determined by the multisig (same deployer for every
+# signer row of one safe), matching the scrape where creator comes from
+# the safe's creation tx).
 MULTISIG_SIGNERS_SQL = f"""
 SELECT
   {wallet_sql(f"(c_custkey * 31 + 60) % {WALLET_MOD}")} AS multisig,
-  {wallet_sql(f"(c_custkey * 4 + (c_custkey % 3)) % {WALLET_MOD}")} AS owner_address
+  {wallet_sql(f"(c_custkey * 4 + (c_custkey % 3)) % {WALLET_MOD}")} AS owner_address,
+  {wallet_sql(f"(c_custkey * 23 + 11) % {WALLET_MOD}")} AS creator
 FROM customer
 WHERE c_custkey < 45
 """
@@ -183,7 +189,8 @@ SELECT
       || CAST(o_orderkey AS STRING) AS article_url,
   '0x' || md5('nft' || CAST(o_orderkey % 9 AS STRING)) || ':'
       || CAST(o_orderkey % 50 AS STRING) AS nft_id,
-  {wallet_sql(f"(o_custkey * 11 + 2) % {WALLET_MOD}")} AS owner
+  {wallet_sql(f"(o_custkey * 11 + 2) % {WALLET_MOD}")} AS owner,
+  {wallet_sql(f"(o_custkey * 19 + 3) % {WALLET_MOD}")} AS funding_recipient
 FROM orders
 WHERE o_orderkey % 25 = 0 AND o_orderkey < 2000
 """
@@ -301,6 +308,11 @@ WHERE o_orderkey % 3 = 1 AND o_orderkey < 540
 # :248-263 CONTRIBUTOR, :265-280 SUBSCRIBER — each gated by
 # ``WHERE data.X IS NOT NULL``; the % 13 = 0 NULL-handle rows are that
 # negative).
+# token_address: the token-metadata social parser links a Token to its
+# github Repository (postProcessing/tokenMetadata/process.py:152
+# create_or_merge_socials(..., "HAS_REPOSITORY")); most repos have no
+# token — the % 6 = 2 rows are the ones that do, the rest carry NULL and
+# must emit no HAS_REPOSITORY edge.
 REPOS_SQL = """
 SELECT
   'org' || CAST(c_custkey % 9 AS STRING) || '/repo'
@@ -309,7 +321,10 @@ SELECT
        ELSE 'dev_' || CAST(c_custkey % 37 AS STRING) END AS handle,
   CASE WHEN c_custkey % 3 = 0 THEN 'owner'
        WHEN c_custkey % 3 = 1 THEN 'contributor'
-       ELSE 'subscriber' END AS role
+       ELSE 'subscriber' END AS role,
+  CASE WHEN c_custkey % 6 = 2
+       THEN '0x' || md5('tok' || CAST(c_custkey % 11 AS STRING))
+       ELSE CAST(NULL AS STRING) END AS token_address
 FROM customer
 WHERE c_custkey < 120
 """
@@ -382,6 +397,172 @@ FROM customer
 WHERE c_custkey % 4 = 0 AND c_custkey < 200
 """
 
+# --- Unlock protocol locks/keys (ingestion/unlock/cyphers.py:27-58 lock +
+# key nodes; :71-85 (manager)-[CREATED]->(lock); :88-105
+# (lock)-[HAS_KEY]->(key); :108-124 (holder)-[HOLDS]->(lock) — note the
+# reference quirk: the lock is MATCHed by holders.keyId; :127-140
+# (holder)-[HOLDS]->(key)). One feed row carries the whole
+# lock/key/manager/holder tuple; key contract is functionally determined
+# by the lock.
+LOCKS_SQL = f"""
+SELECT
+  '0x' || md5('lock' || CAST(o_orderkey % 10 AS STRING)) AS lock_address,
+  '0x' || md5('lkey' || CAST(o_orderkey % 10 AS STRING)) AS key_address,
+  {wallet_sql(f"(o_custkey * 5 + 3) % {WALLET_MOD}")} AS manager,
+  {wallet_sql(f"(o_custkey * 9 + 4) % {WALLET_MOD}")} AS holder
+FROM orders
+WHERE o_orderkey % 30 = 2 AND o_orderkey < 1500
+"""
+
+# --- PropHouse (ingestion/propHouse/cyphers.py). Communities ph0-6 exist;
+# auction/proposal rows referencing ph7/8 are MATCH-drop negatives. The
+# community token carries the same truncated-hex trap the snapshot
+# strategies use (% 5 = 0): the Token:ERC721 MATCH is restated as the
+# 40-hex address gate.
+PH_COMMUNITIES_SQL = """
+SELECT
+  'ph' || CAST(c_custkey AS STRING) AS community_id,
+  CASE WHEN c_custkey % 5 = 0
+       THEN '0x' || substr(md5('tok' || CAST(c_custkey % 11 AS STRING)), 1, 10)
+       ELSE '0x' || md5('tok' || CAST(c_custkey % 11 AS STRING)) END
+    AS contract_address
+FROM customer
+WHERE c_custkey < 7
+"""
+
+# auctions cycle community 0-8 (cyphers.py:101-113 HAS_AUCTION MATCHes the
+# community — inner join, ph7/ph8 rows drop)
+PH_AUCTIONS_SQL = """
+SELECT
+  'phauc' || CAST(o_orderkey AS STRING) AS auction_id,
+  'ph' || CAST(o_orderkey % 9 AS STRING) AS community_id
+FROM orders
+WHERE o_orderkey % 35 = 3 AND o_orderkey < 1400
+"""
+
+# proposals: auction_id resolves to the PH_AUCTIONS keyspace (35j+3,
+# j < 40) for j = o % 46 < 40 — the j ≥ 40 rows are the HAS_PROPOSAL
+# auction-MATCH negatives; community_id cycles 0-8 with the same ph7/8
+# negatives (cyphers.py:136-148 auction HAS_PROPOSAL; :150-162 AUTHOR
+# (wallet MATCH always resolves — shared wallet keyspace); :165-177
+# community HAS_PROPOSAL).
+PH_PROPOSALS_SQL = f"""
+SELECT
+  'phprop' || CAST(o_orderkey AS STRING) AS proposal_id,
+  'phauc' || CAST(35 * (o_orderkey % 46) + 3 AS STRING) AS auction_id,
+  'ph' || CAST(o_orderkey % 9 AS STRING) AS community_id,
+  {wallet_sql(f"o_custkey % {WALLET_MOD}")} AS address
+FROM orders
+WHERE o_orderkey % 11 = 5 AND o_orderkey < 800
+"""
+
+# votes MATCH their proposal (cyphers.py:193-206) — ids cycle the whole
+# mod-800 space while proposals only exist at % 11 = 5, so most votes are
+# the MATCH-drop negative; weight rides onto the VOTED edge property.
+PH_VOTES_SQL = f"""
+SELECT
+  {_W_USER} AS address,
+  'phprop' || CAST((event_id * 11) % 800 AS STRING) AS proposal_id,
+  CAST(1 + event_id % 10 AS BIGINT) AS weight,
+  CAST(event_id % 2 AS BIGINT) AS direction
+FROM events
+WHERE event_type = 'purchase' AND event_id % 4 = 1
+"""
+
+# --- Twitter thread scrape (postProcessing/twitterThreads/cyphers.py:
+# 92-105 (account)-[AUTHOR]->(thread); :108-124 (account)-[REPLIED]->
+# (thread); handles lowercased at the MATCH boundary). Handles reuse the
+# follower-list keyspace so threads attach to the same Twitter nodes.
+THREADS_SQL = """
+SELECT
+  'conv' || CAST(event_id % 57 AS STRING) AS conversation_id,
+  'User_' || CAST(user_id % 41 AS STRING) AS handle,
+  CASE WHEN event_id % 6 = 0 THEN 'author' ELSE 'reply' END AS role
+FROM events
+WHERE event_type = 'view' AND event_id % 6 < 2
+"""
+
+# --- ENS registry events (ingestion/ens/cyphers.py:66-81 REGISTERED
+# {txHash}; :84-99 (from)-[TRANSFERRED {txHash, type:'ENS'}]->(to); :101-116
+# BURNED {txHash}). One dated event stream with a kind discriminator —
+# the reference lands three CSVs from the same subgraph scrape.
+ENS_EVENTS_SQL = f"""
+SELECT
+  'name' || CAST(user_id % 50 AS STRING) || '.eth' AS name,
+  {_W_USER} AS owner,
+  {wallet_sql(f"(user_id + 7) % {WALLET_MOD}")} AS to_address,
+  '0x' || md5('ens' || CAST(event_id AS STRING)) AS tx_hash,
+  CAST(2000 + event_id AS BIGINT) AS block_number,
+  CASE WHEN event_id % 5 < 3 THEN 'registration'
+       WHEN event_id % 5 = 3 THEN 'transfer'
+       ELSE 'burn' END AS kind
+FROM events
+WHERE event_type = 'signup' AND event_id % 3 = 1
+"""
+
+# --- Gitcoin grant tags (ingestion/gitcoin/cyphers.py:94-110 HAS_TAG —
+# MATCHes the grant, so tags on never-ingested grants (ids 12/13) drop;
+# the Tag node side is created from the same CSV just before linking).
+GRANT_TAGS_SQL = """
+SELECT
+  'grant' || CAST(c_custkey % 14 AS STRING) AS grant_id,
+  CASE WHEN c_custkey % 4 = 0 THEN 'DeFi'
+       WHEN c_custkey % 4 = 1 THEN 'NFT'
+       WHEN c_custkey % 4 = 2 THEN 'infra'
+       ELSE 'public goods' END AS label
+FROM customer
+WHERE c_custkey < 56
+"""
+
+# --- Gitcoin bounties (ingestion/gitcoin/cyphers.py:322-345
+# (org entity)-[HAS_BOUNTY]->(bounty); :453-475 (github user)
+# -[HAS_FULLFILLED]->(bounty); :538-555 HAS_INTEREST; org/bounty/user
+# nodes are created by the same ingest run immediately before linking).
+# user_wallet restates the out-of-band (Github)-[HAS_WALLET]->(Wallet)
+# link the accounts/wic stages MATCH (accounts/cyphers.py:57,
+# publicGoods/cyphers.py:118) — created outside this repo in the
+# reference; the % 7 = 0 rows carry NULL (no known wallet → no edge).
+BOUNTIES_SQL = f"""
+SELECT
+  'bounty' || CAST(o_orderkey % 90 AS STRING) AS bounty_id,
+  'org' || CAST(o_orderkey % 9 AS STRING) AS org_name,
+  'ghuser' || CAST(o_custkey % 29 AS STRING) AS user_id,
+  CASE WHEN o_custkey % 7 = 0 THEN CAST(NULL AS STRING)
+       ELSE {wallet_sql(f"(o_custkey * 17 + 6) % {WALLET_MOD}")} END AS user_wallet,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'fulfilled'
+       WHEN o_orderkey % 3 = 1 THEN 'interested'
+       ELSE 'open' END AS status
+FROM orders
+WHERE o_orderkey % 13 = 4 AND o_orderkey < 1300
+"""
+
+# --- Alchemy webhook watch-lists (postProcessing/alchemyWebhooks/
+# cyphers.py:94-110 connect_items_to_webhook: MERGE (item:Wallet|Token)
+# -[IS_WATCHED_BY]->(webhook); addresses arrive lowercased).
+WEBHOOKS_SQL = f"""
+SELECT
+  'wh' || CAST(c_custkey % 5 AS STRING) AS webhook_id,
+  CASE WHEN c_custkey % 2 = 0 THEN 'Wallet' ELSE 'Token' END AS item_kind,
+  CASE WHEN c_custkey % 2 = 0
+       THEN {wallet_sql(f"c_custkey % {WALLET_MOD}")}
+       ELSE '0x' || md5('tok' || CAST(c_custkey % 11 AS STRING)) END AS address
+FROM customer
+WHERE c_custkey < 50
+"""
+
+# --- incubator seed dimension ((incubator:Entity)-[INCUBATED]->(entity):
+# MATCHed by analytics/wic/publicGoods/cyphers.py:181; the edge itself is
+# seeded out-of-band in the reference — restated as a deterministic seed
+# feed over the same org-entity keyspace the bounty rules use).
+INCUBATORS_SQL = """
+SELECT
+  'incubator' || CAST(c_custkey % 3 AS STRING) AS incubator,
+  'org' || CAST(c_custkey % 9 AS STRING) AS entity
+FROM customer
+WHERE c_custkey < 27
+"""
+
+
 ALL_FEEDS: dict[str, str] = {
     "transfers": TRANSFERS_SQL,
     "followers": FOLLOWERS_SQL,
@@ -405,6 +586,17 @@ ALL_FEEDS: dict[str, str] = {
     "grant_members": GRANT_MEMBERS_SQL,
     "websites": WEBSITES_SQL,
     "platform_accounts": PLATFORM_ACCOUNTS_SQL,
+    "locks": LOCKS_SQL,
+    "ph_communities": PH_COMMUNITIES_SQL,
+    "ph_auctions": PH_AUCTIONS_SQL,
+    "ph_proposals": PH_PROPOSALS_SQL,
+    "ph_votes": PH_VOTES_SQL,
+    "threads": THREADS_SQL,
+    "ens_events": ENS_EVENTS_SQL,
+    "grant_tags": GRANT_TAGS_SQL,
+    "bounties": BOUNTIES_SQL,
+    "webhooks": WEBHOOKS_SQL,
+    "incubators": INCUBATORS_SQL,
 }
 
 
