@@ -911,3 +911,33 @@ def test_profession_labels_bio_keywords(spark):
         ("Wallet:0xe", "CommunityManager"): ("Positions", 0.0),
         ("Wallet:0xe", "DeveloperRelationsLead"): ("Positions", 0.0),
     }
+
+
+def test_audience_edges_both_projections(spark):
+    # one audience per matched context AND per matched condition
+    # (audiences/cyphers.py:58-78); duplicate label rows collapse per
+    # (wallet, audience, citation) exactly as MERGE does
+    from web3_knowledge_graph_spark.operators.wic import audience_edges
+
+    labels = spark.createDataFrame(
+        [
+            (7, "HighActivity", "PowerUsers", 5.0),
+            (7, "HighActivity", "PowerUsers", 5.0),  # dup row
+            (7, "BigSpender", "PowerUsers", 3.0),    # same context, new cond
+            (9, "HighActivity", "ActiveUsers", 2.0),
+        ],
+        "entity_id long, condition string, context string, weight double",
+    )
+    got = {
+        tuple(r)
+        for r in audience_edges(labels)
+        .select("subj_key", "pred", "obj_key")
+        .collect()
+    }
+    assert got == {
+        ("7", "IS_PART_OF", "PowerUsers"),
+        ("7", "IS_PART_OF", "HighActivity"),
+        ("7", "IS_PART_OF", "BigSpender"),
+        ("9", "IS_PART_OF", "ActiveUsers"),
+        ("9", "IS_PART_OF", "HighActivity"),
+    }

@@ -1726,6 +1726,16 @@ def q_wic_labels(spark, sf_dir):
     return wic_labels(_t(spark, sf_dir, "events"))
 
 
+def q_audience_edges(spark, sf_dir):
+    """Wallet IS_PART_OF Audience, one audience per matched WIC context
+    and per matched condition (postProcessing/audiences/cyphers.py:58-78)."""
+    from .operators.wic import audience_edges, wic_labels
+
+    return ER.as_named_triples(
+        audience_edges(wic_labels(_t(spark, sf_dir, "events")))
+    )
+
+
 def q_wic_scores(spark, sf_dir):
     """WIC reputation rollup (wicScore/analyze.py:16-41): weighted degree
     per entity over the full tree, max-normalized ×100."""
@@ -2396,6 +2406,19 @@ FROM events WHERE ts > TIMESTAMP '2024-01-25'
 GROUP BY event_type
 """,
     "wic_labels": f"{_WIC_CTES}\n{_wic_labels_sql()}",
+    # (wallet)-[IS_PART_OF]->(audience), one audience per matched WIC
+    # context AND one per matched condition (audiences/cyphers.py:58-78)
+    "audience_edges": f"""{_WIC_CTES},
+labels AS ({_wic_labels_sql()})
+SELECT DISTINCT 'Wallet:' || CAST(entity_id AS STRING) AS subj,
+  'IS_PART_OF' AS pred, 'Audience:' || context AS obj,
+  CAST(1.0 AS DOUBLE) AS weight,
+  'audience by context (audiences/cyphers.py:58-67)' AS citation FROM labels
+UNION
+SELECT DISTINCT 'Wallet:' || CAST(entity_id AS STRING), 'IS_PART_OF',
+  'Audience:' || condition, CAST(1.0 AS DOUBLE),
+  'audience by condition (audiences/cyphers.py:69-78)' FROM labels
+""",
     "wic_scores": f"""{_WIC_CTES},
 labels AS ({_wic_labels_sql()}),
 deg AS (SELECT entity_id, SUM(weight) AS raw_score FROM labels GROUP BY entity_id)
@@ -4231,6 +4254,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ens_registry_edges": q_ens_registry_edges,
         "bounty_edges": q_bounty_edges,
         "watch_edges": q_watch_edges,
+        "audience_edges": q_audience_edges,
         "professions": q_professions,
         "wic_reputation_full": q_wic_reputation_full,
         "communities_refined": q_communities_refined,

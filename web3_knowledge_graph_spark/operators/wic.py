@@ -552,3 +552,44 @@ def wic_labels(events: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def audience_edges(labels: DataFrame) -> DataFrame:
+    """WIC labels → (wallet)-[:IS_PART_OF]->(audience) edges.
+
+    Reference: postProcessing/audiences/cyphers.py:58-67
+    (create_audience_by_context: one audience per _Context match) and
+    :69-78 (create_audience_by_condition: one per _Condition match). The
+    reference's toRemove flag/sweep cycle (cyphers.py:44-56,82-94) is its
+    idempotence mechanism for re-runs — restated here by the snapshot
+    semantics of the materialized relation (each run emits the full
+    current edge set; merge_upsert absorbs re-runs).
+
+    Two distinct projections off ONE pass over the label relation —
+    context- and condition-keyed audiences both ride the same scan; the
+    union dedups per (wallet, audience) exactly as MERGE does.
+    """
+    wallet = F.col("entity_id").cast("string")
+    by_ctx = labels.select(
+        F.lit("Wallet").alias("subj_label"),
+        wallet.alias("subj_key"),
+        F.lit("IS_PART_OF").alias("pred"),
+        F.lit("Audience").alias("obj_label"),
+        F.col("context").alias("obj_key"),
+        F.lit(1.0).cast("double").alias("weight"),
+        F.lit("audience by context (audiences/cyphers.py:58-67)")
+        .cast("string").alias("citation"),
+    )
+    by_cond = labels.select(
+        F.lit("Wallet").alias("subj_label"),
+        wallet.alias("subj_key"),
+        F.lit("IS_PART_OF").alias("pred"),
+        F.lit("Audience").alias("obj_label"),
+        F.col("condition").alias("obj_key"),
+        F.lit(1.0).cast("double").alias("weight"),
+        F.lit("audience by condition (audiences/cyphers.py:69-78)")
+        .cast("string").alias("citation"),
+    )
+    return by_ctx.unionByName(by_cond).dropDuplicates(
+        ["subj_key", "pred", "obj_key", "citation"]
+    )
