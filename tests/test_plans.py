@@ -326,3 +326,28 @@ def test_feed_rel_cache_bounded_and_clearable(spark):
     assert not dq._FEED_REL_CACHE
     assert not rel.storageLevel.useMemory
     fake2.unpersist()
+
+
+def test_feed_rel_cached_partitioning_sane(spark):
+    """PLANS.md 'Session plan hygiene': with
+    canChangeCachedPlanOutputPartitioning=true AQE coalesces INSIDE the
+    persist()-cached feed union — without it the cache materializes at
+    sum-of-branches raw shuffle partitions (22 feeds × shuffle.partitions,
+    observed ~1400) and that degenerate partitioning poisons every
+    consumer stage (round-4 regression). The cached relation must come
+    back at a sane partition count, not the raw branch sum."""
+    import web3_knowledge_graph_spark.driver_queries as dq
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+        == "true"
+    )
+    dq.clear_feed_cache()
+    try:
+        rel = dq._feed_rel(spark, SF)
+        n_feeds = 33  # sources/feeds.ALL_FEEDS
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        raw_branch_sum = n_feeds * shuffle_parts
+        assert rel.rdd.getNumPartitions() < raw_branch_sum // 4
+    finally:
+        dq.clear_feed_cache()
