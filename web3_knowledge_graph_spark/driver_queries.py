@@ -344,11 +344,16 @@ HAVING MAX(ts) < TIMESTAMP '2024-01-31 06:00:00' - INTERVAL 12 HOUR
 def _page_alias_relations(spark, sf_dir, pages=None):
     p = _pages(spark, sf_dir) if pages is None else pages
     wallet = F.lower(F.regexp_extract("text", AUTHOR_RE, 1))
+    # ONE materialized pass over the corpus text: reg and th both derive
+    # from base, and without the checkpoint each consumer re-runs the
+    # three regex extracts over the full text column. base is narrow —
+    # one row per authored page, wallet + two small arrays, text dropped
+    # — so the materialization is bounded at any corpus scale.
     base = p.select(
         wallet.alias("wallet"),
         M.extract_ens_names(F.col("text")).alias("ens_l"),
         M.extract_handles(F.col("text")).alias("handle_l"),
-    ).where(F.length("wallet") == 42)
+    ).where(F.length("wallet") == 42).localCheckpoint()
     reg = base.select("wallet", F.explode("ens_l").alias("ens")).distinct()
     th = (
         base.select(F.explode("handle_l").alias("handle"), F.col("ens_l"))
@@ -3723,35 +3728,39 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize mentions + the small derived relations once: every
     # downstream edge/node family re-derives the regex-extraction DAG
     # otherwise, and the fused mega-plan is also expensive to codegen.
-    # The three materializations (mentions, registrations, twitter-handle
-    # relation) all depend ONLY on the checkpointed pages — independent
-    # job DAGs, so run them on parallel threads and let the scheduler
-    # interleave their stages (serial they cost extract + alias wall;
-    # interleaved, max of the two).
-    reg0, th0 = _page_alias_relations(spark, sf_dir, pages=pages)
+    # The two corpus passes (mention extraction; the alias-relation
+    # extract inside _page_alias_relations) both depend ONLY on the
+    # checkpointed pages — independent job DAGs, so run them on parallel
+    # threads and let the scheduler interleave their stages (serial they
+    # cost extract + alias wall; interleaved, max of the two). The alias
+    # thread materializes its shared base once and then checkpoints the
+    # two small distinct projections off it.
     stage_out: dict = {}
 
-    def _stage(key, df):
+    def _thread(key, fn):
         def _run():
             try:
-                stage_out[key] = df.localCheckpoint()
+                stage_out[key] = fn()
             except BaseException as exc:
                 stage_out[f"{key}_exc"] = exc
         t = threading.Thread(target=_run, name=f"stage-{key}")
         t.start()
         return t
 
+    def _alias_job():
+        reg0, th0 = _page_alias_relations(spark, sf_dir, pages=pages)
+        return reg0.localCheckpoint(), th0.localCheckpoint()
+
     stage_threads = [
-        _stage("mentions", extract_stage(pages, alias_dict)),
-        _stage("reg", reg0),
-        _stage("th", th0),
+        _thread("mentions", lambda: extract_stage(pages, alias_dict).localCheckpoint()),
+        _thread("alias", _alias_job),
     ]
     for t in stage_threads:
         t.join()
-    for key in ("mentions_exc", "reg_exc", "th_exc"):
+    for key in ("mentions_exc", "alias_exc"):
         if key in stage_out:
             raise stage_out[key]
-    mentions, reg, th = stage_out["mentions"], stage_out["reg"], stage_out["th"]
+    mentions, (reg, th) = stage_out["mentions"], stage_out["alias"]
     registrations = reg.select(
         F.col("ens").alias("name"), F.col("wallet").alias("owner")
     ).withColumns(
