@@ -351,3 +351,17 @@ def test_feed_rel_cached_partitioning_sane(spark):
         assert rel.rdd.getNumPartitions() < raw_branch_sum // 4
     finally:
         dq.clear_feed_cache()
+
+
+def test_language_id_is_a_pure_map(spark):
+    """PLANS.md: language ID folds per-language stopword hits row-locally
+    — a corpus-scale classifier must not shuffle O(corpus tokens) rows
+    (the former explode → broadcast-join → groupBy spelling did exactly
+    that). The AQE-final plan must contain no Exchange at all."""
+    from web3_knowledge_graph_spark.datasets.textstats import language_id
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(language_id(docs))
+    assert "Exchange" not in plan
+    # '*(n)' marks whole-stage-codegen spans in the executedPlan string
+    assert plan.lstrip().startswith("*(")

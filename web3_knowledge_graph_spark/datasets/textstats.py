@@ -54,33 +54,48 @@ def ws_token_count(text: F.Column) -> F.Column:
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Stopword-hit language ID: explode word tokens, broadcast-join the
-    per-language stopword dictionary, argmax hits per doc (ties broken by
-    lang ascending — deterministic). Docs with zero hits → 'und'.
-    Returns (doc_id, guessed_lang, hits)."""
-    spark = docs.sparkSession
-    dic = F.broadcast(
-        spark.createDataFrame(stopword_rows(), "lang string, word string")
+    """Stopword-hit language ID: per-language stopword-occurrence counts
+    folded ROW-LOCALLY (one filter over the materialized token array per
+    language — the dictionary is 5 langs × 10 words, a literal), argmax
+    per doc with ties broken by lang ascending — deterministic. Docs with
+    zero hits in every language → 'und'. Returns (doc_id, guessed_lang,
+    hits).
+
+    Scale shape: a PURE MAP. The former explode → broadcast-join →
+    groupBy(doc, lang) spelling shuffled O(corpus tokens) rows for what
+    is logically a per-row computation; this plan has zero exchanges and
+    scales with scan bandwidth alone. The argmax fold iterates languages
+    in ascending order and replaces only on STRICTLY greater hits, which
+    reproduces the join plan's ORDER BY hits DESC, lang ASC exactly."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("_toks")
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("word")
-    )
-    hits = (
-        toks.join(dic, "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang").asc())
-    best = (
-        hits.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("doc_id", F.col("lang").alias("guessed_lang"), "hits")
-    )
-    all_ids = docs.select(F.col(id_col).alias("doc_id"))
-    return all_ids.join(best, "doc_id", "left").select(
+
+    def _in(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in sorted(words)])
+        # one-arg closure (see bm25's _eq): a two-arg lambda would receive
+        # the element index as its second argument
+        return lambda t: F.array_contains(arr, t)
+
+    counted = toked.select(
         "doc_id",
-        F.coalesce("guessed_lang", F.lit("und")).alias("guessed_lang"),
-        F.coalesce("hits", F.lit(0)).alias("hits"),
+        *[
+            F.size(F.filter(F.col("_toks"), _in(STOPWORDS[lang])))
+            .cast("long")
+            .alias(f"_h_{lang}")
+            for lang in sorted(LANGS)
+        ],
+    )
+    best_lang, best_hits = F.lit("und"), F.lit(0).cast("long")
+    for lang in sorted(LANGS):  # ascending: first strict max wins ties
+        h = F.col(f"_h_{lang}")
+        gt = h > best_hits
+        best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(gt, h).otherwise(best_hits)
+    return counted.select(
+        "doc_id",
+        best_lang.alias("guessed_lang"),
+        best_hits.alias("hits"),
     )
 
 
