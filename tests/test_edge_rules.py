@@ -613,3 +613,75 @@ def test_watch_edges_item_label_and_seeds(spark):
         ("Token", "0xt", "IS_WATCHED_BY", "w1"),
         ("Entity", "inc1", "INCUBATED", "org1"),
     }
+
+
+def test_null_endpoint_gates_drop_rows(spark):
+    # sparse real feeds carry NULL endpoint columns; the reference's
+    # endpoint MATCH silently drops such rows — no NULL-keyed edges
+    # (round-4 advice: IS_CREATOR / IS_OWNER / IS_RECEIPIENT / USE_TOKEN /
+    # unlock manager & holder)
+    sig = spark.createDataFrame(
+        [(W1, W2, None), (W3, W2, W1)],
+        "owner_address string, multisig string, creator string",
+    )
+    out = ER.signer_edges(sig)
+    assert out.where(F.col("subj_key").isNull()).count() == 0
+    assert _rows(
+        out.where(F.col("pred") == "IS_CREATOR").select("subj_key")
+    ) == {(W1,)}
+
+    nft = spark.createDataFrame(
+        [("u1", "n1", None, None), ("u2", "n2", W1, W2)],
+        "article_url string, nft_id string, owner string,"
+        " funding_recipient string",
+    )
+    nout = ER.nft_edges(nft)
+    assert nout.where(F.col("subj_key").isNull()).count() == 0
+    assert _rows(nout.select("pred", "subj_key", "obj_key")) == {
+        ("HAS_NFT", "u1", "n1"),
+        ("HAS_NFT", "u2", "n2"),
+        ("IS_OWNER", W1, "n2"),
+        ("IS_RECEIPIENT", W2, "n2"),
+    }
+
+    locks = spark.createDataFrame(
+        [("l1", "k1", None, None), ("l2", "k2", W1, W2)],
+        "lock_address string, key_address string, manager string,"
+        " holder string",
+    )
+    lout = ER.unlock_edges(locks)
+    assert lout.where(F.col("subj_key").isNull()).count() == 0
+    assert lout.where(F.col("obj_key").isNull()).count() == 0
+    preds = _rows(lout.select("pred", "subj_key"))
+    assert ("CREATED", W1) in preds and ("HOLDS", W2) in preds
+    assert lout.where(F.col("pred") == "CREATED").count() == 1
+    assert lout.where(F.col("pred") == "HOLDS").count() == 2
+
+    dele = spark.createDataFrame(
+        [("p1", W1, W2, None), ("p2", W1, W2, "0xT")],
+        "protocol string, delegator string, delegate string,"
+        " contract_address string",
+    )
+    dout = ER.delegation_role_edges(dele)
+    assert dout.where(F.col("obj_key").isNull()).count() == 0
+    assert _rows(
+        dout.where(F.col("pred") == "USE_TOKEN").select("subj_key", "obj_key")
+    ) == {("p2", "0xt")}
+
+
+def test_watch_edges_junk_kind_dropped(spark):
+    # a miscased or junk item_kind must not mint a node-label keyspace —
+    # the reference MATCH restricts to :Wallet|:Token (round-4 advice)
+    wh = spark.createDataFrame(
+        [("w1", "Wallet", W1), ("w1", "wallet", W2), ("w1", "NFT", "0xT")],
+        "webhook_id string, item_kind string, address string",
+    )
+    inc = spark.createDataFrame(
+        [("inc1", "org1")], "incubator string, entity string"
+    )
+    got = _rows(
+        ER.watch_edges(wh, inc)
+        .where(F.col("pred") == "IS_WATCHED_BY")
+        .select("subj_label", "subj_key")
+    )
+    assert got == {("Wallet", W1)}

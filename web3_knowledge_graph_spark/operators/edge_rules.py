@@ -377,10 +377,15 @@ def signer_edges(multisig_signers: DataFrame) -> DataFrame:
             F.col("multisig"),
             citation="multisig signer (multisig/cyphers.py:46-57)",
         ),
-        _edge_struct(
-            "Wallet", F.col("creator"), "IS_CREATOR", "Wallet",
-            F.col("multisig"),
-            citation="multisig creator (multisig/cyphers.py:60-70)",
+        # NULL creator → no edge: the reference's MERGE would MATCH the
+        # creator wallet first, silently dropping unknown-creator rows
+        F.when(
+            F.col("creator").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("creator"), "IS_CREATOR", "Wallet",
+                F.col("multisig"),
+                citation="multisig creator (multisig/cyphers.py:60-70)",
+            ),
         ),
     ).dropDuplicates(list(EDGE_COLS))
 
@@ -405,14 +410,22 @@ def nft_edges(nfts: DataFrame) -> DataFrame:
             "Page", F.col("article_url"), "HAS_NFT", "Nft", F.col("nft_id"),
             citation="article NFT (mirror/cyphers.py:111-135)",
         ),
-        _edge_struct(
-            "Wallet", F.col("owner"), "IS_OWNER", "Nft", F.col("nft_id"),
-            citation="NFT owner (mirror/cyphers.py:138-158)",
+        F.when(
+            F.col("owner").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("owner"), "IS_OWNER", "Nft", F.col("nft_id"),
+                citation="NFT owner (mirror/cyphers.py:138-158)",
+            ),
         ),
-        _edge_struct(
-            "Wallet", F.col("funding_recipient"), "IS_RECEIPIENT", "Nft",
-            F.col("nft_id"),
-            citation="NFT funding recipient (mirror/cyphers.py:158-176)",
+        # sparse real feeds can carry NULL recipients; the reference's
+        # endpoint MATCH drops them (round-4 advice)
+        F.when(
+            F.col("funding_recipient").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("funding_recipient"), "IS_RECEIPIENT", "Nft",
+                F.col("nft_id"),
+                citation="NFT funding recipient (mirror/cyphers.py:158-176)",
+            ),
         ),
     ).dropDuplicates(list(EDGE_COLS))
 
@@ -898,10 +911,13 @@ def delegation_role_edges(delegations: DataFrame) -> DataFrame:
             F.col("protocol"),
             citation="delegate link (delegation/cyphers.py:130-152)",
         ),
-        _edge_struct(
-            "Delegation", F.col("protocol"), "USE_TOKEN", "Token",
-            F.col("contract_address"),
-            citation="delegation token (delegation/cyphers.py:71-88)",
+        F.when(
+            F.col("contract_address").isNotNull(),
+            _edge_struct(
+                "Delegation", F.col("protocol"), "USE_TOKEN", "Token",
+                F.col("contract_address"),
+                citation="delegation token (delegation/cyphers.py:71-88)",
+            ),
         ),
     ).dropDuplicates(list(EDGE_COLS))
 
@@ -928,23 +944,38 @@ def unlock_edges(locks: DataFrame) -> DataFrame:
         canonical_key("manager").alias("manager"),
         canonical_key("holder").alias("holder"),
     )
+    # manager/holder NULL-gates: the reference MATCHes the wallet endpoint
+    # before each MERGE, so rows with no known manager/holder emit nothing
+    # (round-4 advice)
     return _explode_families(
         rows,
-        _edge_struct(
-            "Wallet", F.col("manager"), "CREATED", "Nft", F.col("lock_address"),
-            citation="lock manager (unlock/cyphers.py:71-85)",
+        F.when(
+            F.col("manager").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("manager"), "CREATED", "Nft",
+                F.col("lock_address"),
+                citation="lock manager (unlock/cyphers.py:71-85)",
+            ),
         ),
         _edge_struct(
             "Nft", F.col("lock_address"), "HAS_KEY", "Nft", F.col("key_address"),
             citation="lock key (unlock/cyphers.py:88-105)",
         ),
-        _edge_struct(
-            "Wallet", F.col("holder"), "HOLDS", "Nft", F.col("lock_address"),
-            citation="lock holder (unlock/cyphers.py:108-124)",
+        F.when(
+            F.col("holder").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("holder"), "HOLDS", "Nft",
+                F.col("lock_address"),
+                citation="lock holder (unlock/cyphers.py:108-124)",
+            ),
         ),
-        _edge_struct(
-            "Wallet", F.col("holder"), "HOLDS", "Nft", F.col("key_address"),
-            citation="key holder (unlock/cyphers.py:127-140)",
+        F.when(
+            F.col("holder").isNotNull(),
+            _edge_struct(
+                "Wallet", F.col("holder"), "HOLDS", "Nft",
+                F.col("key_address"),
+                citation="key holder (unlock/cyphers.py:127-140)",
+            ),
         ),
     ).dropDuplicates(list(EDGE_COLS))
 
@@ -1255,11 +1286,14 @@ def watch_edges(webhooks: DataFrame, incubators: DataFrame) -> DataFrame:
     incubator seed dimension (incubator entity)-[:INCUBATED]->(org
     entity) that analytics/wic/publicGoods/cyphers.py:181 MATCHes (seeded
     out-of-band in the reference)."""
+    # the reference restricts the watched item to :Wallet|:Token via the
+    # MATCH label (alchemyWebhooks/cyphers.py:94-110); a junk or miscased
+    # kind must not mint a new node-label keyspace (round-4 advice)
     wh = webhooks.select(
         canonical_key("webhook_id").alias("webhook_id"),
         canonical_key("address").alias("address"),
         F.col("item_kind").cast("string").alias("item_kind"),
-    ).dropDuplicates()
+    ).where(F.col("item_kind").isin("Wallet", "Token")).dropDuplicates()
     e_watch = wh.select(
         F.col("item_kind").alias("subj_label"),
         F.col("address").alias("subj_key"),
