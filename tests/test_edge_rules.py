@@ -560,17 +560,22 @@ def test_ens_registry_event_kinds(spark):
         (W1, "REGISTERED", "n1.eth"),
         (W1, "TRANSFERRED", W2),
         (W2, "BURNED", "n1.eth"),
+        # registrations also land the entity→alias name edge
+        # (helpers/queries.py:170-183), name-keyed — one row per name
+        ("n1.eth", "HAS_NAME", "n1.eth"),
     }
 
 
 def test_bounty_edges_gates(spark):
     bounties = spark.createDataFrame(
         [
-            ("b1", "org1", "u1", W1, "fulfilled"),
-            ("b2", "org1", "u2", None, "interested"),  # NULL → no HAS_WALLET
-            ("b3", "org2", "u3", W3, "open"),          # no engagement family
+            ("b1", "org1", "o1", "u1", W1, "fulfilled"),
+            # NULL wallet → no HAS_WALLET
+            ("b2", "org1", "o1", "u2", None, "interested"),
+            # no engagement family; NULL owner → no IS_OWNER
+            ("b3", "org2", None, "u3", W3, "open"),
         ],
-        "bounty_id string, org_name string, user_id string,"
+        "bounty_id string, org_name string, owner_id string, user_id string,"
         " user_wallet string, status string",
     )
     tags = spark.createDataFrame(
@@ -590,6 +595,8 @@ def test_bounty_edges_gates(spark):
         ("org1", "HAS_BOUNTY", "b1"),
         ("org1", "HAS_BOUNTY", "b2"),
         ("org2", "HAS_BOUNTY", "b3"),
+        ("o1", "IS_OWNER", "b1"),
+        ("o1", "IS_OWNER", "b2"),
         ("u1", "HAS_FULLFILLED", "b1"),
         ("u2", "HAS_INTEREST", "b2"),
         ("u1", "HAS_WALLET", W1),

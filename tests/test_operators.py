@@ -732,6 +732,59 @@ def test_refine_partition_moves_bridge_node(spark):
     assert abs(q_after - 5 / 14) < 1e-12
 
 
+def test_refine_partition_fixed_point(spark):
+    """Round-5 multi-sweep refinement: (a) on the two-triangle bridge
+    graph one sweep reaches the fixed point, so the fixed-point result
+    equals the single sweep and a further sweep is a no-op (the
+    early-exit ≡ full-unroll equivalence the SQL oracle relies on);
+    (b) on a graph where synchronous moves keep interacting, the
+    fixed-point result still equals exactly max_sweeps unrolled
+    refine_partition applications — the invariant that keeps the Spark
+    side replayable by the sweeps-deep oracle unroll; (c) Q never drops
+    below the single-sweep Q on the converging fixture."""
+    from web3_knowledge_graph_spark.operators.communities import (
+        partition_modularity,
+        refine_partition,
+        refine_partition_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    wrong = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 200), (5, 200), (6, 200)],
+        "id long, community long",
+    )
+    one = refine_partition(edges, wrong)
+    fixed = refine_partition_fixed_point(edges, wrong, max_sweeps=3)
+    as_map = lambda df: {r["id"]: r["community"] for r in df.collect()}  # noqa: E731
+    assert as_map(fixed) == as_map(one) == {
+        1: 100, 2: 100, 3: 100, 4: 200, 5: 200, 6: 200
+    }
+    # idempotence at the fixed point
+    assert as_map(refine_partition(edges, fixed)) == as_map(fixed)
+    q1 = sum(r["q_term"] for r in partition_modularity(edges, one).collect())
+    qf = sum(r["q_term"] for r in partition_modularity(edges, fixed).collect())
+    assert qf >= q1
+
+    # interacting-moves fixture: a pendant pair (4, 5) mutually prefers
+    # each other's singleton community, so synchronous sweeps oscillate —
+    # the fixed-point result must still equal the plain 3-sweep unroll
+    osc_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    osc_lab = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 400), (5, 500)],
+        "id long, community long",
+    )
+    unrolled = osc_lab
+    for _ in range(3):
+        unrolled = refine_partition(osc_edges, unrolled)
+    got = refine_partition_fixed_point(osc_edges, osc_lab, max_sweeps=3)
+    assert as_map(got) == as_map(unrolled)
+
+
 def test_graph_wic_labels_each_rule_kind(spark):
     """One literal triple set exercising every GRAPH_WIC_TREE rule kind:
     exists (obj-label scoped), count-threshold, child-pred guard, and
@@ -851,6 +904,95 @@ def test_graph_wic_farmer_and_influencer_kinds(spark):
         (W[1], "SpamTokenDeployer"): (-2.0, 1.0),
         ("Page:u1", "MirrorInfluencer"): (0.9, 2.0),
     }
+
+
+def test_graph_wic_publicgoods_tail_and_cosigners(spark):
+    """The round-5 publicGoods tail (cyphers.py:59-191) and the farmers
+    cosigner expansion (farmers/cyphers.py:115-137), hand-traced:
+    paradigm name-CONTAINS seeding, dao-vote counting, incubator member /
+    participant walks, the bounty-creator median benchmark, and the
+    context copy to uncontexted multisig co-signers."""
+    from web3_knowledge_graph_spark.operators.wic import (
+        cosigner_buddies,
+        cosigner_expansion,
+        graph_wic_labels,
+        paradigm_entities,
+    )
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcdef"]
+    tree = [
+        ("Grants", "GrantsDao", 0.7,
+         "count_paradigm", ("VOTED", "HAS_PROPOSAL", ("metacartel", "gitcoin"))),
+        ("Incubators", "IncubatorMember", 1.25,
+         "subjects_paradigm", ("VOTED", "HAS_PROPOSAL", ("seed club",))),
+        ("Incubators", "IncubatorParticipant", 1.25,
+         "subjects_incubated", ("VOTED", "HAS_PROPOSAL", "INCUBATED")),
+        ("Bounties", "GitcoinBountyAdmin", 0.75,
+         "benchmark_two_hop", ("IS_OWNER", "Bounty", "HAS_WALLET", "Wallet")),
+        ("WashTrading", "NftWashTrading", -1.25, "seed_subjects", ((W[4],),)),
+    ]
+    t = []
+    # paradigm entities by name-CONTAINS: 'Entity:metacartel dao' and
+    # 'Entity:gitcoin' match the gdao seeds; 'Entity:seed club' the
+    # incubator seed; 'Entity:other' matches none
+    t += [("Entity:metacartel dao", "HAS_PROPOSAL", "Proposal:p1"),
+          ("Entity:gitcoin", "HAS_PROPOSAL", "Proposal:p2"),
+          ("Entity:seed club", "HAS_PROPOSAL", "Proposal:p3"),
+          ("Entity:other", "HAS_PROPOSAL", "Proposal:p4"),
+          ("Entity:incubated co", "HAS_PROPOSAL", "Proposal:p5")]
+    # a votes on BOTH gdao proposals (metric 2), b on one (metric 1),
+    # c only on the non-paradigm p4 (no label)
+    t += [(W[0], "VOTED", "Proposal:p1"), (W[0], "VOTED", "Proposal:p2"),
+          (W[1], "VOTED", "Proposal:p2"), (W[2], "VOTED", "Proposal:p4")]
+    # b votes on the incubator's own proposal → member
+    t += [(W[1], "VOTED", "Proposal:p3")]
+    # seed club INCUBATED 'incubated co'; c votes on its proposal →
+    # participant (and 'other' is NOT incubated, so p4 voters stay out)
+    t += [("Entity:seed club", "INCUBATED", "Entity:incubated co"),
+          (W[2], "VOTED", "Proposal:p5")]
+    # bounty creators: gh1 owns 1 bounty → wallet d; gh2 owns 3 → wallet e;
+    # median count 2 → metrics 0.5 and 1.5
+    t += [("Github:gh1", "IS_OWNER", "Bounty:b0"),
+          ("Github:gh1", "HAS_WALLET", W[3]),
+          ("Github:gh2", "HAS_WALLET", W[4])]
+    t += [("Github:gh2", "IS_OWNER", f"Bounty:b{i}") for i in range(1, 4)]
+    # cosigners: e (a farmer via the seed rule) signs multisig m1 with f
+    # (uncontexted → gains FarmerCosigner); d signs m2 alone (no farmer
+    # on m2 → nothing); a farmer co-signing with another farmer adds none
+    t += [(W[4], "IS_SIGNER", "Wallet:0xm1"), (W[5], "IS_SIGNER", "Wallet:0xm1"),
+          (W[3], "IS_SIGNER", "Wallet:0xm2")]
+
+    trip = spark.createDataFrame(t, "subj string, pred string, obj string")
+    ents = {r.e for r in paradigm_entities(trip, ("metacartel", "gitcoin")).collect()}
+    assert ents == {"Entity:metacartel dao", "Entity:gitcoin"}
+
+    base = graph_wic_labels(trip, tree=tree)
+    got = {
+        (r.entity_id, r.context): (r.weight, r.metric)
+        for r in base.collect()
+    }
+    assert got == {
+        (W[0], "GrantsDao"): (0.7, 2.0),
+        (W[1], "GrantsDao"): (0.7, 1.0),
+        (W[1], "IncubatorMember"): (1.25, 1.0),
+        (W[2], "IncubatorParticipant"): (1.25, 1.0),
+        (W[3], "GitcoinBountyAdmin"): (0.75, 0.5),   # 1 / median 2
+        (W[4], "GitcoinBountyAdmin"): (0.75, 1.5),   # 3 / median 2
+        (W[4], "NftWashTrading"): (-1.25, 1.0),
+    }
+
+    cos = {
+        (r.entity_id, r.context, r.weight)
+        for r in cosigner_expansion(base, trip).collect()
+    }
+    # only f: e holds a farmer context and shares m1; d's GitcoinBountyAdmin
+    # is NOT a farmer context, so m2 is untainted
+    assert cos == {(W[5], "FarmerCosigner", -0.5)}
+    buds = {
+        (r.subj, r.pred, r.obj, r.context)
+        for r in cosigner_buddies(base, trip).collect()
+    }
+    assert buds == {(W[5], "_HAS_CONTEXT_BUDDY", W[4], "FarmerCosigner")}
 
 
 def test_reputation_scores_signed(spark):

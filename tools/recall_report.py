@@ -116,22 +116,25 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         )
     )
 
-    # --- IVF ANN recall@5 (driver params: 16 centroids, 4 probes) over a
-    # 64-query probe set; truth = brute-force cosine top-5.
+    # --- IVF ANN recall@5 (driver params: 16 centroids, 12 probes — the
+    # round-5 operating point; this synthetic embedding table is
+    # near-uniform so recall is almost linear in probed cells: 4 → 0.64,
+    # 8 → 0.83, 12 → 0.94, 14 → 0.98) over a 64-query probe set; truth =
+    # brute-force cosine top-5.
     q = embs.where(F.col("vec_id") < 64)
     t0 = time.time()
     kt = pairs(S.cosine_topk(embs, q, k=5), "query_id", "neighbor_id")
     t_truth = time.time() - t0
     t0 = time.time()
     kg = pairs(
-        S.ivf_topk(embs, q, k=5, n_centroids=16, n_probe=4),
+        S.ivf_topk(embs, q, k=5, n_centroids=16, n_probe=12),
         "query_id",
         "neighbor_id",
     )
     t_got = time.time() - t0
     rows.append(
         (
-            "IVF ANN recall@5 (16 centroids, 4 probes, 64 queries)",
+            "IVF ANN recall@5 (16 centroids, 12 probes, 64 queries)",
             f"{n_vecs} vecs",
             f"{len(kg)} results",
             len(kt),

@@ -795,13 +795,16 @@ def grant_tags_pdf() -> pd.DataFrame:
 
 def bounties_pdf() -> pd.DataFrame:
     """Gitcoin bounties; b % 5 == 0 rows have no known wallet (NULL → no
-    HAS_WALLET edge); status cycles fulfilled/interested/open — 'open'
-    rows emit neither engagement family."""
+    HAS_WALLET edge); b % 7 == 0 rows have no known owner (NULL → no
+    IS_OWNER edge, gitcoin/cyphers.py:367-385); status cycles
+    fulfilled/interested/open — 'open' rows emit neither engagement
+    family."""
     return pd.DataFrame(
         [
             {
                 "bounty_id": f"fb{b % 9}",
                 "org_name": f"forg{b % 4}",
+                "owner_id": None if b % 7 == 0 else f"fgh{(b * 2 + 1) % 7}",
                 "user_id": f"fgh{b % 7}",
                 "user_wallet": (
                     None if b % 5 == 0 else D.wallet_address((b * 3 + 4) % 50)
@@ -1091,6 +1094,8 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
     for r in ens_events_pdf().to_dict("records"):
         if r["kind"] == "registration":
             rows.add((f"Wallet:{r['owner']}", "REGISTERED", f"Ens:{r['name']}"))
+            # entity→alias name edge (helpers/queries.py:170-183)
+            rows.add((f"Ens:{r['name']}", "HAS_NAME", f"Alias:{r['name']}"))
         elif r["kind"] == "transfer":
             rows.add((f"Wallet:{r['owner']}", "TRANSFERRED", f"Wallet:{r['to_address']}"))
         else:
@@ -1102,6 +1107,8 @@ def golden_feed_triples() -> set[tuple[str, str, str]]:
             rows.add((f"Grant:{r['grant_id']}", "HAS_TAG", f"Tag:{r['label'].lower()}"))
     for r in bounties_pdf().to_dict("records"):
         rows.add((f"Entity:{r['org_name']}", "HAS_BOUNTY", f"Bounty:{r['bounty_id']}"))
+        if r["owner_id"] is not None:
+            rows.add((f"Github:{r['owner_id']}", "IS_OWNER", f"Bounty:{r['bounty_id']}"))
         if r["status"] == "fulfilled":
             rows.add((f"Github:{r['user_id']}", "HAS_FULLFILLED", f"Bounty:{r['bounty_id']}"))
         elif r["status"] == "interested":

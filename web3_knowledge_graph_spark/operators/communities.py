@@ -268,38 +268,96 @@ def refine_partition(
     )
 
 
-def refine_oracle_sql(edges_cte: str, rounds: int = 4) -> str:
-    """DuckDB replay of label_propagation → ONE refine_partition sweep
-    over an ``e(a, b, w)`` symmetrized edge CTE (the label assignment is
-    the unrolled LPA subquery, so the oracles can never disagree on the
-    starting partition)."""
+def refine_partition_fixed_point(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_sweeps: int = 3,
+) -> DataFrame:
+    """Iterate refine_partition to a fixed point, bounded at
+    ``max_sweeps`` synchronous sweeps (round-5 item: the reference's
+    Louvain phase 1 iterates moves until none improves,
+    analytics/helpers/networks.py:48-59). Early-exits when a sweep
+    changes no assignment — a converged sweep is a deterministic no-op,
+    so stopping early returns EXACTLY what running all ``max_sweeps``
+    would, which keeps the result replayable by the SQL oracle's fixed
+    ``sweeps``-deep unroll regardless of where convergence lands.
+
+    Plan: each sweep is the refine_partition single-exchange plan over a
+    localCheckpointed assignment (the assignment is node-dimensional, the
+    checkpoint bounds lineage growth across sweeps); the change probe is
+    a limit-1 join count per sweep."""
+    cur = labels.select("id", "community")
+    for _ in range(max_sweeps):
+        nxt = refine_partition(
+            edges, cur, src=src, dst=dst, weight=weight
+        ).localCheckpoint()
+        changed = (
+            nxt.join(
+                cur.select("id", F.col("community").alias("c_prev")), "id"
+            )
+            .where(F.col("community") != F.col("c_prev"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return cur
+
+
+def refine_oracle_sql(edges_cte: str, rounds: int = 4, sweeps: int = 1) -> str:
+    """DuckDB replay of label_propagation → ``sweeps`` refine_partition
+    sweeps over an ``e(a, b, w)`` symmetrized edge CTE (the label
+    assignment is the unrolled LPA subquery and each sweep is a generated
+    CTE block, so the oracles can never disagree on the starting
+    partition or the sweep count — the Spark side's early exit is a
+    no-op-equivalence, see refine_partition_fixed_point)."""
     lpa = label_propagation_oracle_sql(edges_cte, rounds=rounds)
-    return f"""
-WITH {edges_cte},
-lab AS (SELECT id, community AS c0 FROM ({lpa})),
-ndeg AS (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY a),
-vol AS (SELECT lab.c0 AS c, CAST(SUM(d.deg) AS BIGINT) AS vol
-        FROM lab JOIN ndeg d USING (id) GROUP BY lab.c0),
-twom AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM e),
-kk AS (SELECT e.a AS id, lab.c0 AS c, CAST(SUM(e.w) AS BIGINT) AS k
-       FROM e JOIN lab ON e.b = lab.id GROUP BY e.a, lab.c0),
-cand AS (SELECT id, c, MAX(k) AS k FROM (
-  SELECT id, c, k FROM kk
-  UNION ALL SELECT id, c0 AS c, CAST(0 AS BIGINT) AS k FROM lab
-) GROUP BY id, c),
-scored AS (
-  SELECT cand.id, cand.c, lab.c0,
-    m2 * cand.k - ndeg.deg *
-      (vol.vol - CASE WHEN cand.c = lab.c0 THEN ndeg.deg ELSE 0 END) AS g
-  FROM cand JOIN lab USING (id) JOIN ndeg USING (id)
-  JOIN vol ON cand.c = vol.c CROSS JOIN twom),
-best AS (SELECT id, c AS c_best, g AS g_best FROM (
+    # em / lab0 MATERIALIZED: each sweep references the edge relation
+    # twice and the previous labels four times — DuckDB's default CTE
+    # inlining would re-expand the whole edges subquery (and its parquet
+    # scan) per reference, exhausting file handles at sweeps ≥ 2
+    parts = [
+        edges_cte,
+        "em AS MATERIALIZED (SELECT a, b, w FROM e)",
+        f"lab0 AS MATERIALIZED (SELECT id, community AS c0 FROM ({lpa}))",
+        "ndeg AS MATERIALIZED (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS deg"
+        " FROM em GROUP BY a)",
+        "twom AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM em)",
+    ]
+    for s in range(1, sweeps + 1):
+        p = s - 1
+        parts += [
+            f"""vol{s} AS (SELECT lb.c0 AS c, CAST(SUM(d.deg) AS BIGINT) AS vol
+        FROM lab{p} lb JOIN ndeg d USING (id) GROUP BY lb.c0)""",
+            f"""kk{s} AS (SELECT em.a AS id, lb.c0 AS c, CAST(SUM(em.w) AS BIGINT) AS k
+       FROM em JOIN lab{p} lb ON em.b = lb.id GROUP BY em.a, lb.c0)""",
+            f"""cand{s} AS (SELECT id, c, MAX(k) AS k FROM (
+  SELECT id, c, k FROM kk{s}
+  UNION ALL SELECT id, c0 AS c, CAST(0 AS BIGINT) AS k FROM lab{p}
+) GROUP BY id, c)""",
+            f"""scored{s} AS (
+  SELECT cd.id, cd.c, lb.c0,
+    m2 * cd.k - ndeg.deg *
+      (vl.vol - CASE WHEN cd.c = lb.c0 THEN ndeg.deg ELSE 0 END) AS g
+  FROM cand{s} cd JOIN lab{p} lb USING (id) JOIN ndeg USING (id)
+  JOIN vol{s} vl ON cd.c = vl.c CROSS JOIN twom)""",
+            f"""best{s} AS (SELECT id, c AS c_best, g AS g_best FROM (
   SELECT id, c, g, ROW_NUMBER() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rn
-  FROM scored) WHERE rn = 1),
-stay AS (SELECT id, g AS g_stay, c0 FROM scored WHERE c = c0)
-SELECT best.id, CASE WHEN g_best > g_stay THEN c_best ELSE c0 END AS community
-FROM best JOIN stay USING (id)
-"""
+  FROM scored{s}) WHERE rn = 1)""",
+            f"""stay{s} AS (SELECT id, g AS g_stay, c0 FROM scored{s} WHERE c = c0)""",
+            f"""lab{s} AS MATERIALIZED (SELECT bs.id,
+  CASE WHEN g_best > g_stay THEN c_best ELSE c0 END AS c0
+FROM best{s} bs JOIN stay{s} USING (id))""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, c0 AS community FROM lab{sweeps}"
+    )
 
 
 def partition_modularity_oracle_sql(edges_cte: str, rounds: int = 4) -> str:

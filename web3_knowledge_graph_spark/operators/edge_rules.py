@@ -1136,11 +1136,19 @@ def ens_registry_edges(ens_events: DataFrame) -> DataFrame:
         cyphers.py:84-99 (wallet→wallet; the name rides the edge property)
       * kind='burn'         → (from)-[:BURNED {txHash}]->(ens)
         cyphers.py:101-116
+      * kind='registration' → (ens)-[:HAS_NAME]->(alias) — the entity→
+        alias name edge (helpers/queries.py:170-183 link_ens_alias MERGEs
+        (e:Ens {{editionId}})-[:HAS_NAME]->(a:Alias {{name}})); this
+        engine keys Ens nodes by their name rather than the editionId
+        (the edition↔name mapping is one-to-one in the reference CSVs),
+        so the edge lands the Ens node into the same Alias keyspace the
+        HAS_ALIAS mention rules populate.
 
     The HAS_ALIAS / IS_OWNER domain links from the same scrape ride the
     registrations side-table path (plans/pipeline.build_graph). Edges are
     MERGE-keyed by txHash in the reference, so the dedup key here includes
-    the citation (which carries the tx) — one scan, one distinct."""
+    the citation (which carries the tx) — one scan, one distinct (the
+    tx-free HAS_NAME family is name-keyed, like the reference MERGE)."""
     rows = ens_events.select(
         canonical_key("name").alias("name"),
         canonical_key("owner").alias("owner"),
@@ -1193,7 +1201,21 @@ def ens_registry_edges(ens_events: DataFrame) -> DataFrame:
             ).cast("string").alias("citation"),
         ),
     )
-    return _explode_families(rows, reg, tra, burn).dropDuplicates(
+    has_name = F.when(
+        F.col("kind") == "registration",
+        F.struct(
+            F.lit("Ens").alias("subj_label"),
+            F.col("name").alias("subj_key"),
+            F.lit("HAS_NAME").alias("pred"),
+            F.lit("Alias").alias("obj_label"),
+            F.col("name").alias("obj_key"),
+            F.lit(1.0).cast("double").alias("weight"),
+            F.lit(
+                "ens name alias (helpers/queries.py:170-183)"
+            ).cast("string").alias("citation"),
+        ),
+    )
+    return _explode_families(rows, reg, tra, burn, has_name).dropDuplicates(
         list(EDGE_COLS)
     )
 
@@ -1212,6 +1234,9 @@ def bounty_edges(
         the grant: inner join vs the broadcast grant registry (the admins
         feed carries every ingested grant id)
       * (org entity)-[:HAS_BOUNTY]->(bounty) cyphers.py:322-345
+      * (github user)-[:IS_OWNER]->(bounty)  cyphers.py:367-385 (the
+        bounty creator link the GitcoinBountyAdmin WIC rule walks,
+        publicGoods/cyphers.py:89-114)
       * status='fulfilled' → (github user)-[:HAS_FULLFILLED]->(bounty)
         cyphers.py:453-475
       * status='interested' → (github user)-[:HAS_INTEREST]->(bounty)
@@ -1236,6 +1261,7 @@ def bounty_edges(
     b = bounties.select(
         canonical_key("bounty_id").alias("bounty_id"),
         canonical_key("org_name").alias("org_name"),
+        canonical_key("owner_id").alias("owner_id"),
         canonical_key("user_id").alias("user_id"),
         canonical_key("user_wallet").alias("user_wallet"),
         canonical_key("status").alias("status"),
@@ -1246,6 +1272,14 @@ def bounty_edges(
             "Entity", F.col("org_name"), "HAS_BOUNTY", "Bounty",
             F.col("bounty_id"),
             citation="org bounty (gitcoin/cyphers.py:322-345)",
+        ),
+        F.when(
+            F.col("owner_id").isNotNull(),
+            _edge_struct(
+                "Github", F.col("owner_id"), "IS_OWNER", "Bounty",
+                F.col("bounty_id"),
+                citation="bounty owner (gitcoin/cyphers.py:367-385)",
+            ),
         ),
         F.when(
             F.col("status") == "fulfilled",

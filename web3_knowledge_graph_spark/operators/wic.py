@@ -285,6 +285,31 @@ def profession_labels(accounts: DataFrame, tree: list | None = None) -> DataFram
 #                     ``WHERE dune.follows > 0``) restated over the
 #                     property-as-weight convention of
 #                     edge_rules.platform_account_edges
+#   count_paradigm  — subjects of pred on objects child_pred-parented by a
+#                     PARADIGM entity (an Entity whose name CONTAINS a
+#                     seed string); metric = distinct paradigm parents
+#                     (publicGoods/cyphers.py:59-87: connect_grants_daos
+#                     seeds (wic)-[:_PARADIGM_CASE]->(e) by name-CONTAINS,
+#                     connect_grant_dao_wallets then walks
+#                     (wallet)-[:VOTED]->(p)<-[:HAS_PROPOSAL]-(e) and sets
+#                     con._count = count(distinct e))
+#   subjects_paradigm — same walk, bare existence, metric 1.0
+#                     (publicGoods/cyphers.py:163-176
+#                     connect_incubators_members over the root context's
+#                     paradigm incubator entities)
+#   subjects_incubated — subjects of pred on objects child_pred-parented
+#                     by an entity that is the OBJECT of seed_pred
+#                     (publicGoods/cyphers.py:178-191
+#                     connect_incubators_participant:
+#                     (wallet)-[:VOTED]-(:Proposal)-[]-(incubated)
+#                     <-[:INCUBATED]-(incubator))
+#   benchmark_two_hop — wallet reached via mid -pred_b-> wallet counts the
+#                     mid's distinct pred_a objects; metric = count ÷
+#                     corpus median (publicGoods/cyphers.py:89-114
+#                     connect_gitcoin_bounty_creators: (bounty)-[:IS_OWNER]
+#                     -(github)-[HAS_ACCOUNT/HAS_WALLET]-(wallet) against
+#                     the get_gitcoin_bounty_creator_benchmark median; the
+#                     github↔wallet hop is this surface's HAS_WALLET link)
 # Divergences kept deliberately (documented per rule): MultisigSigner
 # drops the reference's extra `(entity)-[:HAS_ACCOUNT]->(multisig)` guard
 # (no entity↔multisig fixture surface), and the two TRANSFERRED-flow
@@ -300,6 +325,12 @@ GRAPH_WIC_TREE = [
     ("Grants", "GitcoinGrantDonor", 0.6, "count_gt", ("DONATION", "Grant", 2)),
     ("Grants", "GitcoinGrantAdmin", 0.825, "benchmark",
      ("IS_ADMIN", ("IS_ADMIN", "MEMBER_OF"), "Grant")),
+    # publicGoods/analyze.py:30-37 + cyphers.py:89-114: bounty creators
+    # against the corpus-median benchmark; the (bounty)-[:IS_OWNER]-(github)
+    # hop lands via edge_rules.bounty_edges, the github↔wallet hop is the
+    # same feed's HAS_WALLET link
+    ("Bounties", "GitcoinBountyAdmin", 0.75, "benchmark_two_hop",
+     ("IS_OWNER", "Bounty", "HAS_WALLET", "Wallet")),
     # protocolPoliticians/analyze.py:9-40 + cyphers.py:9-50
     ("Voting", "EngagedVoter", 0.5, "count_gt_child",
      ("VOTED", "HAS_PROPOSAL", 10)),
@@ -348,6 +379,29 @@ GRAPH_WIC_TREE = [
     ("Creators", "Web3DataAnalyst", 0.8,
      "subjects_weight_gt", ("HAS_ACCOUNT", "Dune", 0.0)),
 ]
+
+
+def paradigm_entities(triples: DataFrame, seeds: tuple) -> DataFrame:
+    """Entities whose name CONTAINS one of the seed strings — the
+    reference's ``MATCH (e:Entity) WHERE e.name CONTAINS '{name}'``
+    paradigm-case seeding (publicGoods/cyphers.py:59-74
+    connect_grants_daos, :146-161 connect_incubators; the per-name loop
+    becomes one OR-folded predicate over ONE distinct endpoint scan).
+    Returns one column ``e`` of 'Entity:key' node ids.
+
+    Scale: the entity keyspace is the dimension side of every feed rule
+    (orgs, communities, protocols), so the distinct union is a small
+    relation — always broadcastable to the walk that consumes it."""
+    ids = (
+        triples.select(F.col("subj").alias("e"))
+        .unionByName(triples.select(F.col("obj").alias("e")))
+        .where(F.col("e").startswith("Entity:"))
+        .dropDuplicates()
+    )
+    cond = F.lit(False)
+    for s in seeds:
+        cond = cond | F.col("e").contains(s)
+    return ids.where(cond)
 
 
 def graph_wic_labels(
@@ -462,6 +516,65 @@ def graph_wic_labels(
                 .dropDuplicates()
                 .select("subj", F.lit(1.0).alias("metric"))
             )
+        elif kind in ("count_paradigm", "subjects_paradigm"):
+            pred, child_pred, seeds = params
+            ents = paradigm_entities(triples, seeds)
+            parents = (
+                triples.where(F.col("pred") == child_pred)
+                .join(
+                    F.broadcast(ents), F.col("subj") == F.col("e")
+                )
+                .select("obj", F.col("subj").alias("par"))
+                .dropDuplicates()
+            )
+            walked = slice_(pred).join(F.broadcast(parents), "obj")
+            if kind == "count_paradigm":
+                src = (
+                    walked.dropDuplicates(["subj", "par"])
+                    .groupBy("subj")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .select(
+                        "subj", F.col("c").cast("double").alias("metric")
+                    )
+                )
+            else:
+                src = walked.select("subj").dropDuplicates().select(
+                    "subj", F.lit(1.0).alias("metric")
+                )
+        elif kind == "subjects_incubated":
+            pred, child_pred, seed_pred = params
+            incubated = (
+                triples.where(F.col("pred") == seed_pred)
+                .select(F.col("obj").alias("ent"))
+                .dropDuplicates()
+            )
+            props = (
+                triples.where(F.col("pred") == child_pred)
+                .join(F.broadcast(incubated), F.col("subj") == F.col("ent"))
+                .select("obj")
+                .dropDuplicates()
+            )
+            src = (
+                slice_(pred)
+                .join(F.broadcast(props), "obj")
+                .select("subj")
+                .dropDuplicates()
+                .select("subj", F.lit(1.0).alias("metric"))
+            )
+        elif kind == "benchmark_two_hop":
+            pred_a, label_a, pred_b, label_b = params
+            mids = slice_(pred_b, label_b).select(
+                F.col("subj").alias("subj"), F.col("obj").alias("wallet")
+            )
+            cnt = counts(
+                slice_(pred_a, label_a)
+                .join(mids, "subj")
+                .select(F.col("wallet").alias("subj"), "obj")
+            )
+            bench = cnt.agg(F.percentile("c", F.lit(0.5)).alias("b"))
+            src = cnt.crossJoin(F.broadcast(bench)).select(
+                "subj", (F.col("c") / F.col("b")).alias("metric")
+            )
         elif kind == "two_hop_count_gt":
             pred_a, pred_b, k = params
             a = slice_(pred_a)
@@ -505,6 +618,92 @@ def graph_wic_labels(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# The farmers analyzer's OpportunisticUsers contexts — the subgraph whose
+# labels seed the cosigner expansion (farmers/analyze.py:12-44)
+FARMER_CONTEXTS = (
+    "SuspiciousSnapshot", "MirrorFarmer", "NftWashTrading",
+    "SpamTokenDeployer",
+)
+
+
+def _cosigner_pairs(
+    labels: DataFrame, triples: DataFrame, farmer_contexts: tuple
+) -> DataFrame:
+    """(buddy wallet, farmer wallet) pairs sharing a multisig: the 2-hop
+    (wallet)-[:IS_SIGNER]-(:MultiSig)-[:IS_SIGNER]-(otherwallet) walk of
+    farmers/cyphers.py:115-137, where wallet already holds an
+    OpportunisticUsers context and otherwallet holds none
+    (``WHERE NOT (otherwallet)-[:_HAS_CONTEXT]->(:_OpportunisticUsers)``).
+
+    Scale: seeds (farmer wallets) are a label aggregate — dimension-sized
+    → broadcast; the signer relation joins once on the multisig key and
+    once (anti) on the seed key, never self-joining the full corpus."""
+    seeds = (
+        labels.where(F.col("context").isin(*farmer_contexts))
+        .select(F.col("entity_id").alias("w"))
+        .dropDuplicates()
+    )
+    sig = triples.where(F.col("pred") == "IS_SIGNER").select(
+        F.col("subj").alias("w"), F.col("obj").alias("m")
+    )
+    farmer_sig = sig.join(F.broadcast(seeds), "w").select(
+        "m", F.col("w").alias("farmer")
+    )
+    return (
+        sig.join(farmer_sig, "m")
+        .select(F.col("w").alias("buddy"), "farmer")
+        .dropDuplicates()
+        .join(
+            F.broadcast(seeds.withColumnRenamed("w", "buddy")),
+            "buddy",
+            "left_anti",
+        )
+    )
+
+
+def cosigner_expansion(
+    labels: DataFrame,
+    triples: DataFrame,
+    farmer_contexts: tuple = FARMER_CONTEXTS,
+    condition: str = "Cosigners",
+    context: str = "FarmerCosigner",
+    weight: float = -0.5,
+) -> DataFrame:
+    """Copy the farmers subgraph's context to uncontexted co-signers —
+    the (otherwallet)-[:_HAS_CONTEXT]->(FarmerCosigner wic) MERGE of
+    farmers/cyphers.py:115-137 connect_cosigner_expansion, as a post-pass
+    over the base label relation. The context name restates the
+    ``_FarmerCosigner`` wic label the counterparty rule excludes
+    (cyphers.py:143); the reference wires no weight for it in the
+    analyze.py conditions tree, so the weight here is a documented
+    choice keeping the context in the subgraph's negative range."""
+    return _cosigner_pairs(labels, triples, farmer_contexts).select(
+        F.col("buddy").alias("entity_id"),
+        F.lit(condition).alias("condition"),
+        F.lit(context).alias("context"),
+        F.lit(float(weight)).alias("weight"),
+        F.lit(1.0).alias("metric"),
+    ).dropDuplicates(["entity_id"])
+
+
+def cosigner_buddies(
+    labels: DataFrame,
+    triples: DataFrame,
+    farmer_contexts: tuple = FARMER_CONTEXTS,
+    context: str = "FarmerCosigner",
+) -> DataFrame:
+    """The provenance side of the expansion: one
+    (buddy)-[:_HAS_CONTEXT_BUDDY {_context}]->(farmer wallet) edge per
+    co-signer pair (farmers/cyphers.py:128-133 MERGEs the buddy edge and
+    stamps ``conbud._context`` with the context's display name)."""
+    return _cosigner_pairs(labels, triples, farmer_contexts).select(
+        F.col("buddy").alias("subj"),
+        F.lit("_HAS_CONTEXT_BUDDY").alias("pred"),
+        F.col("farmer").alias("obj"),
+        F.lit(context).alias("context"),
+    )
 
 
 def wic_labels(events: DataFrame) -> DataFrame:

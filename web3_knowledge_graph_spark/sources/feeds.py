@@ -170,9 +170,12 @@ WHERE o_orderkey % 40 = 0
 # is functionally determined by the multisig (same deployer for every
 # signer row of one safe), matching the scrape where creator comes from
 # the safe's creation tx).
+# 15 multisigs × 3 signers each (c, c+15, c+30 share a vault) — real safes
+# have several signers, and the farmers cosigner-expansion rule
+# (farmers/cyphers.py:115-137) needs co-signer pairs to walk
 MULTISIG_SIGNERS_SQL = f"""
 SELECT
-  {wallet_sql(f"(c_custkey * 31 + 60) % {WALLET_MOD}")} AS multisig,
+  {wallet_sql(f"((c_custkey % 15) * 31 + 60) % {WALLET_MOD}")} AS multisig,
   {wallet_sql(f"(c_custkey * 4 + (c_custkey % 3)) % {WALLET_MOD}")} AS owner_address,
   {wallet_sql(f"(c_custkey * 23 + 11) % {WALLET_MOD}")} AS creator
 FROM customer
@@ -526,6 +529,7 @@ BOUNTIES_SQL = f"""
 SELECT
   'bounty' || CAST(o_orderkey % 90 AS STRING) AS bounty_id,
   'org' || CAST(o_orderkey % 9 AS STRING) AS org_name,
+  'ghuser' || CAST((o_orderkey * 3 + 1) % 29 AS STRING) AS owner_id,
   'ghuser' || CAST(o_custkey % 29 AS STRING) AS user_id,
   CASE WHEN o_custkey % 7 = 0 THEN CAST(NULL AS STRING)
        ELSE {wallet_sql(f"(o_custkey * 17 + 6) % {WALLET_MOD}")} END AS user_wallet,
@@ -553,11 +557,16 @@ WHERE c_custkey < 50
 # --- incubator seed dimension ((incubator:Entity)-[INCUBATED]->(entity):
 # MATCHed by analytics/wic/publicGoods/cyphers.py:181; the edge itself is
 # seeded out-of-band in the reference — restated as a deterministic seed
-# feed over the same org-entity keyspace the bounty rules use).
+# feed). Both endpoints live in the PropHouse community-entity keyspace
+# ('Entity:ph*') because the reference's Incubator rules walk the
+# incubator's/incubatee's OWN proposals (publicGoods/cyphers.py:163-191:
+# member = voted on a paradigm incubator's proposal, participant = voted
+# on an incubated entity's proposal) — ph0-2 incubate ph3-8, where ph7/8
+# have no proposals (the MATCH-drop negatives).
 INCUBATORS_SQL = """
 SELECT
-  'incubator' || CAST(c_custkey % 3 AS STRING) AS incubator,
-  'org' || CAST(c_custkey % 9 AS STRING) AS entity
+  'ph' || CAST(c_custkey % 3 AS STRING) AS incubator,
+  'ph' || CAST(3 + (c_custkey % 6) AS STRING) AS entity
 FROM customer
 WHERE c_custkey < 27
 """
