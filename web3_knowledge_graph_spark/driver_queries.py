@@ -1564,7 +1564,15 @@ def clear_feed_cache() -> None:
         cache.clear()
 
 
-def _feed_rel(spark, sf_dir):
+def _feed_rel(spark, sf_dir, on_handle=None):
+    """The memoized feed-edge relation. ``on_handle`` (optional) is
+    called with the PERSISTED-BUT-NOT-YET-MATERIALIZED handle right
+    before the eager count: the flagship uses it to start constructing
+    build_graph's plans (pure driver-side work plus one profiles
+    checkpoint) concurrently with the feed materialization — plan
+    construction needs only the DataFrame handle, not its data, and
+    this overlap removes ~4 s from the cold first trial's critical
+    path (round-5 perf item)."""
     from .operators import edge_rules as _ER
     from .sources.feeds import all_feeds
 
@@ -1578,10 +1586,14 @@ def _feed_rel(spark, sf_dir):
                 pass
         feeds, bases = all_feeds(spark, sf_dir)
         rel = _ER.feed_edge_rules(feeds).persist()
+        if on_handle is not None:
+            on_handle(rel)
         rel.count()  # eager, like the localCheckpoint it replaces
         for b in bases:  # rel now holds the data; free the base blocks
             b.unpersist()
         _FEED_REL_CACHE[key] = rel
+    elif on_handle is not None:
+        on_handle(_FEED_REL_CACHE[key])
     return _FEED_REL_CACHE[key]
 
 
@@ -3937,14 +3949,24 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     import threading
 
     feed_out: dict = {}
+    feed_handle_ready = threading.Event()
 
     def _feed_job():
         try:
             # memoized: the first flagship/graph-WIC call in a session pays
-            # the 22-feed DAG once; later calls reuse the checkpoint
-            feed_out["rel"] = _feed_rel(spark, sf_dir)
+            # the 22-feed DAG once; later calls reuse the checkpoint. The
+            # on_handle callback publishes the persisted handle BEFORE the
+            # materializing count, so the main thread can overlap
+            # build_graph plan construction with the feed execution.
+            def _publish(rel):
+                feed_out["rel"] = rel
+                feed_handle_ready.set()
+
+            _feed_rel(spark, sf_dir, on_handle=_publish)
         except BaseException as exc:  # re-raised on the main thread
             feed_out["exc"] = exc
+        finally:
+            feed_handle_ready.set()  # unblock the main thread on error
 
     feed_thread = threading.Thread(target=_feed_job, name="feed-edges")
     feed_thread.start()
@@ -4018,14 +4040,23 @@ def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # widened vocabulary: all twelve per-source feeds contribute their edge
     # families (operators/edge_rules.py); each feed is bounded by its own
-    # source table, never the corpus — materialized by the thread above
-    feed_thread.join()
+    # source table, never the corpus. Wait only for the persisted HANDLE —
+    # build_graph construction (driver-side plan building + the profiles
+    # checkpoint) is lazy over the feed relation, so it runs concurrently
+    # with the feed materialization still in flight on the feed thread.
+    feed_handle_ready.wait()
     if "exc" in feed_out:
         raise feed_out["exc"]
     nodes, edges = build_graph(
         spark, mentions, registrations, profiles, balances, alias_dict,
         feed_edges_rel=feed_out["rel"],
     )
+    # the node/edge checkpoints below scan the feed relation: join the
+    # materializing count first so the racing checkpoint jobs read persisted
+    # blocks instead of each recomputing the 19-family union
+    feed_thread.join()
+    if "exc" in feed_out:
+        raise feed_out["exc"]
     # cut lineage before the two node-dimension joins in triples(): without
     # this the whole union-of-branches DAG recomputes once per join side
     # (run_pipeline gets the same effect by writing nodes/edges to parquet).

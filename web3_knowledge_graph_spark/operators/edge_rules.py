@@ -1399,76 +1399,84 @@ def platform_account_edges(accounts: DataFrame) -> DataFrame:
 def feed_edge_rules(feeds: dict[str, DataFrame]) -> DataFrame:
     """Union of every rule whose feed tables are present in ``feeds``
     (keys as in sources.feeds.ALL_FEEDS). Missing feeds skip their rules —
-    a deployment ingests the sources it has."""
-    outs: list[DataFrame] = []
-    if "transfers" in feeds:
-        outs.append(transfer_edges(feeds["transfers"]))
-    if "followers" in feeds:
-        outs.append(follows_edges(feeds["followers"]))
-    if all(k in feeds for k in ("proposals", "votes", "space_members", "strategies")):
-        outs.append(
-            governance_edges(
-                feeds["proposals"], feeds["votes"],
-                feeds["space_members"], feeds["strategies"],
-            )
-        )
-    if all(k in feeds for k in ("grant_admins", "donations")):
-        outs.append(gitcoin_edges(feeds["grant_admins"], feeds["donations"]))
-    if "delegations" in feeds:
-        outs.append(delegation_edges(feeds["delegations"]))
-        outs.append(delegation_role_edges(feeds["delegations"]))
-    if "deployments" in feeds:
-        outs.append(deployment_edges(feeds["deployments"]))
-    if "multisig_signers" in feeds:
-        outs.append(signer_edges(feeds["multisig_signers"]))
-    if "nfts" in feeds:
-        outs.append(nft_edges(feeds["nfts"]))
-    if "nft_holdings" in feeds:
-        outs.append(nft_holding_edges(feeds["nft_holdings"]))
-    if all(
-        k in feeds
-        for k in ("moloch_daos", "moloch_members", "moloch_proposals", "moloch_votes")
-    ):
-        outs.append(
-            moloch_edges(
-                feeds["moloch_daos"], feeds["moloch_members"],
-                feeds["moloch_proposals"], feeds["moloch_votes"],
-            )
-        )
-    if "loans" in feeds:
-        outs.append(loan_edges(feeds["loans"]))
-    if "repos" in feeds:
-        outs.append(repo_edges(feeds["repos"]))
-    if all(k in feeds for k in ("grant_members", "grant_admins")):
-        outs.append(member_of_edges(feeds["grant_members"], feeds["grant_admins"]))
-    if "websites" in feeds:
-        outs.append(domain_edges(feeds["websites"]))
-    if "platform_accounts" in feeds:
-        outs.append(platform_account_edges(feeds["platform_accounts"]))
-    if "locks" in feeds:
-        outs.append(unlock_edges(feeds["locks"]))
-    if all(
-        k in feeds
-        for k in ("ph_communities", "ph_auctions", "ph_proposals", "ph_votes")
-    ):
-        outs.append(
-            prophouse_edges(
-                feeds["ph_communities"], feeds["ph_auctions"],
-                feeds["ph_proposals"], feeds["ph_votes"],
-            )
-        )
-    if "threads" in feeds:
-        outs.append(thread_edges(feeds["threads"]))
-    if "ens_events" in feeds:
-        outs.append(ens_registry_edges(feeds["ens_events"]))
-    if all(k in feeds for k in ("bounties", "grant_tags", "grant_admins")):
-        outs.append(
-            bounty_edges(feeds["bounties"], feeds["grant_tags"], feeds["grant_admins"])
-        )
-    if all(k in feeds for k in ("webhooks", "incubators")):
-        outs.append(watch_edges(feeds["webhooks"], feeds["incubators"]))
-    if not outs:
+    a deployment ingests the sources it has.
+
+    The family plans are CONSTRUCTED on a thread pool: each rule builds
+    an independent expression tree through py4j, and that driver-side
+    chatter (not Spark execution) measured ~6 s serially for the full
+    vocabulary cold — the dominant term of the flagship's first-trial
+    plan-compilation cost (round-5 perf item). py4j is thread-safe (one
+    gateway connection per thread) and the union is folded in the fixed
+    declaration order below, so the output plan is byte-identical to the
+    serial construction."""
+    rules: list = []  # (guard tables present, thunk) in declaration order
+    def _rule(keys, thunk):
+        if all(k in feeds for k in keys):
+            rules.append(thunk)
+
+    _rule(("transfers",), lambda: transfer_edges(feeds["transfers"]))
+    _rule(("followers",), lambda: follows_edges(feeds["followers"]))
+    _rule(
+        ("proposals", "votes", "space_members", "strategies"),
+        lambda: governance_edges(
+            feeds["proposals"], feeds["votes"],
+            feeds["space_members"], feeds["strategies"],
+        ),
+    )
+    _rule(
+        ("grant_admins", "donations"),
+        lambda: gitcoin_edges(feeds["grant_admins"], feeds["donations"]),
+    )
+    _rule(("delegations",), lambda: delegation_edges(feeds["delegations"]))
+    _rule(("delegations",), lambda: delegation_role_edges(feeds["delegations"]))
+    _rule(("deployments",), lambda: deployment_edges(feeds["deployments"]))
+    _rule(("multisig_signers",), lambda: signer_edges(feeds["multisig_signers"]))
+    _rule(("nfts",), lambda: nft_edges(feeds["nfts"]))
+    _rule(("nft_holdings",), lambda: nft_holding_edges(feeds["nft_holdings"]))
+    _rule(
+        ("moloch_daos", "moloch_members", "moloch_proposals", "moloch_votes"),
+        lambda: moloch_edges(
+            feeds["moloch_daos"], feeds["moloch_members"],
+            feeds["moloch_proposals"], feeds["moloch_votes"],
+        ),
+    )
+    _rule(("loans",), lambda: loan_edges(feeds["loans"]))
+    _rule(("repos",), lambda: repo_edges(feeds["repos"]))
+    _rule(
+        ("grant_members", "grant_admins"),
+        lambda: member_of_edges(feeds["grant_members"], feeds["grant_admins"]),
+    )
+    _rule(("websites",), lambda: domain_edges(feeds["websites"]))
+    _rule(
+        ("platform_accounts",),
+        lambda: platform_account_edges(feeds["platform_accounts"]),
+    )
+    _rule(("locks",), lambda: unlock_edges(feeds["locks"]))
+    _rule(
+        ("ph_communities", "ph_auctions", "ph_proposals", "ph_votes"),
+        lambda: prophouse_edges(
+            feeds["ph_communities"], feeds["ph_auctions"],
+            feeds["ph_proposals"], feeds["ph_votes"],
+        ),
+    )
+    _rule(("threads",), lambda: thread_edges(feeds["threads"]))
+    _rule(("ens_events",), lambda: ens_registry_edges(feeds["ens_events"]))
+    _rule(
+        ("bounties", "grant_tags", "grant_admins"),
+        lambda: bounty_edges(
+            feeds["bounties"], feeds["grant_tags"], feeds["grant_admins"]
+        ),
+    )
+    _rule(
+        ("webhooks", "incubators"),
+        lambda: watch_edges(feeds["webhooks"], feeds["incubators"]),
+    )
+    if not rules:
         raise ValueError("no known feed tables present")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(rules))) as pool:
+        outs = list(pool.map(lambda f: f(), rules))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -658,7 +658,17 @@ def all_feeds(spark, sf_dir: str) -> tuple:
         if f"{t}_exc" in out:
             raise out[f"{t}_exc"]
         out[t].createOrReplaceTempView(t)
-    feeds = {name: spark.sql(sql) for name, sql in ALL_FEEDS.items()}
+    # spark.sql() analyzes eagerly — 22 serial py4j round-trips through
+    # the analyzer measured ~3-4 s of the cold feed path. The analyses
+    # are independent (read-only against the three views registered
+    # above), so run them on a thread pool; dict insertion order is
+    # restored from ALL_FEEDS so downstream plan shape is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(ALL_FEEDS)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        dfs = list(pool.map(lambda n: spark.sql(ALL_FEEDS[n]), names))
+    feeds = dict(zip(names, dfs))
     bases = [out[t] for t in ("events", "orders", "customer")]
     return feeds, bases
 
