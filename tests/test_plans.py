@@ -307,25 +307,28 @@ def test_feed_rel_cache_bounded_and_clearable(spark):
     import web3_knowledge_graph_spark.driver_queries as dq
 
     dq.clear_feed_cache()
-    fake1 = spark.range(1).persist()
-    fake1.count()
-    fake2 = spark.range(2).persist()
-    fake2.count()
-    dq._FEED_REL_CACHE[("app", "a")] = fake1
-    dq._FEED_REL_CACHE[("app", "b")] = fake2
+    # Pre-fill to capacity with fakes (MAX-independent: works for any
+    # _FEED_REL_CACHE_MAX) so the real entry must evict the oldest.
+    fakes = []
+    for i in range(dq._FEED_REL_CACHE_MAX):
+        f = spark.range(i + 1).persist()
+        f.count()
+        fakes.append(f)
+        dq._FEED_REL_CACHE[("app", str(i))] = f
 
     rel = dq._feed_rel(spark, SF)
     assert len(dq._FEED_REL_CACHE) <= dq._FEED_REL_CACHE_MAX
     # the oldest fake was evicted AND its blocks released
-    assert ("app", "a") not in dq._FEED_REL_CACHE
-    assert not fake1.storageLevel.useMemory
+    assert ("app", "0") not in dq._FEED_REL_CACHE
+    assert not fakes[0].storageLevel.useMemory
     # same key memoizes (no re-materialization)
     assert dq._feed_rel(spark, SF) is rel
 
     dq.clear_feed_cache()
     assert not dq._FEED_REL_CACHE
     assert not rel.storageLevel.useMemory
-    fake2.unpersist()
+    for f in fakes[1:]:
+        f.unpersist()
 
 
 def test_feed_rel_cached_partitioning_sane(spark):
