@@ -785,6 +785,102 @@ def test_refine_partition_fixed_point(spark):
     assert as_map(got) == as_map(unrolled)
 
 
+def _ring_of_triangles(n):
+    """Ring of n triangles (nodes 3i..3i+2) bridged 3i+2 → 3(i+1) — the
+    classic resolution-limit fixture: modularity's optimum merges WHOLE
+    adjacent cliques, the move a node-level sweep cannot express."""
+    edges = []
+    for i in range(n):
+        b = 3 * i
+        edges += [(b, b + 1), (b, b + 2), (b + 1, b + 2), (b + 2, (b + 3) % (3 * n))]
+    return edges
+
+
+def test_louvain_coarse_stage_merges_whole_communities(spark):
+    """Full multi-level Louvain (phase-2 contraction + gated coarse
+    sweeps) on the ring of 12 triangles: LPA + the phase-1 fixed point
+    stop at (near-)one-community-per-triangle (Q ≈ 0.6736), while the
+    coarse stage merges adjacent triangles pairwise to the hand-computed
+    optimum Q = 6·(14/96 − (16/96)²) = 17/24. Also asserts the monotone
+    gate's contract — louvain Q ≥ phase-1 Q — and that the result is a
+    strict coarsening (fewer communities, same node set)."""
+    from web3_knowledge_graph_spark.operators.communities import (
+        label_propagation,
+        louvain_communities,
+        partition_modularity,
+        refine_partition_fixed_point,
+    )
+
+    edges = spark.createDataFrame(_ring_of_triangles(12), "src long, dst long")
+    lpa = label_propagation(edges, rounds=4)
+    fine = refine_partition_fixed_point(edges, lpa, max_sweeps=3)
+    louv = louvain_communities(edges, rounds=4, max_sweeps=3, coarse_sweeps=3)
+    q_of = lambda lab: sum(  # noqa: E731
+        r["q_term"] for r in partition_modularity(edges, lab).collect()
+    )
+    q_fine, q_louv = q_of(fine), q_of(louv)
+    assert q_louv > q_fine
+    assert abs(q_louv - 17 / 24) < 1e-12
+    rows = louv.collect()
+    assert {r["id"] for r in rows} == set(range(36))
+    n_fine = fine.select("community").distinct().count()
+    assert len({r["community"] for r in rows}) == 6 < n_fine
+
+
+def test_louvain_monotone_gate_and_oracle_replay(spark):
+    """(a) Planted-cluster graph where LPA over-fragments: the coarse
+    stage must recover strictly higher Q than the phase-1 fixed point,
+    never lower (the exact-integer accept gate makes Q monotone by
+    construction). (b) The generated louvain_oracle_sql replays the full
+    Spark result bit-exactly on DuckDB — LPA unroll, phase-1 sweeps,
+    contraction, parity gating, and the integer-gated coarse sweeps."""
+    import random
+
+    import duckdb
+
+    from web3_knowledge_graph_spark.operators.communities import (
+        louvain_communities,
+        louvain_oracle_sql,
+        partition_modularity,
+        refine_partition_fixed_point,
+        label_propagation,
+    )
+
+    rng = random.Random(7)
+    edge_set = set()
+    for c in range(6):  # 6 planted clusters of 10, weighted intra edges
+        base = c * 10
+        for _ in range(25):
+            a, b = rng.sample(range(base, base + 10), 2)
+            edge_set.add((min(a, b), max(a, b), rng.randint(1, 5)))
+    for _ in range(20):  # noise
+        a, b = rng.sample(range(60), 2)
+        edge_set.add((min(a, b), max(a, b), 1))
+    edges = sorted(edge_set)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+
+    lpa = label_propagation(df, weight="w", rounds=4)
+    fine = refine_partition_fixed_point(df, lpa, weight="w", max_sweeps=3)
+    louv = louvain_communities(df, weight="w", rounds=4, max_sweeps=3, coarse_sweeps=3)
+    q_of = lambda lab: sum(  # noqa: E731
+        r["q_term"]
+        for r in partition_modularity(df, lab, weight="w").collect()
+    )
+    assert q_of(louv) > q_of(fine)
+
+    vals = ",".join(f"({a},{b},{w})" for a, b, w in edges)
+    cte = (
+        f"raw(src, dst, ww) AS (VALUES {vals}),\n"
+        "e AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (\n"
+        "  SELECT src AS a, dst AS b, ww AS w FROM raw\n"
+        "  UNION ALL SELECT dst, src, ww FROM raw) WHERE a <> b GROUP BY a, b)"
+    )
+    sql = louvain_oracle_sql(cte, rounds=4, sweeps=3, coarse_sweeps=3)
+    oracle = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    got = sorted((r["id"], r["community"]) for r in louv.collect())
+    assert got == oracle
+
+
 def test_graph_wic_labels_each_rule_kind(spark):
     """One literal triple set exercising every GRAPH_WIC_TREE rule kind:
     exists (obj-label scoped), count-threshold, child-pred guard, and

@@ -643,6 +643,33 @@ def q_communities_refined(spark, sf_dir):
     )
 
 
+def q_louvain_full(spark, sf_dir):
+    """FULL multi-level Louvain (closes the round-4 'missing' item: the
+    reference's sknetwork Louvain iterates local moves, contracts the
+    graph, and repeats — analytics/helpers/networks.py:48-59): LPA seed →
+    phase-1 sweeps to a bounded fixed point → phase-2 contraction →
+    parity-alternating coarse sweeps gated on an EXACT-integer modularity
+    increase (so Q is monotone and ≥ the phase-1 fixed point by
+    construction) → unfold. Runs on the donor co-donation projection (the
+    gitcoin analytic's graph, analytics/gitcoin/analyze.py:17-44), where
+    the coarse stage performs a real whole-community merge at sf0.01 —
+    the move node-level sweeps cannot express."""
+    from .operators.communities import louvain_communities
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rel = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("donor"), F.col("l_partkey").alias("grant"))
+        .distinct()
+    )
+    proj = bipartite_project(rel, bottom_col="grant", top_col="donor", threshold=3)
+    return louvain_communities(
+        proj, src="top_a", dst="top_b", weight="shared",
+        rounds=4, max_sweeps=3, coarse_sweeps=3,
+    )
+
+
 def q_grant_donor_communities(spark, sf_dir):
     """The gitcoin-communities analytic (analytics/gitcoin/analyze.py:17-44):
     ONE donation bipartite graph (donor, grant), projected on BOTH axes —
@@ -814,6 +841,11 @@ ORACLE_GRAPH["community_modularity"] = partition_modularity_oracle_sql(
 )
 ORACLE_GRAPH["communities_refined"] = refine_oracle_sql(
     _COMMUNITIES_EDGES_CTE, rounds=4, sweeps=3
+)
+from .operators.communities import louvain_oracle_sql  # noqa: E402
+
+ORACLE_GRAPH["louvain_full"] = louvain_oracle_sql(
+    _gitcoin_axis_cte("grant_id", "donor_id"), rounds=4, sweeps=3, coarse_sweeps=3
 )
 ORACLE_GRAPH["grant_donor_communities"] = f"""
 SELECT 'grants' AS axis, id, community
@@ -4420,7 +4452,7 @@ FROM deg LEFT JOIN tc USING (node)
 
 # The driver's correctness artifact truncates at 50 entries, checked in
 # queries() insertion order. Rounds 1-4 accumulated driver-confirmed rows
-# for 99/118 distinct queries; round 5's prefix contains, in order:
+# for 99/119 distinct queries; round 5's prefix contains, in order:
 #   1. the flagship (index 0 — driver-confirmed every round),
 #   2. the 17 queries no driver artifact has ever checked (they pass the
 #      local selfcheck replay, but the external harness is the hard
@@ -4446,13 +4478,13 @@ _R5_PREFIX = (
     "paradigm_cases", "cosigner_buddies", "graph_wic",
     "wic_reputation_full", "bounty_edges", "ens_registry_edges",
     "watch_edges", "ownership_edges", "communities_refined", "ivf_knn",
+    "louvain_full",
     # --- rotating sentinels (previously confirmed, one per family) ---
     "mention_wallets", "dict_mentions", "scored_links", "two_hop_links",
     "cc_components", "near_dedup", "minhash_signatures", "lsh_pairs",
     "bm25", "lang_id", "pagerank", "events_hourly", "sessionization",
     "asof_join", "interval_join", "holdings_rotation", "merge_upsert",
     "snapshot_diff", "spam_flagging", "wic_labels", "professions",
-    "url_hosts",
 )
 
 
@@ -4537,6 +4569,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "professions": q_professions,
         "wic_reputation_full": q_wic_reputation_full,
         "communities_refined": q_communities_refined,
+        "louvain_full": q_louvain_full,
         "graph_wic": q_graph_wic,
         "paradigm_cases": q_paradigm_cases,
         "cosigner_buddies": q_cosigner_buddies,

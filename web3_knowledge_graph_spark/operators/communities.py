@@ -215,17 +215,36 @@ def refine_partition(
         .agg(F.sum("w").alias("w"))
         .localCheckpoint()  # k-join + degree agg + m2 consume it
     )
+    return _refine_sweep(e, labels)
+
+
+def _refine_sweep(e_all: DataFrame, labels: DataFrame, parity: int | None = None) -> DataFrame:
+    """One synchronous gain sweep over an already-SYMMETRIZED edge
+    relation ``e_all(a, b, w)`` that may carry self rows (a == b): coarse
+    graphs store each community's intra weight there. Degrees, volumes
+    and m2 are summed over ALL rows (a node's self weight is part of its
+    volume); the k(v, c) join excludes self rows (a self loop moves with
+    its node, so its in_c term appears identically in every destination's
+    gain — including staying — and cancels; the volume terms already
+    carry it through deg). With no self rows and ``parity=None`` this is
+    exactly the refine_partition sweep. ``parity`` (0/1) makes the sweep
+    SEMI-synchronous: only nodes with id ≡ parity (mod 2) may move — the
+    standard determinism-preserving fix for interacting simultaneous
+    moves (two adjacent movers each computing gains against the old
+    assignment can jointly lower Q; alternating halves cannot swap)."""
     memb = labels.select("id", F.col("community").alias("c0"))
-    deg = e.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("deg"))
+    deg = e_all.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("deg"))
     vol = (
         memb.join(deg, "id")
         .groupBy(F.col("c0").alias("c"))
         .agg(F.sum("deg").alias("vol"))
     )
-    m2 = e.agg(F.sum("w").alias("m2"))
+    m2 = e_all.agg(F.sum("w").alias("m2"))
     # k(v, c): v's total weight into each neighboring community
+    # (self rows excluded — see docstring)
     k = (
-        e.join(memb.select(F.col("id").alias("b"), F.col("c0").alias("c")), "b")
+        e_all.where(F.col("a") != F.col("b"))
+        .join(memb.select(F.col("id").alias("b"), F.col("c0").alias("c")), "b")
         .groupBy(F.col("a").alias("id"), "c")
         .agg(F.sum("w").alias("k"))
     )
@@ -260,11 +279,12 @@ def refine_partition(
     stay = scored.where(F.col("c") == F.col("c0")).select(
         "id", F.col("g").alias("g_stay"), "c0"
     )
+    move = F.col("g_best") > F.col("g_stay")
+    if parity is not None:
+        move = move & (F.pmod(F.col("id"), F.lit(2)) == F.lit(parity))
     return best.join(stay, "id").select(
         "id",
-        F.when(F.col("g_best") > F.col("g_stay"), F.col("c_best"))
-        .otherwise(F.col("c0"))
-        .alias("community"),
+        F.when(move, F.col("c_best")).otherwise(F.col("c0")).alias("community"),
     )
 
 
@@ -308,6 +328,136 @@ def refine_partition_fixed_point(
     return cur
 
 
+def coarsen_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Louvain phase-2 graph contraction: map both endpoints of the
+    symmetrized graph to their communities and sum weights. Intra-
+    community weight lands on SELF rows (a == b) — _refine_sweep counts
+    those in degrees/volumes but not in k, which is exactly the coarse
+    graph Louvain's next level runs on (networks.py:48-59: sknetwork
+    Louvain's aggregate step). One |E|-sized join + one (c_a, c_b) agg;
+    output is community-dimensional."""
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    e = (
+        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    memb = labels.select("id", F.col("community").alias("c0"))
+    return (
+        e.join(memb.select(F.col("id").alias("a"), F.col("c0").alias("ca")), "a")
+        .join(memb.select(F.col("id").alias("b"), F.col("c0").alias("cb")), "b")
+        .groupBy(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def _qnum(ce_all: DataFrame, deg: DataFrame, labels: DataFrame, m2: int) -> int:
+    """Exact-integer modularity numerator Q·m2² = m2·Σ_c in_c − Σ_c vol_c²
+    over a symmetrized relation with self rows (in_c includes self weight —
+    a community's intra edges live there after contraction). BIGINT-exact
+    under the same documented bound as the gain score (total symmetrized
+    weight < 2^31 ⇒ every term < 2^62). One scalar job: both aggregates
+    are community-dimensional, crossJoined into a single row."""
+    memb = labels.select("id", F.col("community").alias("c0"))
+    intra = (
+        ce_all.join(memb.select(F.col("id").alias("a"), F.col("c0").alias("ca")), "a")
+        .join(memb.select(F.col("id").alias("b"), F.col("c0").alias("cb")), "b")
+        .where(F.col("ca") == F.col("cb"))
+        .agg(F.sum("w").alias("in_w"))
+    )
+    volsq = (
+        memb.join(deg, "id")
+        .groupBy("c0")
+        .agg(F.sum("deg").alias("vol"))
+        .agg(F.sum(F.col("vol") * F.col("vol")).alias("vv"))
+    )
+    row = intra.crossJoin(volsq).first()
+    return m2 * int(row["in_w"] or 0) - int(row["vv"] or 0)
+
+
+def louvain_communities(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    rounds: int = 4,
+    max_sweeps: int = 3,
+    coarse_sweeps: int = 3,
+) -> DataFrame:
+    """Full multi-level Louvain shape (round-5 item; reference
+    analytics/helpers/networks.py:48-59 — sknetwork Louvain iterates
+    local moves, CONTRACTS the graph, and repeats on the coarse graph):
+    LPA seed → phase-1 synchronous sweeps to a bounded fixed point →
+    phase-2 contraction (coarsen_graph) → gated semi-synchronous sweeps
+    on the coarse graph from singleton communities (each super-node
+    alone — merging two coarse nodes is merging whole fine communities,
+    the move the node-level sweep cannot express) → unfold to
+    (id, community).
+
+    Two guards make the coarse stage monotone where the fine stage's
+    synchronous caveat (see refine_partition) would bite — on the coarse
+    graph EVERY node borders every move candidate, so interacting
+    simultaneous moves are the common case, not the rare one:
+
+      * sweep t only lets nodes with pmod(id, 2) == t % 2 move
+        (parity alternation — adjacent movers of opposite parity can
+        never jointly act on one sweep's stale assignment);
+      * a sweep is ACCEPTED only if the exact-integer modularity
+        numerator m2·Σin − Σvol² strictly increases (_qnum), else the
+        previous assignment carries forward — so Q(result) ≥ Q(fine)
+        unconditionally, since the singleton coarse partition IS the
+        fine partition.
+
+    Deterministic and exactly SQL-replayable (louvain_oracle_sql unrolls
+    LPA rounds + fine sweeps + the contraction + gated coarse sweeps with
+    the same parity and the same integer comparison); the early exit is
+    no-op-equivalent to the fixed unroll: a rejected sweep leaves the
+    assignment unchanged, so after BOTH parities reject consecutively
+    every later sweep recomputes one of the same two rejected candidates.
+    The integer gain score is unchanged on the coarse graph because a
+    self loop's contribution cancels across destinations (_refine_sweep).
+
+    Scale: contraction shrinks the graph to community-dimensional; every
+    stage is the single-exchange sweep plan and the gate is one scalar
+    job per sweep. One level of coarsening (the reference's Louvain
+    usually converges in 1-2 levels; a deeper hierarchy would repeat
+    coarsen+sweep on an already-tiny graph)."""
+    fine = refine_partition_fixed_point(
+        edges, label_propagation(edges, src=src, dst=dst, weight=weight, rounds=rounds),
+        src=src, dst=dst, weight=weight, max_sweeps=max_sweeps,
+    ).localCheckpoint()
+    ce = coarsen_graph(edges, fine, src=src, dst=dst, weight=weight).localCheckpoint()
+    deg = ce.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("deg")).localCheckpoint()
+    m2 = int(ce.agg(F.sum("w")).first()[0] or 0)
+    cur = ce.select(F.col("a").alias("id")).distinct().withColumn(
+        "community", F.col("id")
+    ).localCheckpoint()
+    q_cur = _qnum(ce, deg, cur, m2)
+    rejected = 0
+    for t in range(1, coarse_sweeps + 1):
+        nxt = _refine_sweep(ce, cur, parity=t % 2).localCheckpoint()
+        q_nxt = _qnum(ce, deg, nxt, m2)
+        if q_nxt > q_cur:
+            cur, q_cur, rejected = nxt, q_nxt, 0
+        else:
+            rejected += 1
+            if rejected >= 2:
+                break
+    return fine.select(
+        "id", F.col("community").alias("cf")
+    ).join(
+        cur.select(F.col("id").alias("cf"), "community"), "cf"
+    ).select("id", "community")
+
+
 def refine_oracle_sql(edges_cte: str, rounds: int = 4, sweeps: int = 1) -> str:
     """DuckDB replay of label_propagation → ``sweeps`` refine_partition
     sweeps over an ``e(a, b, w)`` symmetrized edge CTE (the label
@@ -315,6 +465,15 @@ def refine_oracle_sql(edges_cte: str, rounds: int = 4, sweeps: int = 1) -> str:
     CTE block, so the oracles can never disagree on the starting
     partition or the sweep count — the Spark side's early exit is a
     no-op-equivalence, see refine_partition_fixed_point)."""
+    parts = _refine_oracle_parts(edges_cte, rounds, sweeps)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, c0 AS community FROM lab{sweeps}"
+    )
+
+
+def _refine_oracle_parts(edges_cte: str, rounds: int, sweeps: int) -> list[str]:
     lpa = label_propagation_oracle_sql(edges_cte, rounds=rounds)
     # em / lab0 MATERIALIZED: each sweep references the edge relation
     # twice and the previous labels four times — DuckDB's default CTE
@@ -353,10 +512,87 @@ def refine_oracle_sql(edges_cte: str, rounds: int = 4, sweeps: int = 1) -> str:
   CASE WHEN g_best > g_stay THEN c_best ELSE c0 END AS c0
 FROM best{s} bs JOIN stay{s} USING (id))""",
         ]
+    return parts
+
+
+def _qnum_sql(lab: str) -> str:
+    """Scalar subquery body: the exact-integer modularity numerator
+    m2·Σin − Σvol² of coarse assignment relation ``{lab}(id, c0)`` over
+    ``ce``/``cdeg``/``twom`` (mirrors _qnum; in includes self rows)."""
+    return f"""(SELECT m2 FROM twom) * COALESCE((SELECT SUM(ce.w)
+    FROM ce JOIN {lab} x ON ce.a = x.id JOIN {lab} y ON ce.b = y.id
+    WHERE x.c0 = y.c0), 0)
+  - COALESCE((SELECT SUM(vol * vol) FROM (
+      SELECT CAST(SUM(d.deg) AS BIGINT) AS vol
+      FROM {lab} lb JOIN cdeg d USING (id) GROUP BY lb.c0)), 0)"""
+
+
+def louvain_oracle_sql(
+    edges_cte: str, rounds: int = 4, sweeps: int = 3, coarse_sweeps: int = 3
+) -> str:
+    """DuckDB replay of louvain_communities over an ``e(a, b, w)``
+    symmetrized edge CTE: the fine stage is _refine_oracle_parts' unroll
+    (LPA rounds + phase-1 sweeps), then the phase-2 contraction (ce: both
+    endpoints mapped to lab{sweeps}, intra weight on self rows) and
+    ``coarse_sweeps`` GATED sweep blocks over it — degrees from ALL
+    coarse rows, k from a <> b only, m2 reused (contraction preserves
+    total weight), sweep t's movers parity-gated to pmod(id,2) = t % 2,
+    and the whole sweep accepted only if the exact-integer modularity
+    numerator (same _qnum formula, scalar subqueries) strictly rises —
+    from singleton coarse labels, unfolded through the fine assignment.
+    The Spark side's early exits are no-op-equivalent to this fixed
+    unroll (see refine_partition_fixed_point / louvain_communities)."""
+    S = sweeps
+    parts = _refine_oracle_parts(edges_cte, rounds, sweeps)
+    parts += [
+        f"""ce AS MATERIALIZED (SELECT la.c0 AS a, lb.c0 AS b, CAST(SUM(em.w) AS BIGINT) AS w
+  FROM em JOIN lab{S} la ON em.a = la.id JOIN lab{S} lb ON em.b = lb.id
+  GROUP BY la.c0, lb.c0)""",
+        "cdeg AS MATERIALIZED (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS deg"
+        " FROM ce GROUP BY a)",
+        "clab0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS c0 FROM ce)",
+    ]
+    for t in range(1, coarse_sweeps + 1):
+        p = t - 1
+        parts += [
+            f"""cvol{t} AS (SELECT lb.c0 AS c, CAST(SUM(d.deg) AS BIGINT) AS vol
+        FROM clab{p} lb JOIN cdeg d USING (id) GROUP BY lb.c0)""",
+            f"""ckk{t} AS (SELECT ce.a AS id, lb.c0 AS c, CAST(SUM(ce.w) AS BIGINT) AS k
+       FROM ce JOIN clab{p} lb ON ce.b = lb.id WHERE ce.a <> ce.b
+       GROUP BY ce.a, lb.c0)""",
+            f"""ccand{t} AS (SELECT id, c, MAX(k) AS k FROM (
+  SELECT id, c, k FROM ckk{t}
+  UNION ALL SELECT id, c0 AS c, CAST(0 AS BIGINT) AS k FROM clab{p}
+) GROUP BY id, c)""",
+            f"""cscored{t} AS (
+  SELECT cd.id, cd.c, lb.c0,
+    m2 * cd.k - cdeg.deg *
+      (vl.vol - CASE WHEN cd.c = lb.c0 THEN cdeg.deg ELSE 0 END) AS g
+  FROM ccand{t} cd JOIN clab{p} lb USING (id) JOIN cdeg USING (id)
+  JOIN cvol{t} vl ON cd.c = vl.c CROSS JOIN twom)""",
+            f"""cbest{t} AS (SELECT id, c AS c_best, g AS g_best FROM (
+  SELECT id, c, g, ROW_NUMBER() OVER (PARTITION BY id ORDER BY g DESC, c ASC) AS rn
+  FROM cscored{t}) WHERE rn = 1)""",
+            f"""cstay{t} AS (SELECT id, g AS g_stay, c0 FROM cscored{t} WHERE c = c0)""",
+            # parity gate: ((id % 2) + 2) % 2 is DuckDB's remainder made
+            # non-negative — matches Spark's F.pmod on negative ids
+            f"""craw{t} AS MATERIALIZED (SELECT bs.id,
+  CASE WHEN g_best > g_stay AND ((bs.id % 2) + 2) % 2 = {t % 2}
+       THEN c_best ELSE c0 END AS c0
+FROM cbest{t} bs JOIN cstay{t} USING (id))""",
+            f"""cq{t} AS (SELECT {_qnum_sql(f"craw{t}")} AS qn)""",
+            f"""cqp{t} AS (SELECT {_qnum_sql(f"clab{p}")} AS qn)""",
+            f"""clab{t} AS MATERIALIZED (SELECT r.id,
+  CASE WHEN (SELECT qn FROM cq{t}) > (SELECT qn FROM cqp{t})
+       THEN r.c0 ELSE l.c0 END AS c0
+FROM craw{t} r JOIN clab{p} l USING (id))""",
+        ]
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT id, c0 AS community FROM lab{sweeps}"
+        + f"""
+SELECT l.id, cl.c0 AS community
+FROM lab{S} l JOIN clab{coarse_sweeps} cl ON l.c0 = cl.id"""
     )
 
 
