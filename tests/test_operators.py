@@ -646,6 +646,89 @@ def test_interest_labels_keyword_batching(spark):
     assert got[("w4", "DeSci")] == ("ScienceTech", 0.0)
 
 
+def test_interest_evidence_arms_hand_trace(spark):
+    """Multi-arm interests evidence (interests/cyphers.py non-bio arms):
+    a literal 2-page / 2-nft / 2-grant graph where every arm has exactly
+    one positive — and music's PER-ARM keyword variation holds (:44-60:
+    'concert' is in the article list but NOT the collector list; 'album'
+    is in neither). Also covers cross-arm dedup (w_auth hit by two arms →
+    one row), the >1-articles keyword-free collector rule (:363-372), and
+    the themed holder/account arms (:12-30)."""
+    from web3_knowledge_graph_spark.operators.wic import (
+        interest_evidence_labels,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", "concert review night"),   # articles-arm-only keyword
+            ("p2", "gaming guild diary"),     # both page arms
+            ("p3", "an album retrospective"), # bio-list keyword: NO page arm
+        ],
+        "page_id string, text string",
+    )
+    authors = spark.createDataFrame(
+        [("p1", "w_auth"), ("p2", "w_auth"), ("p3", "w_quiet")],
+        "page_id string, entity_id string",
+    )
+    nfts = spark.createDataFrame(
+        [("p1", "n1"), ("p2", "n2"), ("p3", "n3")],
+        "page_id string, nft_id string",
+    )
+    owners = spark.createDataFrame(
+        # w_coll owns NFTs of all three pages → collector arm fires only
+        # for p2 (its keyword is collector-listed), threshold arm fires
+        # (3 ≥ 2 distinct articles); w_one owns one page's NFT only
+        [("n1", "w_coll"), ("n2", "w_coll"), ("n3", "w_coll"),
+         ("n1", "w_one")],
+        "nft_id string, entity_id string",
+    )
+    grants = spark.createDataFrame(
+        [("g1", "Gaming guild grant"), ("g2", "Bridge maintenance")],
+        "grant_id string, title string",
+    )
+    grant_wallets = spark.createDataFrame(
+        [("g1", "w_donor"), ("g2", "w_other")],
+        "grant_id string, entity_id string",
+    )
+    holders = spark.createDataFrame([("w_hold",)], "entity_id string")
+    accounts = spark.createDataFrame([("w_sound",)], "entity_id string")
+    tree = [
+        ("ArtCultureEntertainment", "Music", 0.0, "articles",
+         ("music", "musician", "concert")),
+        ("ArtCultureEntertainment", "Music", 0.0, "collectors",
+         ("music", "musician")),
+        ("ArtCultureEntertainment", "Gaming", 0.0, "articles",
+         ("gaming", "gamer")),
+        ("ArtCultureEntertainment", "Gaming", 0.0, "collectors",
+         ("gaming", "gamer")),
+        ("ArtCultureEntertainment", "Gaming", 0.0, "grants",
+         ("gaming", "gamer")),
+    ]
+    got = {
+        (r["entity_id"], r["context"])
+        for r in interest_evidence_labels(
+            pages, authors, nfts, owners, grants, grant_wallets,
+            tree=tree,
+            themed_holders=holders,
+            themed_accounts=accounts,
+            theme_context=("ArtCultureEntertainment", "Music", 0.0),
+            collector_threshold=(
+                "ArtCultureEntertainment", "WritingPublishing", 0.0, 2),
+        ).collect()
+    }
+    assert got == {
+        ("w_auth", "Music"),      # p1 'concert' → articles arm only
+        ("w_auth", "Gaming"),     # p2, deduped across both page arms
+        ("w_coll", "Gaming"),     # p2's NFT owner via the collector arm
+        ("w_coll", "WritingPublishing"),  # 3 distinct articles ≥ 2
+        ("w_donor", "Gaming"),    # grantTitle arm
+        ("w_hold", "Music"),      # themed-holdings arm
+        ("w_sound", "Music"),     # platform-account arm
+    }
+    # 'album' (bio-only keyword) and the one-article owner stay silent
+    assert not {e for e, _ in got} & {"w_quiet", "w_one"}
+
+
 def test_collector_labels_seeds_and_short_ens(spark):
     """Collectors tree (collectors/analyze.py:12-46): seed-list CASE over
     holdings + the 3-letter ENS predicate, weights from the tree."""

@@ -2007,6 +2007,192 @@ FROM lab
 """
 
 
+# Interests NON-BIO evidence arms (interest_evidence_labels — the
+# articleTitle→AUTHOR, article-NFT-collector, and grantTitle arms of
+# interests/cyphers.py, see operators/wic.INTEREST_EVIDENCE_TREE), with
+# the keyword lists restated over the driver corpus vocabulary exactly as
+# WIC_INTERESTS_DRIVER_TREE does. Per-arm list variation is exercised on
+# DataScience/Markets (the reference's music arms differ the same way).
+WIC_EVIDENCE_DRIVER_TREE = [
+    ("ArtCultureEntertainment", "StreamingMedia", 0.0, "articles", ("stream",)),
+    ("ArtCultureEntertainment", "StreamingMedia", 0.0, "collectors", ("stream",)),
+    ("ArtCultureEntertainment", "StreamingMedia", 0.0, "grants", ("stream",)),
+    ("ScienceTech", "DataScience", 0.0, "articles", ("data", "vector")),
+    ("ScienceTech", "DataScience", 0.0, "collectors", ("vector",)),
+    ("ScienceTech", "DataScience", 0.0, "grants", ("data", "vector")),
+    ("ScienceTech", "Deduplication", 0.0, "articles", ("dup",)),
+    ("ScienceTech", "Deduplication", 0.0, "grants", ("dup",)),
+    ("Finance", "Markets", 0.0, "articles", ("order", "value")),
+    ("Finance", "Markets", 0.0, "collectors", ("order",)),
+    ("Finance", "Markets", 0.0, "grants", ("order", "value")),
+]
+
+# music's two non-keyword arms (holders of MusicNft-labeled tokens, Sound
+# accounts) mapped onto the driver vocabulary's music stand-in context,
+# and writing_publishing's keyword-free >1-articles collector rule
+_WIC_EVIDENCE_THEME = ("ArtCultureEntertainment", "StreamingMedia", 0.0)
+_WIC_EVIDENCE_THRESHOLD = ("ArtCultureEntertainment", "WritingPublishing", 0.0, 2)
+
+
+def q_interest_evidence(spark, sf_dir):
+    """Interests analyzer NON-BIO arms (interests/cyphers.py: articleTitle
+    fulltext → AUTHOR wallet, the same match → article-NFT owners, and
+    grantTitle fulltext → any grant-adjacent wallet, plus music's
+    themed-holdings/Sound-account arms :12-30 and writing_publishing's
+    keyword-free >1-articles collector :363-372): page + grant corpora
+    each tokenized ONCE against a broadcast keyword dict, lifted over the
+    nfts / donations / grant_admins feed surfaces. The grant wildcard
+    ``(grant)-[]-(wallet)`` resolves to the edges the graph actually
+    carries: gated DONATION (destination = admin, gitcoin/cyphers.py:
+    223-248) plus IS_ADMIN."""
+    from .operators.wic import interest_evidence_labels
+
+    p = _pages(spark, sf_dir)
+    page_texts = p.select(F.lower("url").alias("page_id"), "text")
+    page_authors = p.select(
+        F.lower("url").alias("page_id"),
+        F.lower(F.regexp_extract("text", AUTHOR_RE, 1)).alias("entity_id"),
+    ).where(F.length("entity_id") == 42)
+    n = feed(spark, sf_dir, "nfts")
+    article_nfts = n.select(
+        F.lower("article_url").alias("page_id"), F.lower("nft_id").alias("nft_id")
+    ).distinct()
+    nft_owners = n.select(
+        F.lower("nft_id").alias("nft_id"), F.lower("owner").alias("entity_id")
+    ).distinct()
+    admins = feed(spark, sf_dir, "grant_admins").select(
+        "grant_id", F.lower("address").alias("address")
+    ).distinct()
+    d = feed(spark, sf_dir, "donations")
+    donors = (
+        d.join(
+            F.broadcast(admins),
+            (d["grant_id"] == admins["grant_id"])
+            & (F.lower(d["destination"]) == admins["address"]),
+        )
+        .select(d["grant_id"], F.lower(d["donor"]).alias("entity_id"))
+    )
+    grant_wallets = donors.unionByName(
+        admins.select("grant_id", F.col("address").alias("entity_id"))
+    ).distinct()
+    t = feed(spark, sf_dir, "transfers")
+    holders = (
+        t.where(
+            F.lower("contract_address").isin([x.lower() for x in WIC_MUSIC_TOKENS])
+        )
+        .select(F.lower("to_address").alias("entity_id"))
+        .distinct()
+    )
+    sound = (
+        feed(spark, sf_dir, "platform_accounts")
+        .where(F.col("platform") == "Sound")
+        .select(F.lower("address").alias("entity_id"))
+        .distinct()
+    )
+    return interest_evidence_labels(
+        page_texts,
+        page_authors,
+        article_nfts,
+        nft_owners,
+        feed(spark, sf_dir, "grant_registry"),
+        grant_wallets,
+        tree=WIC_EVIDENCE_DRIVER_TREE,
+        themed_holders=holders,
+        themed_accounts=sound,
+        theme_context=_WIC_EVIDENCE_THEME,
+        collector_threshold=_WIC_EVIDENCE_THRESHOLD,
+    )
+
+
+_EVKW_VALUES = ", ".join(
+    f"('{kw}', '{cond}', '{ctx}', CAST({w} AS DOUBLE), '{arm}')"
+    for cond, ctx, w, arm, kws in WIC_EVIDENCE_DRIVER_TREE
+    for kw in kws
+)
+
+ORACLE_EDGE_RULES["interest_evidence"] = f"""
+{PAGES_WITH},
+{feed_cte("nfts", "grant_admins", "donations", "transfers",
+          "platform_accounts", "grant_registry").removeprefix("WITH ")},
+kws(kw, condition, context, weight, arm) AS (VALUES {_EVKW_VALUES}),
+ptoks AS (
+  SELECT lower(url) AS page_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> len(x) > 0))) AS kw
+  FROM pages),
+page_hits AS (
+  SELECT DISTINCT page_id, condition, context, weight, arm
+  FROM ptoks JOIN kws USING (kw) WHERE arm <> 'grants'),
+authors AS (
+  SELECT lower(url) AS page_id,
+         lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1))
+           AS entity_id
+  FROM pages
+  WHERE len(lower(regexp_extract(text, 'Author wallet: (0x[a-fA-F0-9]+)', 1))) = 42),
+article_nfts AS (
+  SELECT DISTINCT lower(article_url) AS page_id, lower(nft_id) AS nft_id
+  FROM nfts),
+nft_owners AS (
+  SELECT DISTINCT lower(nft_id) AS nft_id, lower(owner) AS entity_id
+  FROM nfts),
+authored AS (
+  SELECT entity_id, condition, context, weight
+  FROM page_hits JOIN authors USING (page_id) WHERE arm = 'articles'),
+collected AS (
+  SELECT o.entity_id, h.condition, h.context, h.weight
+  FROM page_hits h JOIN article_nfts a USING (page_id)
+  JOIN nft_owners o USING (nft_id)
+  WHERE h.arm = 'collectors'),
+gtoks AS (
+  SELECT grant_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(title), '[^a-z0-9]+'),
+      x -> len(x) > 0))) AS kw
+  FROM grant_registry),
+grant_hits AS (
+  SELECT DISTINCT grant_id, condition, context, weight
+  FROM gtoks JOIN kws USING (kw) WHERE arm = 'grants'),
+admins2 AS (
+  SELECT DISTINCT grant_id, lower(address) AS entity_id FROM grant_admins),
+grant_wallets AS (
+  SELECT DISTINCT d.grant_id, lower(d.donor) AS entity_id
+  FROM donations d JOIN admins2 a
+    ON d.grant_id = a.grant_id AND lower(d.destination) = a.entity_id
+  UNION SELECT grant_id, entity_id FROM admins2),
+granted AS (
+  SELECT entity_id, condition, context, weight
+  FROM grant_hits JOIN grant_wallets USING (grant_id)),
+themed AS (
+  SELECT DISTINCT lower(to_address) AS entity_id,
+    '{_WIC_EVIDENCE_THEME[0]}' AS condition,
+    '{_WIC_EVIDENCE_THEME[1]}' AS context,
+    CAST({_WIC_EVIDENCE_THEME[2]} AS DOUBLE) AS weight
+  FROM transfers
+  WHERE lower(contract_address) IN
+    ({", ".join(repr(x.lower()) for x in WIC_MUSIC_TOKENS)})
+  UNION
+  SELECT DISTINCT lower(address),
+    '{_WIC_EVIDENCE_THEME[0]}', '{_WIC_EVIDENCE_THEME[1]}',
+    CAST({_WIC_EVIDENCE_THEME[2]} AS DOUBLE)
+  FROM platform_accounts WHERE platform = 'Sound'),
+prolific AS (
+  SELECT entity_id,
+    '{_WIC_EVIDENCE_THRESHOLD[0]}' AS condition,
+    '{_WIC_EVIDENCE_THRESHOLD[1]}' AS context,
+    CAST({_WIC_EVIDENCE_THRESHOLD[2]} AS DOUBLE) AS weight
+  FROM (
+    SELECT o.entity_id, COUNT(DISTINCT a.page_id) AS arts
+    FROM article_nfts a JOIN nft_owners o USING (nft_id)
+    GROUP BY o.entity_id)
+  WHERE arts >= {_WIC_EVIDENCE_THRESHOLD[3]})
+SELECT DISTINCT entity_id, condition, context, weight FROM (
+  SELECT * FROM authored
+  UNION ALL SELECT * FROM collected
+  UNION ALL SELECT * FROM granted
+  UNION ALL SELECT * FROM themed
+  UNION ALL SELECT * FROM prolific)
+"""
+
+
 # farmers seed lists (the reference ships them as CSVs under
 # analytics/wic/farmers/data/*.csv): wash-trading wallets and spam
 # contracts named in the driver feeds' deterministic keyspaces, plus the
@@ -4452,15 +4638,15 @@ FROM deg LEFT JOIN tc USING (node)
 
 # The driver's correctness artifact truncates at 50 entries, checked in
 # queries() insertion order. Rounds 1-4 accumulated driver-confirmed rows
-# for 99/119 distinct queries; round 5's prefix contains, in order:
+# for 99/120 distinct queries; round 5's prefix contains, in order:
 #   1. the flagship (index 0 — driver-confirmed every round),
 #   2. the 17 queries no driver artifact has ever checked (they pass the
 #      local selfcheck replay, but the external harness is the hard
 #      signal — round-4 verdict item 1),
 #   3. every query whose OUTPUT changed this round (new rules or fixture
 #      changes: the publicGoods/cosigner WIC tail, bounty IS_OWNER,
-#      ens HAS_NAME, the regrouped multisig feed, IVF probe widening,
-#      multi-sweep Louvain),
+#      ens HAS_NAME, the regrouped multisig feed, IVF probe widening, the
+#      multi-sweep Louvain and the new interests evidence arms),
 #   4. a rotating sentinel subset of previously-confirmed queries — one
 #      per operator family — so the external artifact retains regression
 #      coverage of rows the truncation would otherwise drop (round-4
@@ -4478,13 +4664,13 @@ _R5_PREFIX = (
     "paradigm_cases", "cosigner_buddies", "graph_wic",
     "wic_reputation_full", "bounty_edges", "ens_registry_edges",
     "watch_edges", "ownership_edges", "communities_refined", "ivf_knn",
-    "louvain_full",
+    "louvain_full", "interest_evidence",
     # --- rotating sentinels (previously confirmed, one per family) ---
     "mention_wallets", "dict_mentions", "scored_links", "two_hop_links",
     "cc_components", "near_dedup", "minhash_signatures", "lsh_pairs",
     "bm25", "lang_id", "pagerank", "events_hourly", "sessionization",
     "asof_join", "interval_join", "holdings_rotation", "merge_upsert",
-    "snapshot_diff", "spam_flagging", "wic_labels", "professions",
+    "snapshot_diff", "spam_flagging", "wic_labels",
 )
 
 
@@ -4537,6 +4723,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wic_scores": q_wic_scores,
         "wic_interests": q_wic_interests,
         "wic_collectors": q_wic_collectors,
+        "interest_evidence": q_interest_evidence,
         "entity_popularity": q_entity_popularity,
         "reconcile_missing": q_reconcile_missing,
         "distinct_endpoints": q_distinct_endpoints,

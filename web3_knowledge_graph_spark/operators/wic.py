@@ -173,6 +173,229 @@ def collector_labels(
     )
 
 
+# Interests NON-BIO evidence arms — the reference fires each interest
+# context over up to six surfaces, not just account bios
+# (interests/cyphers.py, one function per context): an `articleTitle`
+# fulltext match lifted to the article's AUTHOR wallet (e.g. music
+# :44-56, gaming :95-106), the same match lifted to holders of the
+# article's NFT over (article)-[:HAS_NFT]-(nft)-[:HOLDS_TOKEN|HOLDS]-
+# (wallet) (music :57-67, gaming :107-118), and a `grantTitle` match
+# lifted over ANY (grant)-[]-(wallet) edge (gaming :119-130 and every
+# later context). Each row below is ONE reference rule site:
+# (condition, context, weight, arm, keywords) with arm ∈
+# {articles, collectors, grants}; keyword lists are the per-arm
+# OR-lists, which DIFFER per arm where the reference's do (music's bio
+# list is 'music/album/musician' but its article list is
+# 'music/musician/concert' :44-48,58-60; culture's grant list adds
+# 'boys club' :341-343). Two reference quirks are deliberately NOT
+# replicated, per-site: writing_publishing's author arm (:350-361) is
+# `WHERE cn > 3 AND cn < 3` — a self-contradictory predicate that can
+# match nothing, so the arm is omitted rather than restated; music's
+# twitter BIO_MENTIONED propagation arm (:66-73) MERGEs onto an UNBOUND
+# `context` variable (the MATCH binds `wic`), creating anonymous nodes
+# instead of context edges, so it is omitted as unreproducible. Phrase
+# keywords fold to distinctive tokens exactly as INTERESTS_TREE does.
+INTEREST_EVIDENCE_TREE = [
+    # music :44-56 (articles), :57-67 (collectors); no grant arm
+    ("ArtCultureEntertainment", "Music", 0.0, "articles",
+     ("music", "musician", "concert")),
+    ("ArtCultureEntertainment", "Music", 0.0, "collectors",
+     ("music", "musician")),
+    # gaming :95-130
+    ("ArtCultureEntertainment", "Gaming", 0.0, "articles",
+     ("gaming", "gamer", "video", "games")),
+    ("ArtCultureEntertainment", "Gaming", 0.0, "collectors",
+     ("gaming", "gamer", "video", "games")),
+    ("ArtCultureEntertainment", "Gaming", 0.0, "grants",
+     ("gaming", "gamer", "video", "games")),
+    # outdoors :148-183
+    ("ArtCultureEntertainment", "Outdoors", 0.0, "articles",
+     ("outdoors", "nature")),
+    ("ArtCultureEntertainment", "Outdoors", 0.0, "collectors",
+     ("outdoors", "nature")),
+    ("ArtCultureEntertainment", "Outdoors", 0.0, "grants",
+     ("outdoors", "nature")),
+    # film/video :202-237
+    ("ArtCultureEntertainment", "FilmVideo", 0.0, "articles",
+     ("movies", "cinema")),
+    ("ArtCultureEntertainment", "FilmVideo", 0.0, "collectors",
+     ("movies", "cinema")),
+    ("ArtCultureEntertainment", "FilmVideo", 0.0, "grants",
+     ("movies", "cinema")),
+    # photography :255-290
+    ("ArtCultureEntertainment", "Photography", 0.0, "articles",
+     ("photography", "photographer")),
+    ("ArtCultureEntertainment", "Photography", 0.0, "collectors",
+     ("photography", "photographer")),
+    ("ArtCultureEntertainment", "Photography", 0.0, "grants",
+     ("photography", "photographer")),
+    # culture :308-346 (grant list adds 'boys club')
+    ("ArtCultureEntertainment", "CultureCommentary", 0.0, "articles",
+     ("commentary",)),
+    ("ArtCultureEntertainment", "CultureCommentary", 0.0, "collectors",
+     ("commentary",)),
+    ("ArtCultureEntertainment", "CultureCommentary", 0.0, "grants",
+     ("commentary", "boys", "club")),
+    # writing/publishing :386-397 — grant arm only (author arm is the
+    # contradictory-predicate no-op; the keyword-free collector arm is
+    # the separate collector_threshold rule)
+    ("ArtCultureEntertainment", "WritingPublishing", 0.0, "grants",
+     ("writing", "substack", "author", "newsletter")),
+    # data science :415-450
+    ("ScienceTech", "DataScience", 0.0, "articles", ("data", "scientist")),
+    ("ScienceTech", "DataScience", 0.0, "collectors", ("data", "scientist")),
+    ("ScienceTech", "DataScience", 0.0, "grants", ("data", "scientist")),
+    # desci :468-503
+    ("ScienceTech", "DeSci", 0.0, "articles", ("desci",)),
+    ("ScienceTech", "DeSci", 0.0, "collectors", ("desci",)),
+    ("ScienceTech", "DeSci", 0.0, "grants", ("desci",)),
+    # dei :521-556
+    ("SocialJustice", "DiversityEquityInclusion", 0.0, "articles",
+     ("dei", "diversity")),
+    ("SocialJustice", "DiversityEquityInclusion", 0.0, "collectors",
+     ("dei", "diversity")),
+    ("SocialJustice", "DiversityEquityInclusion", 0.0, "grants",
+     ("dei", "diversity")),
+    # regen :574-609 (grant arm queries the wicGrants index, same list)
+    ("SocialJustice", "RegenerativeSystems", 0.0, "articles",
+     ("regen", "refi")),
+    ("SocialJustice", "RegenerativeSystems", 0.0, "collectors",
+     ("regen", "refi")),
+    ("SocialJustice", "RegenerativeSystems", 0.0, "grants",
+     ("regen", "refi")),
+    # education :627-662
+    ("SocialJustice", "Education", 0.0, "articles",
+     ("education", "educator", "teacher")),
+    ("SocialJustice", "Education", 0.0, "collectors",
+     ("education", "educator", "teacher")),
+    ("SocialJustice", "Education", 0.0, "grants",
+     ("education", "educator", "teacher")),
+]
+
+
+def _kw_hits(texts: DataFrame, id_col: str, kw_df: DataFrame) -> DataFrame:
+    """ONE tokenize+explode pass over ``texts(id_col, text)`` joined to the
+    broadcast keyword dictionary ``kw_df(kw, condition, context, weight,
+    arm)`` — the shared fulltext-index stand-in for every keyword arm (the
+    reference runs one queryNodes call per context per surface)."""
+    toks = texts.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
+        ).alias("kw"),
+    ).where(F.length("kw") > 0)
+    return (
+        toks.join(F.broadcast(kw_df), "kw")
+        .select(id_col, "condition", "context", "weight", "arm")
+        .dropDuplicates([id_col, "context", "arm"])
+    )
+
+
+def interest_evidence_labels(
+    page_texts: DataFrame,
+    page_authors: DataFrame,
+    article_nfts: DataFrame,
+    nft_owners: DataFrame,
+    grant_titles: DataFrame,
+    grant_wallets: DataFrame,
+    tree: list | None = None,
+    themed_holders: DataFrame | None = None,
+    themed_accounts: DataFrame | None = None,
+    theme_context: tuple | None = None,
+    collector_threshold: tuple | None = None,
+) -> DataFrame:
+    """The interests analyzer's NON-BIO evidence arms (see
+    INTEREST_EVIDENCE_TREE) → distinct (entity_id, condition, context,
+    weight) — the same output relation as interest_labels, so the full
+    reference rule is the union of the two (MERGE on the _HAS_CONTEXT
+    edge dedups arms in the reference; dropDuplicates here).
+
+    Inputs: page_texts(page_id, text) + page_authors(page_id, entity_id)
+    for the articleTitle→AUTHOR arm; article_nfts(page_id, nft_id) +
+    nft_owners(nft_id, entity_id) for the article-NFT collector arm (the
+    repo's ownership surface for article NFTs is IS_OWNER,
+    edge_rules.nft_edges — the reference matches HOLDS_TOKEN|HOLDS, a
+    documented surface restatement); grant_titles(grant_id, title) +
+    grant_wallets(grant_id, entity_id) for the grantTitle arm, where
+    grant_wallets is the union of every (grant)-[]-(wallet)-typed edge
+    the caller's graph carries (the reference's bare `-[]-` wildcard).
+
+    Optional rules: theme_context + themed_holders/themed_accounts are
+    music's two non-keyword arms (interests/cyphers.py:12-30 — holders
+    of :MusicNft-labeled tokens, owners of a :Sound account; seed token
+    lists stand in for the MusicNft label, as collector_labels' CSVs
+    do); collector_threshold=(condition, context, weight, min_articles)
+    is writing_publishing's keyword-free collector rule (:363-372 —
+    wallets holding NFTs of > 1 distinct articles).
+
+    Scale: the two tokenize+explodes are the only corpus-wide ops; every
+    keyword dictionary is broadcast; the NFT/grant joins are
+    page-/grant-dimensional. Nothing collects."""
+    tree = INTEREST_EVIDENCE_TREE if tree is None else tree
+    spark = page_texts.sparkSession
+    kw_df = spark.createDataFrame(
+        [
+            (kw, cond, ctx, float(w), arm)
+            for cond, ctx, w, arm, kws in tree
+            for kw in kws
+        ],
+        "kw string, condition string, context string, weight double,"
+        " arm string",
+    )
+    out_cols = ["entity_id", "condition", "context", "weight"]
+
+    page_hits = _kw_hits(
+        page_texts, "page_id", kw_df.where(F.col("arm") != "grants")
+    )
+    authored = page_hits.where(F.col("arm") == "articles").join(
+        page_authors, "page_id"
+    )
+    collected = (
+        page_hits.where(F.col("arm") == "collectors")
+        .join(article_nfts, "page_id")
+        .join(nft_owners, "nft_id")
+    )
+    grant_hits = _kw_hits(
+        grant_titles.select(
+            F.col("grant_id"), F.col("title").alias("text")
+        ),
+        "grant_id",
+        kw_df.where(F.col("arm") == "grants"),
+    )
+    granted = grant_hits.join(grant_wallets, "grant_id")
+    out = (
+        authored.select(*out_cols)
+        .unionByName(collected.select(*out_cols))
+        .unionByName(granted.select(*out_cols))
+    )
+    if theme_context is not None:
+        cond, ctx, w = theme_context
+        lits = [
+            F.lit(cond).alias("condition"),
+            F.lit(ctx).alias("context"),
+            F.lit(float(w)).alias("weight"),
+        ]
+        for rel in (themed_holders, themed_accounts):
+            if rel is not None:
+                out = out.unionByName(rel.select("entity_id", *lits))
+    if collector_threshold is not None:
+        cond, ctx, w, min_articles = collector_threshold
+        prolific = (
+            article_nfts.join(nft_owners, "nft_id")
+            .groupBy("entity_id")
+            .agg(F.countDistinct("page_id").alias("arts"))
+            .where(F.col("arts") >= int(min_articles))
+            .select(
+                "entity_id",
+                F.lit(cond).alias("condition"),
+                F.lit(ctx).alias("context"),
+                F.lit(float(w)).alias("weight"),
+            )
+        )
+        out = out.unionByName(prolific)
+    return out.dropDuplicates(["entity_id", "context"])
+
+
 # Professionals: bio-keyword fulltext rules (professionals/analyze.py:9-48
 # condition tree, all weight 0; cyphers.py fulltext-queries the wicBios
 # index per OR-list, labels the matched account and links wallets over

@@ -517,6 +517,34 @@ FROM customer
 WHERE c_custkey < 56
 """
 
+# --- Gitcoin grant registry titles (ingestion/gitcoin/cyphers.py:30-52
+# create_or_merge_grants sets grant.title from the ingest CSV; the
+# analytics side fulltext-queries it as the grantTitle index,
+# analytics/wic/interests/cyphers.py:119-130). Same id space + row gate
+# as GRANT_ADMINS_SQL so every registered grant has exactly one title;
+# titles cycle keyword-bearing and keyword-free forms so the grantTitle
+# arms have positives AND non-matching fillers.
+GRANT_REGISTRY_SQL = """
+SELECT DISTINCT
+  'grant' || CAST(o_orderkey % 12 AS STRING) AS grant_id,
+  CASE o_orderkey % 12
+    WHEN 0 THEN 'Open data tooling commons'
+    WHEN 1 THEN 'Stream archive preservation'
+    WHEN 2 THEN 'Dup detection research'
+    WHEN 3 THEN 'Order flow transparency'
+    WHEN 4 THEN 'Public weather stations'
+    WHEN 5 THEN 'Vector index commons'
+    WHEN 6 THEN 'Community translation fund'
+    WHEN 7 THEN 'Value accrual studies'
+    WHEN 8 THEN 'Open hardware lab'
+    WHEN 9 THEN 'Data availability layer'
+    WHEN 10 THEN 'Civic archive collective'
+    ELSE 'Mirror nodes network'
+  END AS title
+FROM orders
+WHERE o_orderkey < 12
+"""
+
 # --- Gitcoin bounties (ingestion/gitcoin/cyphers.py:322-345
 # (org entity)-[HAS_BOUNTY]->(bounty); :453-475 (github user)
 # -[HAS_FULLFILLED]->(bounty); :538-555 HAS_INTEREST; org/bounty/user
@@ -603,6 +631,7 @@ ALL_FEEDS: dict[str, str] = {
     "threads": THREADS_SQL,
     "ens_events": ENS_EVENTS_SQL,
     "grant_tags": GRANT_TAGS_SQL,
+    "grant_registry": GRANT_REGISTRY_SQL,
     "bounties": BOUNTIES_SQL,
     "webhooks": WEBHOOKS_SQL,
     "incubators": INCUBATORS_SQL,
