@@ -1174,6 +1174,58 @@ def test_graph_wic_publicgoods_tail_and_cosigners(spark):
     assert buds == {(W[5], "_HAS_CONTEXT_BUDDY", W[4], "FarmerCosigner")}
 
 
+def test_context_flow_labels(spark):
+    """daoContributors TRANSFERRED-flow rules (cyphers.py:38-80),
+    hand-traced: DaoFundingRecipient = target of an entity-linked
+    wallet's >=5-transfer flow that itself has an account AND a prior
+    context; DaoTreasuryFunder the reverse arrow; plus the propHouse
+    Winner-proposal author arm (unconditional)."""
+    from web3_knowledge_graph_spark.operators.wic import context_flow_labels
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcdefg"]
+    t = []
+    # a and b are Dune-entity-linked wallets; c/d/e have ordinary
+    # accounts (Twitter) — so they pass the any-account gate but not the
+    # entity gate; g has NO account at all
+    t += [(W[0], "HAS_ACCOUNT", "Dune:acct1", 1.0),
+          (W[1], "HAS_ACCOUNT", "Dune:acct2", 1.0),
+          (W[2], "HAS_ACCOUNT", "Twitter:acct3", 1.0),
+          (W[3], "HAS_ACCOUNT", "Twitter:acct4", 1.0),
+          (W[4], "HAS_ACCOUNT", "Twitter:acct5", 1.0)]
+    # flows out of the entity wallet a: →c (5 transfers, qualifies),
+    # →d (4 transfers, below the gate), →g (6 transfers but no account)
+    t += [(W[0], "TRANSFERRED", W[2], 5.0),
+          (W[0], "TRANSFERRED", W[3], 4.0),
+          (W[0], "TRANSFERRED", W[6], 6.0)]
+    # flow INTO the entity wallet b from e (7 transfers) → treasury funder
+    t += [(W[4], "TRANSFERRED", W[1], 7.0)]
+    # c→d wallet flow with no entity endpoint: gates nothing
+    t += [(W[2], "TRANSFERRED", W[3], 9.0)]
+    # f authors the winning proposal, d the losing one
+    t += [(W[5], "AUTHOR", "Proposal:pwin", 1.0),
+          (W[3], "AUTHOR", "Proposal:plose", 1.0)]
+    trip = spark.createDataFrame(
+        t, "subj string, pred string, obj string, weight double"
+    )
+    # prior contexts: c and e are contexted; d is NOT (drops the
+    # otherwise-qualifying flows through d)
+    labels = spark.createDataFrame(
+        [(W[2], "X", "SomeCtx", 1.0, 1.0), (W[4], "X", "SomeCtx", 1.0, 1.0)],
+        "entity_id string, condition string, context string,"
+        " weight double, metric double",
+    )
+    winners = spark.createDataFrame([("Proposal:pwin",)], "p string")
+    got = {
+        (r.entity_id, r.condition, r.context, r.weight, r.metric)
+        for r in context_flow_labels(labels, trip, winners=winners).collect()
+    }
+    assert got == {
+        (W[2], "DaoContributors", "DaoFundingRecipient", 0.9, 1.0),
+        (W[4], "DaoContributors", "DaoTreasuryFunder", 0.75, 1.0),
+        (W[5], "DaoContributors", "DaoFundingRecipient", 0.9, 1.0),
+    }
+
+
 def test_reputation_scores_signed(spark):
     """wicScore/analyze.py:16-30 compute_score, hand-traced. NOTE the
     reference quirk kept deliberately: deg/min for a NEGATIVE degree is a

@@ -2280,8 +2280,17 @@ def q_graph_wic(spark, sf_dir):
     (operators/wic.py GRAPH_WIC_TREE + the driver-seeded extension),
     plus the farmers cosigner expansion post-pass
     (farmers/cyphers.py:115-137: the FarmerCosigner context copied to
-    multisig co-signers of already-labeled farmer wallets)."""
-    from .operators.wic import cosigner_expansion, graph_wic_labels
+    multisig co-signers of already-labeled farmer wallets) and the
+    daoContributors TRANSFERRED-flow post-pass
+    (daoContributors/cyphers.py:38-80: DaoFundingRecipient /
+    DaoTreasuryFunder from entity-linked transfer flows plus the
+    propHouse Winner-proposal author arm)."""
+    from .operators.wic import (
+        context_flow_labels,
+        cosigner_expansion,
+        graph_wic_labels,
+    )
+    from .sources.feeds import feed
 
     _prep(spark)
     # every tree rule references the triple relation (some twice): the
@@ -2290,7 +2299,30 @@ def q_graph_wic(spark, sf_dir):
     # on top of it is a row-local projection
     trip = ER.as_named_triples(_feed_rel(spark, sf_dir))
     base = graph_wic_labels(trip, tree=_graph_wic_driver_tree())
-    return base.unionByName(cosigner_expansion(base, trip))
+    # the base tree (~35 rules with median subqueries) is consumed FOUR
+    # times below (union arm, cosigner gate, one contexted-gate per flow
+    # rule) — lazy localCheckpoint computes it once on first action and
+    # reuses the (label-relation-sized, tiny) blocks; lazy so query
+    # CONSTRUCTION stays job-free (the _page_alias_relations advice item)
+    base = base.localCheckpoint(eager=False)
+    # the Winner label dimension (ingestion/propHouse/cyphers.py:180-190
+    # add_winner_labels: SET p:Winner from the winners CSV) — read from
+    # the proposals feed's winner flag; dimension-sized, broadcast inside
+    # context_flow_labels
+    winners = (
+        feed(spark, sf_dir, "ph_proposals")
+        .where(F.col("winner"))
+        .select(
+            F.concat(F.lit("Proposal:"), F.lower(F.trim("proposal_id"))).alias("p")
+        )
+    )
+    # both post-passes read the BASE label relation (one synchronous
+    # step — see the operator docstrings for why that is the
+    # deterministic restatement of the reference's live-graph recursion)
+    return (
+        base.unionByName(cosigner_expansion(base, trip))
+        .unionByName(context_flow_labels(base, trip, winners=winners))
+    )
 
 
 def _graph_wic_with() -> str:
@@ -2493,14 +2525,65 @@ _COSIG_WALK = (
     "  WHERE o.w NOT IN (SELECT entity_id FROM farmers)"
 )
 
+def _dao_flow_sql() -> str:
+    """The daoContributors TRANSFERRED-flow oracle arm — CTEs generated
+    from the SAME DAO_FLOW_TREE context_flow_labels walks (plus the
+    propHouse Winner-author arm at the tree's first context), so the
+    oracle cannot drift from the Spark rule set. Gates mirror the
+    operator exactly: entity-linked wallets (ENTITY_ACCOUNT_LABELS
+    account surfaces), any-account wallets, this run's contexted
+    wallets, TRANSFERRED weight >= 5 Wallet→Wallet."""
+    from .operators.wic import DAO_FLOW_TREE, ENTITY_ACCOUNT_LABELS
+    from .sources.feeds import ALL_FEEDS
+
+    ent_like = " OR ".join(f"obj LIKE '{l}:%'" for l in ENTITY_ACCOUNT_LABELS)
+    selects = []
+    for condition, context, weight, direction in DAO_FLOW_TREE:
+        src, dst = ("subj", "obj") if direction == "out" else ("obj", "subj")
+        selects.append(
+            f"SELECT DISTINCT r.{dst} AS entity_id,"
+            f" '{condition}' AS condition, '{context}' AS context,"
+            f" CAST({weight} AS DOUBLE) AS weight,"
+            f" CAST(1.0 AS DOUBLE) AS metric"
+            f" FROM tr5 r JOIN ew ON r.{src} = ew.w"
+            f" JOIN anyacct a ON r.{dst} = a.w"
+            f" JOIN ctxd c ON r.{dst} = c.w"
+        )
+    condition, context, weight, _ = DAO_FLOW_TREE[0]
+    selects.append(
+        f"SELECT DISTINCT subj AS entity_id, '{condition}' AS condition,"
+        f" '{context}' AS context, CAST({weight} AS DOUBLE) AS weight,"
+        f" CAST(1.0 AS DOUBLE) AS metric FROM t"
+        f" WHERE pred = 'AUTHOR' AND obj IN (SELECT p FROM winners)"
+    )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        f", php AS ({ALL_FEEDS['ph_proposals']}),\n"
+        "winners AS (SELECT DISTINCT 'Proposal:' || lower(trim(proposal_id))"
+        " AS p FROM php WHERE winner),\n"
+        "ew AS (SELECT DISTINCT subj AS w FROM t"
+        f" WHERE pred = 'HAS_ACCOUNT' AND ({ent_like})),\n"
+        "anyacct AS (SELECT DISTINCT subj AS w FROM t"
+        " WHERE pred = 'HAS_ACCOUNT'),\n"
+        "ctxd AS (SELECT DISTINCT entity_id AS w FROM base),\n"
+        "tr5 AS (SELECT DISTINCT subj, obj FROM tw WHERE pred = 'TRANSFERRED'"
+        " AND weight >= 5 AND subj LIKE 'Wallet:%' AND obj LIKE 'Wallet:%'),\n"
+        "flowlab AS (SELECT DISTINCT entity_id, condition, context, weight,"
+        f" metric FROM ({body}))\n"
+    )
+
+
 ORACLE_EDGE_RULES["graph_wic"] = (
     _graph_wic_with()
     + f", cosig AS (SELECT DISTINCT o.w AS entity_id\n  {_COSIG_WALK})\n"
-    "SELECT * FROM base\n"
+    + _dao_flow_sql()
+    + "SELECT * FROM base\n"
     "UNION ALL\n"
     "SELECT entity_id, 'Cosigners' AS condition,"
     " 'FarmerCosigner' AS context, CAST(-0.5 AS DOUBLE) AS weight,"
-    " CAST(1.0 AS DOUBLE) AS metric FROM cosig"
+    " CAST(1.0 AS DOUBLE) AS metric FROM cosig\n"
+    "UNION ALL\n"
+    "SELECT * FROM flowlab"
 )
 
 ORACLE_EDGE_RULES["cosigner_buddies"] = (

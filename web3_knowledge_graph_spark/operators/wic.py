@@ -535,9 +535,10 @@ def profession_labels(accounts: DataFrame, tree: list | None = None) -> DataFram
 #                     github↔wallet hop is this surface's HAS_WALLET link)
 # Divergences kept deliberately (documented per rule): MultisigSigner
 # drops the reference's extra `(entity)-[:HAS_ACCOUNT]->(multisig)` guard
-# (no entity↔multisig fixture surface), and the two TRANSFERRED-flow
-# daoContributors rules are out of scope (they recurse on prior _Context
-# state).
+# (no entity↔multisig fixture surface). The two TRANSFERRED-flow
+# daoContributors rules live in context_flow_labels below (a one-step
+# post-pass, like the farmers cosigner expansion) because they gate on
+# the label relation itself, not only on the triple relation.
 GRAPH_WIC_TREE = [
     # daoContributors/analyze.py:11-44 + cyphers.py:12-35,81-95
     ("DaoContributors", "MultisigSigner", 0.85, "subjects", ("IS_SIGNER", None)),
@@ -927,6 +928,126 @@ def cosigner_buddies(
         F.col("farmer").alias("obj"),
         F.lit(context).alias("context"),
     )
+
+
+# daoContributors' TRANSFERRED-flow rules (daoContributors/cyphers.py:
+# 38-80, wired by analyze.py:28-40 at weights .9/.75): one entry per rule
+# site, direction 'out' = get_dao_funding_recipients (entity-linked wallet
+# -TRANSFERRED{nb_transfer>=5}-> target), 'in' = get_dao_treasury_funders
+# (the reverse arrow). The professionals copies of these functions
+# (professionals/cyphers.py:187-228) are dead code — professionals/
+# analyze.py wires only the six bio rules — so they mint no rule sites.
+DAO_FLOW_TREE = [
+    ("DaoContributors", "DaoFundingRecipient", 0.9, "out"),
+    ("DaoContributors", "DaoTreasuryFunder", 0.75, "in"),
+]
+
+# the account surfaces the reference ingests with the :Entity label (see
+# context_flow_labels docstring) — shared with the oracle generator so
+# the gate cannot drift between Spark plan and SQL
+ENTITY_ACCOUNT_LABELS = ("Dune",)
+
+
+def context_flow_labels(
+    labels: DataFrame,
+    triples: DataFrame,
+    tree: list | None = None,
+    min_nb_transfer: int = 5,
+    entity_account_labels: tuple = ENTITY_ACCOUNT_LABELS,
+    winners: DataFrame | None = None,
+    winner_context: tuple = ("DaoContributors", "DaoFundingRecipient", 0.9),
+) -> DataFrame:
+    """The daoContributors TRANSFERRED-flow rules (cyphers.py:38-80) →
+    (entity_id, condition, context, weight, metric) label rows.
+
+    The reference MATCHes ``(entity:Entity)-[:HAS_ACCOUNT]-(wallet)
+    -[trans:TRANSFERRED]->(otherWallet)-[:_HAS_CONTEXT]-(wic:_Context)``
+    with ``trans.nb_transfer >= 5`` and ``(otherWallet)-[:HAS_ACCOUNT]-()``
+    then labels otherWallet (the treasury-funder rule reverses the
+    arrow). Two restatements, both documented: (1) the bare
+    ``-[:_HAS_CONTEXT]-`` gate reads whatever context state the live
+    graph accumulated across prior analyzer runs — order-dependent — so
+    it is evaluated here as ONE synchronous step over this run's base
+    label relation (the same choice cosigner_expansion makes; iterating
+    would propagate further, which the reference only does across
+    repeated pipeline runs); (2) the ``:Entity``-linked-wallet gate
+    resolves to the HAS_ACCOUNT surface whose account nodes the
+    reference ingests WITH the :Entity label — Dune accounts
+    (duneAccounts/cyphers.py:54 ``MERGE (d:Dune:Account:Entity …)``,
+    :112 ``(d)-[:HAS_ACCOUNT]->(w:Wallet)``); Sound/Twitter accounts are
+    not Entity-labeled, so they gate nothing.
+
+    ``winners`` ('Proposal:key' one-column relation) is the rule's second
+    arm: ``(wallet)-[:AUTHOR]->(:Proposal:Winner)`` → DaoFundingRecipient
+    unconditionally (cyphers.py:51-60; the Winner label comes from the
+    propHouse ingest, ingestion/propHouse/cyphers.py:180-190).
+
+    Scale: every gate relation (entity-linked wallets, any-account
+    wallets, contexted wallets, winner proposals) is dimension-sized →
+    broadcast; the transfer relation is filtered on nb_transfer before
+    any join and never self-joins."""
+    tree = DAO_FLOW_TREE if tree is None else tree
+    ha = triples.where(F.col("pred") == "HAS_ACCOUNT").select(
+        F.col("subj").alias("w"), "obj"
+    )
+    cond = F.lit(False)
+    for lbl in entity_account_labels:
+        cond = cond | F.col("obj").startswith(lbl + ":")
+    ew = F.broadcast(ha.where(cond).select("w").dropDuplicates())
+    any_acct = F.broadcast(ha.select("w").dropDuplicates())
+    contexted = F.broadcast(
+        labels.select(F.col("entity_id").alias("w")).dropDuplicates()
+    )
+    tr = (
+        triples.where(
+            (F.col("pred") == "TRANSFERRED")
+            & (F.col("weight") >= min_nb_transfer)
+            & F.col("subj").startswith("Wallet:")
+            & F.col("obj").startswith("Wallet:")
+        )
+        .select("subj", "obj")
+        .dropDuplicates()
+    )
+    parts = []
+    for condition, context, weight, direction in tree:
+        src, dst = ("subj", "obj") if direction == "out" else ("obj", "subj")
+        hits = (
+            tr.join(ew, tr[src] == ew["w"])
+            .select(F.col(dst).alias("w"))
+            .dropDuplicates()
+            .join(any_acct, "w")
+            .join(contexted, "w")
+        )
+        parts.append(
+            hits.select(
+                F.col("w").alias("entity_id"),
+                F.lit(condition).alias("condition"),
+                F.lit(context).alias("context"),
+                F.lit(float(weight)).alias("weight"),
+                F.lit(1.0).alias("metric"),
+            )
+        )
+    if winners is not None:
+        cond_, ctx_, w_ = winner_context
+        won = (
+            triples.where(F.col("pred") == "AUTHOR")
+            .join(
+                F.broadcast(winners.withColumnRenamed(winners.columns[0], "obj")),
+                "obj",
+            )
+            .select(
+                F.col("subj").alias("entity_id"),
+                F.lit(cond_).alias("condition"),
+                F.lit(ctx_).alias("context"),
+                F.lit(float(w_)).alias("weight"),
+                F.lit(1.0).alias("metric"),
+            )
+        )
+        parts.append(won)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["entity_id", "context"])
 
 
 def wic_labels(events: DataFrame) -> DataFrame:

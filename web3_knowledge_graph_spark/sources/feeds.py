@@ -454,7 +454,8 @@ SELECT
   'phprop' || CAST(o_orderkey AS STRING) AS proposal_id,
   'phauc' || CAST(35 * (o_orderkey % 46) + 3 AS STRING) AS auction_id,
   'ph' || CAST(o_orderkey % 9 AS STRING) AS community_id,
-  {wallet_sql(f"o_custkey % {WALLET_MOD}")} AS address
+  {wallet_sql(f"o_custkey % {WALLET_MOD}")} AS address,
+  CAST(o_orderkey % 3 = 0 AS BOOLEAN) AS winner
 FROM orders
 WHERE o_orderkey % 11 = 5 AND o_orderkey < 800
 """
