@@ -1024,8 +1024,19 @@ def test_graph_wic_labels_each_rule_kind(spark):
         (W[4], "ProposalAuthor"): (0.6, 0.5),        # 1 / median 2
         (W[5], "ProposalAuthor"): (0.6, 1.5),        # 3 / median 2
         (W[5], "Delegate"): (0.7, 1.0),
-        ("Github:dev1", "EcosystemDeveloper"): (0.9, 1.0),
-        ("Github:dev2", "EcosystemDeveloper"): (0.9, 1.0),
+        # round 5b: DaoAdmin (weight 0) counts b's one Space contribution;
+        # the conflated 'EcosystemDeveloper' entry is gone (dev2's OWNER
+        # row labels nothing; dev1 keeps TechnicalContributor above), and
+        # the developers-side GitcoinBountyAdmin two-hop needs IS_OWNER
+        # Bounty rows this fixture does not carry
+        (W[1], "DaoAdmin"): (0.0, 1.0),
+        # DuneAccount is the bare-existence rule — c's 0-follows account
+        # counts here even though Web3DataAnalyst drops it
+        (W[1], "DuneAccount"): (0.2, 1.0),
+        (W[2], "DuneAccount"): (0.2, 1.0),
+        # DuneWizard: follows values [0, 3] → q95 = 2.85, × .9 = 2.565;
+        # only b's 3 clears the strict >
+        (W[1], "DuneWizard"): (0.85, 1.0),
         (W[5], "Web3Writer"): (0.6, 3.0),            # 3 ≥ 75th pct 2.5
         (W[0], "Web3Musician"): (0.8, 1.0),
         (W[1], "Web3DataAnalyst"): (0.8, 1.0),       # follows 3 > 0; c's 0 drops
@@ -1172,6 +1183,161 @@ def test_graph_wic_publicgoods_tail_and_cosigners(spark):
         for r in cosigner_buddies(base, trip).collect()
     }
     assert buds == {(W[5], "_HAS_CONTEXT_BUDDY", W[4], "FarmerCosigner")}
+
+
+def test_graph_wic_developer_and_leadership_kinds(spark):
+    """The round-5 developers / Leadership / DuneWizard rule kinds,
+    hand-traced: object-endpoint labeling (has_github), unbenchmarked
+    bounty two-hop (gitcoin_bounty_fulfill), thresholdless contribution
+    count (connect_dao_admins, weight 0), the follows-quantile gate
+    (get_dune_influencers), and the description-seeded SmartContractDev
+    walk (is_smart_contract_dev)."""
+    from web3_knowledge_graph_spark.operators.wic import (
+        graph_wic_labels,
+        smart_contract_dev_labels,
+    )
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcd"]
+    tree = [
+        ("Web3Developers", "GithubAccount", 0.1, "objects",
+         ("HAS_WALLET", "Github")),
+        ("Web3Developers", "GitcoinBountyFulfill", 0.75, "subjects_two_hop",
+         ("HAS_FULLFILLED", "Bounty", "HAS_WALLET")),
+        ("Leadership", "DaoAdmin", 0.0, "count_gt", ("CONTRIBUTOR", "Space", 0)),
+        # q=0.5/mult=1.0 keeps the hand-trace exact: median of follows
+        # [1, 3, 5] = 3, strict > labels only the 5
+        ("PopularMirrorAuthor", "DuneWizard", 0.85,
+         "subjects_weight_gt_quantile", ("HAS_ACCOUNT", "Dune", 0.5, 1.0)),
+    ]
+    t = [
+        # gh1 links wallet a and fulfilled a bounty → a gains both
+        ("Github:gh1", "HAS_WALLET", W[0], 1.0),
+        ("Github:gh1", "HAS_FULLFILLED", "Bounty:b1", 1.0),
+        # gh2 links b but fulfilled nothing → GithubAccount only
+        ("Github:gh2", "HAS_WALLET", W[1], 1.0),
+        # gh3 fulfilled but has no wallet link → labels nothing
+        ("Github:gh3", "HAS_FULLFILLED", "Bounty:b2", 1.0),
+        # non-Github HAS_WALLET subject never mints GithubAccount
+        ("Token:t1", "HAS_WALLET", W[3], 1.0),
+        # c contributes to two spaces (metric 2), a to one (metric 1)
+        (W[2], "CONTRIBUTOR", "Space:s1", 1.0),
+        (W[2], "CONTRIBUTOR", "Space:s2", 1.0),
+        (W[0], "CONTRIBUTOR", "Space:s1", 1.0),
+        # Dune follows ride as edge weight: 1 / 3 / 5
+        (W[0], "HAS_ACCOUNT", "Dune:d1", 1.0),
+        (W[1], "HAS_ACCOUNT", "Dune:d2", 3.0),
+        (W[2], "HAS_ACCOUNT", "Dune:d3", 5.0),
+    ]
+    trip = spark.createDataFrame(
+        t, "subj string, pred string, obj string, weight double"
+    )
+    got = {
+        (r.entity_id, r.context): (r.weight, r.metric)
+        for r in graph_wic_labels(trip, tree=tree).collect()
+    }
+    assert got == {
+        (W[0], "GithubAccount"): (0.1, 1.0),
+        (W[1], "GithubAccount"): (0.1, 1.0),
+        (W[0], "GitcoinBountyFulfill"): (0.75, 1.0),
+        (W[0], "DaoAdmin"): (0.0, 1.0),
+        (W[2], "DaoAdmin"): (0.0, 2.0),
+        (W[2], "DuneWizard"): (0.85, 1.0),
+    }
+    # SmartContractDev: r1 is description-gated, r2 is not; only gh1's
+    # wallet lands the label
+    seeds = spark.createDataFrame([("Repository:org/r1",)], "r string")
+    t2 = [
+        ("Github:gh1", "CONTRIBUTOR", "Repository:org/r1", 1.0),
+        ("Github:gh2", "SUBSCRIBER", "Repository:org/r2", 1.0),
+        ("Github:gh1", "HAS_WALLET", W[0], 1.0),
+        ("Github:gh2", "HAS_WALLET", W[1], 1.0),
+    ]
+    trip2 = spark.createDataFrame(
+        t2, "subj string, pred string, obj string, weight double"
+    )
+    sc = {
+        (r.entity_id, r.context, r.weight, r.metric)
+        for r in smart_contract_dev_labels(trip2, seeds).collect()
+    }
+    assert sc == {(W[0], "SmartContractDev", 0.9, 1.0)}
+
+
+def test_influencer_labels_and_twitter_fan_in(spark):
+    """Influencers text arms (influencers/cyphers.py:32-106) and the
+    TwitterInfluencer follower fan-in (cyphers.py:111-130), hand-traced:
+    Twitter+Substack co-accounts, substack/newsletter strings gated to
+    Twitter rows, the platform-blind podcast bio arm, podcast handles,
+    podcast website urls, and the ≥k distinct follower-WALLET count."""
+    from web3_knowledge_graph_spark.operators.wic import (
+        graph_wic_labels,
+        influencer_labels,
+    )
+
+    accounts = spark.createDataFrame(
+        [
+            # a has Twitter AND Substack accounts → SubstackWriter
+            ("0xA", "Twitter", "user_1", 2, "web3 curious"),
+            ("0xA", "Substack", "sub1", 0, "web3 curious"),
+            # b: substack/newsletter bio on a Twitter row → SubstackWriter
+            ("0xB", "Twitter", "user_2", 1, "writes a newsletter on substack"),
+            # c: podcast HANDLE on Twitter → Podcaster
+            ("0xC", "Twitter", "podcast_hour", 1, "web3 curious"),
+            # d: podcast bio on a DUNE row → Podcaster (bio arm spans
+            # platforms — the wicBios fulltext index)
+            ("0xD", "Dune", "acct9", 3, "host of the onchain podcast"),
+            # e: substack string on a DUNE row → NOT SubstackWriter (that
+            # arm gates on twitter rows only)
+            ("0xE", "Dune", "acct10", 3, "substack fan"),
+        ],
+        "address string, platform string, account_id string,"
+        " follows bigint, bio string",
+    )
+    websites = spark.createDataFrame(
+        [
+            ("https://x.example/podcasts/feed", "0xF"),
+            ("https://x.example/about", "0xG"),
+        ],
+        "website_url string, address string",
+    )
+    got = {
+        (r.entity_id, r.context, r.weight)
+        for r in influencer_labels(accounts, websites).collect()
+    }
+    assert got == {
+        ("Wallet:0xa", "SubstackWriter", 0.3),
+        ("Wallet:0xb", "SubstackWriter", 0.3),
+        ("Wallet:0xc", "Podcaster", 0.3),
+        ("Wallet:0xd", "Podcaster", 0.3),
+        ("Wallet:0xf", "Podcaster", 0.3),
+    }
+
+    W = [f"Wallet:0x{c * 40}" for c in "abcde"]
+    tree = [
+        ("SocialMedia", "TwitterInfluencer", 0.95, "fan_in_count_ge",
+         ("HAS_ACCOUNT", "Twitter", "FOLLOWS", 2)),
+    ]
+    t = [
+        (W[0], "HAS_ACCOUNT", "Twitter:t_inf", 1.0),
+        (W[1], "HAS_ACCOUNT", "Twitter:t_f1", 1.0),
+        (W[2], "HAS_ACCOUNT", "Twitter:t_f2", 1.0),
+        (W[3], "HAS_ACCOUNT", "Twitter:t_f3", 1.0),
+        (W[4], "HAS_ACCOUNT", "Twitter:t_other", 1.0),
+        # two wallet-backed followers → t_inf's wallet qualifies at k=2
+        ("Twitter:t_f1", "FOLLOWS", "Twitter:t_inf", 1.0),
+        ("Twitter:t_f2", "FOLLOWS", "Twitter:t_inf", 1.0),
+        # t_other: one wallet-backed follower + one wallet-less follower
+        # → count 1, below k
+        ("Twitter:t_f3", "FOLLOWS", "Twitter:t_other", 1.0),
+        ("Twitter:t_nowallet", "FOLLOWS", "Twitter:t_other", 1.0),
+    ]
+    trip = spark.createDataFrame(
+        t, "subj string, pred string, obj string, weight double"
+    )
+    fan = {
+        (r.entity_id, r.context): (r.weight, r.metric)
+        for r in graph_wic_labels(trip, tree=tree).collect()
+    }
+    assert fan == {(W[0], "TwitterInfluencer"): (0.95, 1.0)}
 
 
 def test_context_flow_labels(spark):

@@ -1977,6 +1977,87 @@ def _professions_sql() -> str:
 ORACLE_EDGE_RULES["professions"] = _professions_sql()
 
 
+def q_influencer_labels(spark, sf_dir):
+    """Influencers analyzer text-evidence arms (influencers/cyphers.py:
+    32-106): SubstackWriter (Twitter+Substack co-accounts, substack /
+    newsletter bio-or-handle strings) and Podcaster (podcast bios across
+    platforms, podcast Twitter handles, podcast profile-website urls) —
+    one scan per feed, all arms as one struct-array explode. The
+    account-graph influencer arms (MirrorInfluencer, DuneWizard,
+    TwitterInfluencer) live in the graph-WIC tree."""
+    from .operators.wic import influencer_labels
+
+    return influencer_labels(
+        feed(spark, sf_dir, "platform_accounts"),
+        feed(spark, sf_dir, "websites"),
+    )
+
+
+def _influencer_labels_sql() -> str:
+    """One SELECT per INFLUENCER_TREE arm over the platform-account /
+    websites feeds — generated from the same tree q_influencer_labels
+    runs, so the oracle cannot drift from the Spark rule set."""
+    from .operators.wic import INFLUENCER_TREE
+
+    selects = []
+    for condition, context, weight, arm, params in INFLUENCER_TREE:
+        proj = (
+            f"'{condition}' AS condition, '{context}' AS context,"
+            f" CAST({weight} AS DOUBLE) AS weight"
+        )
+        w = "'Wallet:' || lower(trim(address)) AS entity_id"
+        if arm == "both_platforms":
+            pa, pb = params
+            selects.append(
+                f"SELECT DISTINCT {w}, {proj} FROM platform_accounts"
+                f" WHERE platform = '{pa}' AND lower(trim(address)) IN"
+                f" (SELECT lower(trim(address)) FROM platform_accounts"
+                f" WHERE platform = '{pb}')"
+            )
+        elif arm == "platform_text":
+            p, needles = params
+            conds = " OR ".join(
+                f"lower(bio) LIKE '%{n}%' OR lower(account_id) LIKE '%{n}%'"
+                for n in needles
+            )
+            selects.append(
+                f"SELECT DISTINCT {w}, {proj} FROM platform_accounts"
+                f" WHERE platform = '{p}' AND ({conds})"
+            )
+        elif arm == "bio_text":
+            (needles,) = params
+            conds = " OR ".join(f"lower(bio) LIKE '%{n}%'" for n in needles)
+            selects.append(
+                f"SELECT DISTINCT {w}, {proj} FROM platform_accounts"
+                f" WHERE ({conds})"
+            )
+        elif arm == "platform_id_text":
+            p, needles = params
+            conds = " OR ".join(
+                f"lower(account_id) LIKE '%{n}%'" for n in needles
+            )
+            selects.append(
+                f"SELECT DISTINCT {w}, {proj} FROM platform_accounts"
+                f" WHERE platform = '{p}' AND ({conds})"
+            )
+        else:  # website_url
+            (needles,) = params
+            conds = " OR ".join(
+                f"lower(website_url) LIKE '%{n}%'" for n in needles
+            )
+            selects.append(
+                f"SELECT DISTINCT {w}, {proj} FROM websites WHERE ({conds})"
+            )
+    return (
+        feed_cte("platform_accounts", "websites")
+        + ",\nlab AS (\n" + "\nUNION ALL\n".join(selects) + ")\n"
+        + "SELECT DISTINCT entity_id, condition, context, weight FROM lab"
+    )
+
+
+ORACLE_EDGE_RULES["influencer_labels"] = _influencer_labels_sql()
+
+
 ORACLE_EDGE_RULES["wic_collectors"] = f"""
 {feed_cte("transfers")},
 holdings AS (SELECT DISTINCT to_address AS entity_id,
@@ -2284,11 +2365,15 @@ def q_graph_wic(spark, sf_dir):
     daoContributors TRANSFERRED-flow post-pass
     (daoContributors/cyphers.py:38-80: DaoFundingRecipient /
     DaoTreasuryFunder from entity-linked transfer flows plus the
-    propHouse Winner-proposal author arm)."""
+    propHouse Winner-proposal author arm) and the developers
+    SmartContractDev arm (developers/cyphers.py:55-70: the repo
+    description keyword gate as a feed-computed seed dimension)."""
     from .operators.wic import (
+        SC_DEV_DESC_KEYWORDS,
         context_flow_labels,
         cosigner_expansion,
         graph_wic_labels,
+        smart_contract_dev_labels,
     )
     from .sources.feeds import feed
 
@@ -2316,12 +2401,27 @@ def q_graph_wic(spark, sf_dir):
             F.concat(F.lit("Proposal:"), F.lower(F.trim("proposal_id"))).alias("p")
         )
     )
-    # both post-passes read the BASE label relation (one synchronous
+    # the SmartContractDev description-gated repository dimension (a repo
+    # qualifies if ANY feed row's description carries a keyword)
+    desc_hit = F.lit(False)
+    for kw in SC_DEV_DESC_KEYWORDS:
+        desc_hit = desc_hit | F.col("description").contains(kw)
+    sc_repos = (
+        feed(spark, sf_dir, "repos")
+        .where(F.col("description").isNotNull() & desc_hit)
+        .select(
+            F.concat(
+                F.lit("Repository:"), F.lower(F.trim("full_name"))
+            ).alias("r")
+        )
+    )
+    # the post-passes read the BASE label relation (one synchronous
     # step — see the operator docstrings for why that is the
     # deterministic restatement of the reference's live-graph recursion)
     return (
         base.unionByName(cosigner_expansion(base, trip))
         .unionByName(context_flow_labels(base, trip, winners=winners))
+        .unionByName(smart_contract_dev_labels(trip, sc_repos))
     )
 
 
@@ -2355,6 +2455,48 @@ def _graph_wic_with() -> str:
             selects.append(
                 f"SELECT DISTINCT subj AS entity_id, {proj}, "
                 f"CAST(1.0 AS DOUBLE) AS metric FROM tw WHERE {where}"
+            )
+        elif kind == "objects":
+            pred, slabel = params
+            where = f"pred = '{pred}'"
+            if slabel:
+                where += f" AND subj LIKE '{slabel}:%'"
+            selects.append(
+                f"SELECT DISTINCT obj AS entity_id, {proj}, "
+                f"CAST(1.0 AS DOUBLE) AS metric FROM t WHERE {where}"
+            )
+        elif kind == "subjects_two_hop":
+            pred_a, label_a, pred_b = params
+            selects.append(
+                f"SELECT DISTINCT hw.obj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric"
+                f" FROM t io JOIN t hw ON io.subj = hw.subj"
+                f" WHERE io.pred = '{pred_a}' AND io.obj LIKE '{label_a}:%'"
+                f" AND hw.pred = '{pred_b}'"
+            )
+        elif kind == "subjects_weight_gt_quantile":
+            pred, label, q, mult = params
+            base = f"SELECT DISTINCT subj, obj, weight FROM tw WHERE pred = '{pred}'"
+            if label:
+                base += f" AND obj LIKE '{label}:%'"
+            selects.append(
+                f"SELECT DISTINCT subj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric FROM ({base})"
+                f" WHERE weight > (SELECT quantile_cont(weight, {q}) * {mult}"
+                f" FROM ({base}))"
+            )
+        elif kind == "fan_in_count_ge":
+            acct_pred, acct_label, follow_pred, k = params
+            selects.append(
+                f"SELECT iw.subj AS entity_id, {proj},"
+                f" CAST(1.0 AS DOUBLE) AS metric FROM ("
+                f"SELECT ha.subj, COUNT(DISTINCT fw.subj) AS c FROM t ha"
+                f" JOIN t f ON f.pred = '{follow_pred}' AND f.obj = ha.obj"
+                f" JOIN t fw ON fw.pred = '{acct_pred}'"
+                f" AND fw.obj LIKE '{acct_label}:%' AND fw.obj = f.subj"
+                f" WHERE ha.pred = '{acct_pred}'"
+                f" AND ha.obj LIKE '{acct_label}:%'"
+                f" GROUP BY ha.subj) iw WHERE iw.c >= {k}"
             )
         elif kind == "count_gt":
             pred, label, k = params
@@ -2573,17 +2715,46 @@ def _dao_flow_sql() -> str:
     )
 
 
+def _sc_dev_sql() -> str:
+    """The developers SmartContractDev oracle arm — the description
+    keyword gate generated from the SAME SC_DEV_DESC_KEYWORDS list
+    smart_contract_dev_labels' seed dimension uses, the walk from the
+    same role/wallet predicates."""
+    from .operators.wic import SC_DEV_DESC_KEYWORDS
+    from .sources.feeds import ALL_FEEDS
+
+    likes = " OR ".join(
+        f"description LIKE '%{kw}%'" for kw in SC_DEV_DESC_KEYWORDS
+    )
+    return (
+        f", repofeed AS ({ALL_FEEDS['repos']}),\n"
+        "screpos AS (SELECT DISTINCT 'Repository:' || lower(trim(full_name))"
+        f" AS obj FROM repofeed WHERE description IS NOT NULL AND ({likes})),\n"
+        "scgh AS (SELECT DISTINCT subj FROM t WHERE pred IN"
+        " ('CONTRIBUTOR', 'OWNER', 'SUBSCRIBER')"
+        " AND obj IN (SELECT obj FROM screpos)),\n"
+        "scdev AS (SELECT DISTINCT t.obj AS entity_id,"
+        " 'Web3Developers' AS condition, 'SmartContractDev' AS context,"
+        " CAST(0.9 AS DOUBLE) AS weight, CAST(1.0 AS DOUBLE) AS metric"
+        " FROM t JOIN scgh ON t.subj = scgh.subj"
+        " WHERE t.pred = 'HAS_WALLET')\n"
+    )
+
+
 ORACLE_EDGE_RULES["graph_wic"] = (
     _graph_wic_with()
     + f", cosig AS (SELECT DISTINCT o.w AS entity_id\n  {_COSIG_WALK})\n"
     + _dao_flow_sql()
+    + _sc_dev_sql()
     + "SELECT * FROM base\n"
     "UNION ALL\n"
     "SELECT entity_id, 'Cosigners' AS condition,"
     " 'FarmerCosigner' AS context, CAST(-0.5 AS DOUBLE) AS weight,"
     " CAST(1.0 AS DOUBLE) AS metric FROM cosig\n"
     "UNION ALL\n"
-    "SELECT * FROM flowlab"
+    "SELECT * FROM flowlab\n"
+    "UNION ALL\n"
+    "SELECT * FROM scdev"
 )
 
 ORACLE_EDGE_RULES["cosigner_buddies"] = (
@@ -2653,9 +2824,10 @@ ORACLE_EDGE_RULES["paradigm_cases"] = _paradigm_cases_sql()
 
 
 def q_wic_reputation_full(spark, sf_dir):
-    """Whole-system reputation rollup: ALL five WIC label surfaces —
+    """Whole-system reputation rollup: ALL six WIC label surfaces —
     behavioral tree, interests keywords, collectors seed lists,
-    professionals bios, graph-pattern tree — unioned into one label
+    professionals bios, influencer text arms, graph-pattern tree —
+    unioned into one label
     relation (behavioral user ids resolve into the shared Wallet
     keyspace) and scored with the reference's SIGN-DEPENDENT
     normalization (wicScore/analyze.py:16-30: negative weighted degrees
@@ -2682,10 +2854,13 @@ def q_wic_reputation_full(spark, sf_dir):
         "context", "weight",
     )
     prof = q_professions(spark, sf_dir).select("entity_id", "context", "weight")
+    infl = q_influencer_labels(spark, sf_dir).select(
+        "entity_id", "context", "weight"
+    )
     gw = q_graph_wic(spark, sf_dir).select("entity_id", "context", "weight")
     labels = (
         beh.unionByName(ints).unionByName(coll).unionByName(prof)
-        .unionByName(gw).distinct()
+        .unionByName(infl).unionByName(gw).distinct()
     )
     return reputation_scores_signed(labels)
 
@@ -2712,6 +2887,9 @@ WITH labels AS (
     UNION ALL
     SELECT entity_id, context, weight
     FROM ({ORACLE_EDGE_RULES["professions"]})
+    UNION ALL
+    SELECT entity_id, context, weight
+    FROM ({ORACLE_EDGE_RULES["influencer_labels"]})
     UNION ALL
     SELECT entity_id, context, weight
     FROM ({ORACLE_EDGE_RULES["graph_wic"]})
@@ -4748,12 +4926,17 @@ _R5_PREFIX = (
     "wic_reputation_full", "bounty_edges", "ens_registry_edges",
     "watch_edges", "ownership_edges", "communities_refined", "ivf_knn",
     "louvain_full", "interest_evidence",
+    # round-5b WIC-tail closure: the new influencers text-arm surface,
+    # plus every query whose output moved with the repos /
+    # platform-accounts / websites feed extensions behind it
+    "influencer_labels", "repo_edges", "platform_edges", "professions",
+    "membership_edges",
     # --- rotating sentinels (previously confirmed, one per family) ---
-    "mention_wallets", "dict_mentions", "scored_links", "two_hop_links",
-    "cc_components", "near_dedup", "minhash_signatures", "lsh_pairs",
+    "mention_wallets", "scored_links",
+    "cc_components", "near_dedup", "lsh_pairs",
     "bm25", "lang_id", "pagerank", "events_hourly", "sessionization",
-    "asof_join", "interval_join", "holdings_rotation", "merge_upsert",
-    "snapshot_diff", "spam_flagging", "wic_labels",
+    "asof_join", "holdings_rotation", "merge_upsert",
+    "spam_flagging", "wic_labels",
 )
 
 
@@ -4837,6 +5020,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watch_edges": q_watch_edges,
         "audience_edges": q_audience_edges,
         "professions": q_professions,
+        "influencer_labels": q_influencer_labels,
         "wic_reputation_full": q_wic_reputation_full,
         "communities_refined": q_communities_refined,
         "louvain_full": q_louvain_full,

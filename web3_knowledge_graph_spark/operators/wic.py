@@ -561,9 +561,41 @@ GRAPH_WIC_TREE = [
     ("Proposals", "ProposalAuthor", 0.6, "benchmark_child",
      ("AUTHOR", "HAS_PROPOSAL")),
     ("Delegation", "Delegate", 0.7, "subjects", ("IS_DELEGATE", None)),
-    # developers/analyze.py:38-46 + cyphers.py:55-70
-    ("TechnicalEcosystemDevelopment", "EcosystemDeveloper", 0.9,
-     "subjects_any", (("CONTRIBUTOR", "OWNER", "SUBSCRIBER"), "Repository")),
+    # protocolPoliticians/analyze.py:33-41 + cyphers.py:67-80
+    # connect_dao_admins — weight 0 in the reference tree; metric is the
+    # distinct-entity contribution count (con._count); no threshold, so
+    # count_gt at k=0 (the Space node is this surface's snapshot-entity
+    # stand-in, same as the SnapshotAdmin rule above)
+    ("Leadership", "DaoAdmin", 0.0, "count_gt", ("CONTRIBUTOR", "Space", 0)),
+    # developers/analyze.py:10-35 + cyphers.py:8-22 (has_github), :100-113
+    # (identify_dune_accounts), :23-39 (gitcoin_bounty_fulfill); the
+    # github↔wallet hop is the bounty feed's HAS_WALLET link
+    ("Web3Developers", "GithubAccount", 0.1, "objects",
+     ("HAS_WALLET", "Github")),
+    ("Web3Developers", "DuneAccount", 0.2, "subjects",
+     ("HAS_ACCOUNT", "Dune")),
+    ("Web3Developers", "GitcoinBountyFulfill", 0.75, "subjects_two_hop",
+     ("HAS_FULLFILLED", "Bounty", "HAS_WALLET")),
+    # developers/analyze.py:38-46 + cyphers.py:40-54 gitcoin_bounty_admin
+    # — the developers-side UNBENCHMARKED second rule site for the same
+    # context the publicGoods benchmark rule ('Bounties' above) scores
+    ("TechnicalEcosystemDevelopment", "GitcoinBountyAdmin", 0.9,
+     "subjects_two_hop", ("IS_OWNER", "Bounty", "HAS_WALLET")),
+    # influencers/analyze.py:23-28 + cyphers.py:131-149 get_dune_influencers
+    # — follows (the platform feed's property-as-edge-weight) above the
+    # q95 × .9 corpus benchmark (apoc percentiles index [3] = 0.95, the
+    # same reading the MirrorFarmer q95 rule uses)
+    ("PopularMirrorAuthor", "DuneWizard", 0.85,
+     "subjects_weight_gt_quantile", ("HAS_ACCOUNT", "Dune", 0.95, 0.9)),
+    # influencers/analyze.py:36-44 + cyphers.py:111-130
+    # identify_twitter_influencers — ≥ 75 distinct follower wallets over
+    # the wallet→Twitter-account→FOLLOWS fan-in. 75 is the reference's
+    # semantic constant, kept verbatim: the sf0.01 fixture tops out at
+    # ~63 wallet-linked Twitter accounts, so the rule correctly labels
+    # nothing there (oracle agrees 0≡0; the pytest hand-trace exercises
+    # the walk at k=2).
+    ("SocialMedia", "TwitterInfluencer", 0.95,
+     "fan_in_count_ge", ("HAS_ACCOUNT", "Twitter", "FOLLOWS", 75)),
     # traders/analyze.py:27-90 — NftfiBorrower/NftfiLender are the
     # MATCHes on the Loan relation itself (cyphers.py:191-199 BORROWED,
     # :124-132 LENT); the per-marketplace variants MATCH the
@@ -690,6 +722,77 @@ def graph_wic_labels(
                 gated = obj_label(gated, label)
             src = gated.select("subj").dropDuplicates().select(
                 "subj", F.lit(1.0).alias("metric")
+            )
+        elif kind == "objects":
+            # entity = the OBJECT endpoint (developers/cyphers.py:8-22
+            # has_github — the repo's Github↔Wallet surface points
+            # Github→Wallet, so the labeled wallet is the object)
+            pred, slabel = params
+            rows = triples.where(F.col("pred") == pred).select("subj", "obj")
+            if slabel:
+                rows = rows.where(F.col("subj").startswith(slabel + ":"))
+            src = rows.select(F.col("obj").alias("subj")).dropDuplicates().select(
+                "subj", F.lit(1.0).alias("metric")
+            )
+        elif kind == "subjects_two_hop":
+            # (gh)-[pred_a]->(label_a) ∧ (gh)-[pred_b]->(entity) — the
+            # unbenchmarked bounty walks (developers/cyphers.py:23-54)
+            pred_a, label_a, pred_b = params
+            mids = slice_(pred_b).select(
+                F.col("subj").alias("subj"), F.col("obj").alias("wallet")
+            )
+            src = (
+                slice_(pred_a, label_a)
+                .join(mids, "subj")
+                .select(F.col("wallet").alias("subj"))
+                .dropDuplicates()
+                .select("subj", F.lit(1.0).alias("metric"))
+            )
+        elif kind == "subjects_weight_gt_quantile":
+            # property > corpus-quantile × mult, the property riding as
+            # the edge weight (influencers/cyphers.py:131-149
+            # get_dune_influencers: follows > percentiles[3]=q95 × .9)
+            pred, label, q, mult = params
+            w = F.col("weight") if has_weight else F.lit(1.0)
+            rows = triples.where(F.col("pred") == pred).select(
+                "subj", "obj", w.alias("w")
+            )
+            if label:
+                rows = obj_label(rows, label)
+            rows = rows.dropDuplicates(["subj", "obj", "w"])
+            bench = rows.agg((F.percentile("w", F.lit(q)) * mult).alias("b"))
+            src = (
+                rows.crossJoin(F.broadcast(bench))
+                .where(F.col("w") > F.col("b"))
+                .select("subj")
+                .dropDuplicates()
+                .select("subj", F.lit(1.0).alias("metric"))
+            )
+        elif kind == "fan_in_count_ge":
+            # (fw)-[acct]->(fT)-[follow]->(T)<-[acct]-(iw): count distinct
+            # follower WALLETS per influencer WALLET ≥ k (influencers/
+            # cyphers.py:111-130 — the SET InfluencerWallet marker pass +
+            # connect pass collapse into one walk; followers of all of a
+            # wallet's accounts aggregate, per the reference's WITH)
+            acct_pred, acct_label, follow_pred, k = params
+            ha_rel = slice_(acct_pred, acct_label)
+            fol = triples.where(F.col("pred") == follow_pred).select(
+                F.col("subj").alias("facct"), F.col("obj").alias("tacct")
+            )
+            fw = ha_rel.select(
+                F.col("subj").alias("fw"), F.col("obj").alias("facct")
+            )
+            src = (
+                ha_rel.select(
+                    F.col("subj").alias("iw"), F.col("obj").alias("tacct")
+                )
+                .join(fol, "tacct")
+                .join(fw, "facct")
+                .dropDuplicates(["iw", "fw"])
+                .groupBy("iw")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= k)
+                .select(F.col("iw").alias("subj"), F.lit(1.0).alias("metric"))
             )
         elif kind == "count_gt":
             pred, label, k = params
@@ -1048,6 +1151,198 @@ def context_flow_labels(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(["entity_id", "context"])
+
+
+# the is_smart_contract_dev description gate (developers/cyphers.py:57-59
+# ``repo.description contains "smart contract" or … "truffle" or
+# … "token contract" or … ".sol" or … "solidity"``) — shared with the
+# oracle generator so the keyword list cannot drift
+SC_DEV_DESC_KEYWORDS = (
+    "smart contract", "truffle", "token contract", ".sol", "solidity"
+)
+
+
+def smart_contract_dev_labels(
+    triples: DataFrame,
+    sc_repos: DataFrame,
+    condition: str = "Web3Developers",
+    context: str = "SmartContractDev",
+    weight: float = 0.9,
+    role_preds: tuple = ("CONTRIBUTOR", "OWNER", "SUBSCRIBER"),
+    wallet_pred: str = "HAS_WALLET",
+) -> DataFrame:
+    """developers/cyphers.py:55-70 is_smart_contract_dev: repositories
+    whose description CONTAINS a solidity-stack keyword
+    (SC_DEV_DESC_KEYWORDS) → their CONTRIBUTOR|OWNER|SUBSCRIBER github
+    users → the HAS_WALLET-linked wallet, labeled SmartContractDev.
+
+    ``sc_repos`` is the description-gated repository dimension
+    ('Repository:key' one-column relation) computed from the repos FEED —
+    the triple surface carries no node properties, so the property gate
+    becomes a seed dimension exactly like the propHouse Winner arm. A
+    repository qualifies if ANY of its feed rows carries a matching
+    description (the reference's node property is MERGE last-write; the
+    synthetic feed keys description off full_name so the two readings
+    coincide). The reference's trailing ``OPTIONAL MATCH … Token`` binds
+    nothing the walk keeps — dropped.
+
+    Scale: the seed set and the github→wallet link are dimension-sized →
+    broadcast; the role-edge slice filters on pred before any join."""
+    seeds = F.broadcast(
+        sc_repos.withColumnRenamed(sc_repos.columns[0], "obj").dropDuplicates()
+    )
+    gh = (
+        triples.where(F.col("pred").isin(*role_preds))
+        .select("subj", "obj")
+        .join(seeds, "obj")
+        .select("subj")
+        .dropDuplicates()
+    )
+    wallets = (
+        triples.where(F.col("pred") == wallet_pred)
+        .select("subj", F.col("obj").alias("wallet"))
+        .join(F.broadcast(gh), "subj")
+        .select("wallet")
+        .dropDuplicates()
+    )
+    return wallets.select(
+        F.col("wallet").alias("entity_id"),
+        F.lit(condition).alias("condition"),
+        F.lit(context).alias("context"),
+        F.lit(float(weight)).alias("weight"),
+        F.lit(1.0).alias("metric"),
+    )
+
+
+# influencers' text-evidence arms (influencers/analyze.py:10-35 weights;
+# cyphers.py rule sites): one entry per reference MERGE site. Arms:
+#   both_platforms — (wallet)-[:HAS_ACCOUNT]-(:Twitter) AND (:Substack)
+#                    (cyphers.py:32-44 substackQuery)
+#   platform_text  — platform rows where bio OR handle CONTAINS a needle
+#                    (cyphers.py:45-67 twitterStuffs/newsy: bio, name,
+#                    handle — the feed's account_id carries the
+#                    name/handle surface)
+#   bio_text       — ANY platform's bio CONTAINS a needle (cyphers.py:
+#                    70-84 wicBios fulltext, platform-blind)
+#   platform_id_text — handle/name ONLY, bio excluded (cyphers.py:85-95
+#                    otherAspects)
+#   website_url    — website account url CONTAINS a needle (cyphers.py:
+#                    96-106), wallet = the profile's address column
+INFLUENCER_TREE = [
+    ("PopularMirrorAuthor", "SubstackWriter", 0.3,
+     "both_platforms", ("Twitter", "Substack")),
+    ("PopularMirrorAuthor", "SubstackWriter", 0.3,
+     "platform_text", ("Twitter", ("substack",))),
+    ("PopularMirrorAuthor", "SubstackWriter", 0.3,
+     "platform_text", ("Twitter", ("newsletter",))),
+    ("PopularMirrorAuthor", "Podcaster", 0.3,
+     "bio_text", (("podcaster", "podcast"),)),
+    ("PopularMirrorAuthor", "Podcaster", 0.3,
+     "platform_id_text", ("Twitter", ("podcast",))),
+    ("PopularMirrorAuthor", "Podcaster", 0.3,
+     "website_url", (("podcast",),)),
+]
+
+
+def influencer_labels(
+    accounts: DataFrame,
+    websites: DataFrame | None = None,
+    tree: list | None = None,
+) -> DataFrame:
+    """(address, platform, account_id, bio) platform-account rows +
+    (website_url, address) profile websites → (entity_id, condition,
+    context, weight) influencer labels (influencers/cyphers.py:32-106 —
+    the substack / newsletter / podcast text-evidence arms; the
+    account-graph arms MirrorInfluencer / DuneWizard / TwitterInfluencer
+    live in the graph-WIC tree).
+
+    The reference's ``contains`` gates are case-sensitive over
+    mixed-case properties; bios here are matched lowercased (the repo's
+    fulltext convention, same as profession_labels) and handles are
+    already canonical-lowercase. An account with ANY matching feed row
+    qualifies — the reference's MERGE last-write node property read the
+    same way on this feed (see the feed comment).
+
+    Scale: one scan of each feed, all arms evaluated as one
+    struct-array explode (no per-rule pass), one dedup exchange."""
+    tree = INFLUENCER_TREE if tree is None else tree
+    bio = F.lower(F.col("bio"))
+    acct = F.lower(F.col("account_id"))
+    plat = F.col("platform")
+
+    def _contains(col, needles):
+        cond = F.lit(False)
+        for n in needles:
+            cond = cond | col.contains(n)
+        return cond
+
+    acc_structs, web_structs = [], []
+    for condition, context, weight, arm, params in tree:
+        st = F.struct(
+            F.lit(condition).alias("condition"),
+            F.lit(context).alias("context"),
+            F.lit(float(weight)).alias("weight"),
+        )
+        if arm == "platform_text":
+            p, needles = params
+            acc_structs.append(
+                F.when(
+                    (plat == p) & (_contains(bio, needles) | _contains(acct, needles)),
+                    st,
+                )
+            )
+        elif arm == "bio_text":
+            (needles,) = params
+            acc_structs.append(F.when(_contains(bio, needles), st))
+        elif arm == "platform_id_text":
+            p, needles = params
+            acc_structs.append(F.when((plat == p) & _contains(acct, needles), st))
+        elif arm == "website_url":
+            (needles,) = params
+            web_structs.append(
+                F.when(_contains(F.lower(F.col("website_url")), needles), st)
+            )
+        # both_platforms handled below (it is an intersection, not a row gate)
+    wallet = F.concat(F.lit("Wallet:"), F.lower(F.trim("address"))).alias(
+        "entity_id"
+    )
+    parts = []
+    if acc_structs:
+        parts.append(
+            accounts.select(wallet, F.explode(F.array(*acc_structs)).alias("m"))
+            .where(F.col("m").isNotNull())
+        )
+    if web_structs and websites is not None:
+        parts.append(
+            websites.select(wallet, F.explode(F.array(*web_structs)).alias("m"))
+            .where(F.col("m").isNotNull())
+        )
+    for condition, context, weight, arm, params in tree:
+        if arm != "both_platforms":
+            continue
+        pa, pb = params
+        wa = accounts.where(plat == pa).select(wallet).dropDuplicates()
+        wb = accounts.where(plat == pb).select(wallet).dropDuplicates()
+        both = wa.join(wb, "entity_id")
+        parts.append(
+            both.select(
+                "entity_id",
+                F.struct(
+                    F.lit(condition).alias("condition"),
+                    F.lit(context).alias("context"),
+                    F.lit(float(weight)).alias("weight"),
+                ).alias("m"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "entity_id",
+        F.col("m.condition").alias("condition"),
+        F.col("m.context").alias("context"),
+        F.col("m.weight").alias("weight"),
+    ).dropDuplicates(["entity_id", "context"])
 
 
 def wic_labels(events: DataFrame) -> DataFrame:

@@ -316,18 +316,31 @@ WHERE o_orderkey % 3 = 1 AND o_orderkey < 540
 # create_or_merge_socials(..., "HAS_REPOSITORY")); most repos have no
 # token — the % 6 = 2 rows are the ones that do, the rest carry NULL and
 # must emit no HAS_REPOSITORY edge.
+# handle shares the bounty feed's ghuser keyspace so the HAS_WALLET link
+# resolves repo contributors to wallets (developers/cyphers.py:55-70
+# is_smart_contract_dev walks exactly that hop); description is keyed off
+# full_name (c % 63 determines both) so the SmartContractDev keyword gate
+# is unambiguous per repo — %7 ∈ {0,1,3,5} match a SC_DEV_DESC_KEYWORDS
+# term, {2,4} are non-matching negatives, 6 is the NULL negative.
 REPOS_SQL = """
 SELECT
   'org' || CAST(c_custkey % 9 AS STRING) || '/repo'
       || CAST(c_custkey % 21 AS STRING) AS full_name,
   CASE WHEN c_custkey % 13 = 0 THEN CAST(NULL AS STRING)
-       ELSE 'dev_' || CAST(c_custkey % 37 AS STRING) END AS handle,
+       ELSE 'ghuser' || CAST(c_custkey % 29 AS STRING) END AS handle,
   CASE WHEN c_custkey % 3 = 0 THEN 'owner'
        WHEN c_custkey % 3 = 1 THEN 'contributor'
        ELSE 'subscriber' END AS role,
   CASE WHEN c_custkey % 6 = 2
        THEN '0x' || md5('tok' || CAST(c_custkey % 11 AS STRING))
-       ELSE CAST(NULL AS STRING) END AS token_address
+       ELSE CAST(NULL AS STRING) END AS token_address,
+  CASE WHEN (c_custkey % 63) % 7 = 0 THEN 'solidity library for amm pools'
+       WHEN (c_custkey % 63) % 7 = 1 THEN 'smart contract audit playground'
+       WHEN (c_custkey % 63) % 7 = 2 THEN 'indexer for onchain events'
+       WHEN (c_custkey % 63) % 7 = 3 THEN 'truffle deployment scripts'
+       WHEN (c_custkey % 63) % 7 = 4 THEN 'frontend for the dao'
+       WHEN (c_custkey % 63) % 7 = 5 THEN 'erc20 token contract templates'
+       ELSE CAST(NULL AS STRING) END AS description
 FROM customer
 WHERE c_custkey < 120
 """
@@ -349,32 +362,46 @@ WHERE c_custkey < 70
 # :49-63 (:Dune:Account) WHERE dune.follows > 0 for Web3DataAnalyst;
 # analytics/wic/professionals/cyphers.py:10-32,60-90 fulltext-queries the
 # wicBios index and links matched accounts to wallets over the same
-# HAS_ACCOUNT hop). One feed carries (address, platform, account_id,
-# follows, bio): platform is the account node's label; follows and bio
-# are account-node PROPERTIES in the reference, so both key off the
-# account identity (user_id % 61) — functionally determined per account,
-# dedup-stable in both engines. Even-keyed accounts carry follows = 0 (the
-# negative the web3_data_analysts WHERE-gate must drop); bios cycle
-# through phrase templates so every keyword class has positives AND
-# non-matching fillers.
+# HAS_ACCOUNT hop; analytics/wic/influencers/cyphers.py:32-110 gates on
+# Substack co-accounts, substack/newsletter/podcast bio and handle
+# strings, and :111-130 walks the Twitter follower fan-in). One feed
+# carries (address, platform, account_id, follows, bio): platform is the
+# account node's label; follows and bio are account-node PROPERTIES in
+# the reference, so both key off a per-row account identity —
+# functionally determined per account, dedup-stable in both engines.
+# Twitter accounts share the follower feed's user_N keyspace so FOLLOWS
+# edges resolve to wallet-linked accounts (the TwitterInfluencer fan-in
+# walk); two Twitter ids are keyword-bearing handles (the reference's
+# ``twitter.handle contains`` arms); Substack carves the user_id%9=3
+# bucket. Even-keyed Dune/Sound accounts carry follows = 0 (the negative
+# the web3_data_analysts WHERE-gate must drop); bios cycle through
+# phrase templates so every keyword class has positives AND non-matching
+# fillers (12-13 are the influencers' newsletter/podcast bios).
 PLATFORM_ACCOUNTS_SQL = f"""
 SELECT
   {_W_USER} AS address,
   CASE WHEN user_id % 9 = 0 THEN 'Sound'
        WHEN user_id % 9 IN (1, 2) THEN 'Dune'
+       WHEN user_id % 9 = 3 THEN 'Substack'
        ELSE 'Twitter' END AS platform,
-  'acct' || CAST(user_id % 61 AS STRING) AS account_id,
+  CASE WHEN user_id % 9 IN (0, 1, 2) THEN 'acct' || CAST(user_id % 61 AS STRING)
+       WHEN user_id % 9 = 3 THEN 'sub' || CAST(user_id % 23 AS STRING)
+       WHEN user_id % 41 = 7 THEN 'the_substack_digest'
+       WHEN user_id % 41 = 9 THEN 'podcast_hour'
+       ELSE 'user_' || CAST(user_id % 41 AS STRING) END AS account_id,
   CAST(CASE WHEN user_id % 61 % 2 = 0 THEN 0
             ELSE 1 + user_id % 61 % 5 END AS BIGINT) AS follows,
-  CASE WHEN user_id % 61 % 12 = 0 THEN 'Co-Founder building onchain'
-       WHEN user_id % 61 % 12 = 1 THEN 'investing in early teams at a venture capital firm'
-       WHEN user_id % 61 % 12 = 2 THEN 'Marketing lead and brand storyteller'
-       WHEN user_id % 61 % 12 = 3 THEN 'VP of Sales driving partnerships'
-       WHEN user_id % 61 % 12 = 4 THEN 'Community Manager for the collective'
-       WHEN user_id % 61 % 12 = 5 THEN 'DevRel / developer relations engineer'
-       WHEN user_id % 61 % 12 = 6 THEN 'pre-seed angel; VC at heart'
-       WHEN user_id % 61 % 12 = 7 THEN 'community lead, governance nerd'
-       WHEN user_id % 61 % 12 = 8 THEN 'onchain data wizard'
+  CASE WHEN user_id % 61 % 14 = 0 THEN 'Co-Founder building onchain'
+       WHEN user_id % 61 % 14 = 1 THEN 'investing in early teams at a venture capital firm'
+       WHEN user_id % 61 % 14 = 2 THEN 'Marketing lead and brand storyteller'
+       WHEN user_id % 61 % 14 = 3 THEN 'VP of Sales driving partnerships'
+       WHEN user_id % 61 % 14 = 4 THEN 'Community Manager for the collective'
+       WHEN user_id % 61 % 14 = 5 THEN 'DevRel / developer relations engineer'
+       WHEN user_id % 61 % 14 = 6 THEN 'pre-seed angel; VC at heart'
+       WHEN user_id % 61 % 14 = 7 THEN 'community lead, governance nerd'
+       WHEN user_id % 61 % 14 = 8 THEN 'onchain data wizard'
+       WHEN user_id % 61 % 14 = 12 THEN 'writes a crypto newsletter on substack'
+       WHEN user_id % 61 % 14 = 13 THEN 'host of the onchain podcast show'
        ELSE 'web3 curious' END AS bio
 FROM events
 WHERE event_type = 'click' AND event_id % 3 = 0
@@ -383,8 +410,11 @@ WHERE event_type = 'click' AND event_id % 3 = 0
 # --- twitter-profile websites (postProcessing/twitterRelations/
 # cyphers.py:130-150: MERGE (website:Website {url})-[HAS_DOMAIN]->
 # (domain:Domain {name}), domain = urlparse(url).netloc at
-# process.py:55-73).
-WEBSITES_SQL = """
+# process.py:55-73). address is the profile's wallet — the
+# (wallet)-[:HAS_ACCOUNT]-(website:Website:Account) hop the influencers
+# Podcaster url arm walks (influencers/cyphers.py:96-106); the %16=4
+# rows carry a podcast path (same host — domain extraction unchanged).
+WEBSITES_SQL = f"""
 SELECT
   CASE
     WHEN c_custkey % 16 = 0 THEN
@@ -393,9 +423,13 @@ SELECT
     WHEN c_custkey % 16 = 8 THEN
       'https://alice@user' || CAST(c_custkey % 40 AS STRING)
         || '.example/about'
+    WHEN c_custkey % 16 = 4 THEN
+      'https://user' || CAST(c_custkey % 40 AS STRING)
+        || '.example/podcasts/feed'
     ELSE
       'https://user' || CAST(c_custkey % 40 AS STRING) || '.example/about'
-  END AS website_url
+  END AS website_url,
+  {wallet_sql(f"c_custkey % {WALLET_MOD}")} AS address
 FROM customer
 WHERE c_custkey % 4 = 0 AND c_custkey < 200
 """
