@@ -1585,8 +1585,20 @@ _FEED_REL_CACHE: dict = {}
 _FEED_REL_CACHE_MAX = 4
 
 
+# the composed graph-WIC label relation (base tree + post-passes): the
+# rollup (wic_reputation_full) consumes the same relation graph_wic
+# returns, and the expensive subtree inside it is the LAZY
+# localCheckpoint of the ~45-rule base — sharing the DataFrame object
+# shares that checkpoint, so the tree materializes once per
+# (application, sf_dir) instead of once per consumer. No eager job at
+# construction (the lazy checkpoint materializes on the first action);
+# entries are label-relation-sized. Same LRU bound as the feed cache.
+_GRAPH_WIC_CACHE: dict = {}
+
+
 def clear_feed_cache() -> None:
-    """Unpersist and drop every memoized relation (feed + alias base)."""
+    """Unpersist and drop every memoized relation (feed + alias base +
+    graph-WIC labels)."""
     for cache in (_FEED_REL_CACHE, _ALIAS_BASE_CACHE):
         for df in cache.values():
             try:
@@ -1594,6 +1606,7 @@ def clear_feed_cache() -> None:
             except Exception:
                 pass  # entry from an already-stopped SparkSession
         cache.clear()
+    _GRAPH_WIC_CACHE.clear()  # lazy-checkpoint blocks free with the refs
 
 
 def _feed_rel(spark, sf_dir, on_handle=None):
@@ -2377,6 +2390,9 @@ def q_graph_wic(spark, sf_dir):
     )
     from .sources.feeds import feed
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _GRAPH_WIC_CACHE:
+        return _GRAPH_WIC_CACHE[key]
     _prep(spark)
     # every tree rule references the triple relation (some twice): the
     # memoized feed checkpoint (_feed_rel) cuts the lineage once and is
@@ -2418,11 +2434,15 @@ def q_graph_wic(spark, sf_dir):
     # the post-passes read the BASE label relation (one synchronous
     # step — see the operator docstrings for why that is the
     # deterministic restatement of the reference's live-graph recursion)
-    return (
+    out = (
         base.unionByName(cosigner_expansion(base, trip))
         .unionByName(context_flow_labels(base, trip, winners=winners))
         .unionByName(smart_contract_dev_labels(trip, sc_repos))
     )
+    while len(_GRAPH_WIC_CACHE) >= _FEED_REL_CACHE_MAX:
+        _GRAPH_WIC_CACHE.pop(next(iter(_GRAPH_WIC_CACHE)))
+    _GRAPH_WIC_CACHE[key] = out
+    return out
 
 
 def _graph_wic_with() -> str:

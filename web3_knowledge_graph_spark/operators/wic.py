@@ -706,34 +706,77 @@ def graph_wic_labels(
         return df.join(F.broadcast(parents), "obj")
 
     parts = []
+    # ALL row-local exists kinds (subjects / subjects_any /
+    # subjects_weight_gt / objects / seed_subjects / subjects_seed_obj)
+    # batch into ONE scan of the triple relation: each rule contributes a
+    # when(cond, struct(entity, condition, context, weight)) array
+    # element, one explode, one (entity, context) dedup exchange — the
+    # profession_labels shape. Contexts are unique per rule, so the
+    # single dedup equals the per-rule dedup + union, and ~25 scans of
+    # the (checkpointed) relation collapse to 1 — at sf0.01 this cut
+    # graph_wic's Spark wall ~2× (stage-count-bound), at 100 TB it is
+    # simply 25× less triple-relation traffic.
+    row_structs = []
+
+    def _row_struct(entity_col, condition, context, weight):
+        return F.struct(
+            entity_col.alias("entity_id"),
+            F.lit(condition).alias("condition"),
+            F.lit(context).alias("context"),
+            F.lit(float(weight)).alias("weight"),
+        )
+
     for condition, context, weight, kind, params in tree:
         if kind in ("subjects", "subjects_any"):
             pred, label = params
-            src = slice_(pred, label).select("subj").dropDuplicates().select(
-                "subj", F.lit(1.0).alias("metric")
+            preds = (pred,) if isinstance(pred, str) else tuple(pred)
+            cond = F.col("pred").isin(*preds)
+            if label:
+                cond = cond & F.col("obj").startswith(label + ":")
+            row_structs.append(
+                F.when(cond, _row_struct(F.col("subj"), condition, context, weight))
             )
+            continue
         elif kind == "subjects_weight_gt":
             pred, label, k = params
             w = F.col("weight") if has_weight else F.lit(1.0)
-            gated = triples.where(
-                (F.col("pred") == pred) & (w > k)
-            ).select("subj", "obj")
+            cond = (F.col("pred") == pred) & (w > k)
             if label:
-                gated = obj_label(gated, label)
-            src = gated.select("subj").dropDuplicates().select(
-                "subj", F.lit(1.0).alias("metric")
+                cond = cond & F.col("obj").startswith(label + ":")
+            row_structs.append(
+                F.when(cond, _row_struct(F.col("subj"), condition, context, weight))
             )
+            continue
         elif kind == "objects":
             # entity = the OBJECT endpoint (developers/cyphers.py:8-22
             # has_github — the repo's Github↔Wallet surface points
             # Github→Wallet, so the labeled wallet is the object)
             pred, slabel = params
-            rows = triples.where(F.col("pred") == pred).select("subj", "obj")
+            cond = F.col("pred") == pred
             if slabel:
-                rows = rows.where(F.col("subj").startswith(slabel + ":"))
-            src = rows.select(F.col("obj").alias("subj")).dropDuplicates().select(
-                "subj", F.lit(1.0).alias("metric")
+                cond = cond & F.col("subj").startswith(slabel + ":")
+            row_structs.append(
+                F.when(cond, _row_struct(F.col("obj"), condition, context, weight))
             )
+            continue
+        elif kind == "seed_subjects":
+            (seeds,) = params
+            row_structs.append(
+                F.when(
+                    F.col("subj").isin(*seeds),
+                    _row_struct(F.col("subj"), condition, context, weight),
+                )
+            )
+            continue
+        elif kind == "subjects_seed_obj":
+            pred, seeds = params
+            row_structs.append(
+                F.when(
+                    (F.col("pred") == pred) & F.col("obj").isin(*seeds),
+                    _row_struct(F.col("subj"), condition, context, weight),
+                )
+            )
+            continue
         elif kind == "subjects_two_hop":
             # (gh)-[pred_a]->(label_a) ∧ (gh)-[pred_b]->(entity) — the
             # unbenchmarked bounty walks (developers/cyphers.py:23-54)
@@ -826,23 +869,6 @@ def graph_wic_labels(
             src = cnt.crossJoin(F.broadcast(bench)).where(
                 F.col("c") >= F.col("b")
             ).select("subj", F.col("c").cast("double").alias("metric"))
-        elif kind == "seed_subjects":
-            (seeds,) = params
-            src = (
-                triples.where(F.col("subj").isin(*seeds))
-                .select("subj")
-                .dropDuplicates()
-                .select("subj", F.lit(1.0).alias("metric"))
-            )
-        elif kind == "subjects_seed_obj":
-            pred, seeds = params
-            src = (
-                slice_(pred)
-                .where(F.col("obj").isin(*seeds))
-                .select("subj")
-                .dropDuplicates()
-                .select("subj", F.lit(1.0).alias("metric"))
-            )
         elif kind in ("count_paradigm", "subjects_paradigm"):
             pred, child_pred, seeds = params
             ents = paradigm_entities(triples, seeds)
@@ -939,6 +965,18 @@ def graph_wic_labels(
                 F.lit(context).alias("context"),
                 F.lit(weight).alias("weight"),
                 "metric",
+            )
+        )
+    if row_structs:
+        parts.append(
+            triples.select(F.explode(F.array(*row_structs)).alias("m"))
+            .where(F.col("m").isNotNull())
+            .select("m.entity_id", "m.condition", "m.context", "m.weight")
+            .dropDuplicates(["entity_id", "context"])
+            .select(
+                "entity_id", "condition", "context",
+                F.col("weight").cast("double").alias("weight"),
+                F.lit(1.0).alias("metric"),
             )
         )
     out = parts[0]
