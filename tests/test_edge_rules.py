@@ -117,6 +117,29 @@ def test_gitcoin_donation_destination_gate(spark):
     ) == {(W1, "g1")}
 
 
+def test_gitcoin_donor_threshold_nontrivial_at_fixture_scale(spark):
+    """The GitcoinGrantDonor WIC context (> 2 distinct grants per donor,
+    publicGoods/cyphers.py:8-18) must label REAL rows on the driver
+    fixtures — guards sources/feeds.DONATIONS_SQL keying valid
+    destinations by the grant's actual admin. A prior revision keyed them
+    by the grant id itself, so no donation survived the destination gate
+    past 1 grant per donor and the driver oracle row was trivially 0≡0."""
+    from web3_knowledge_graph_spark.sources.feeds import feed
+
+    sf = "/root/testdata/sf0.001"
+    out = ER.gitcoin_edges(
+        feed(spark, sf, "grant_admins"), feed(spark, sf, "donations")
+    )
+    donors_over = (
+        out.where(F.col("pred") == "DONATION")
+        .groupBy("subj_key")
+        .agg(F.countDistinct("obj_key").alias("g"))
+        .where(F.col("g") > 2)
+        .count()
+    )
+    assert donors_over > 0
+
+
 def test_delegation_latest_change_wins(spark):
     # DELEGATES_TO reflects the latest change per (protocol, delegator);
     # per-protocol edges stay distinct (delegation/cyphers.py:156-199)

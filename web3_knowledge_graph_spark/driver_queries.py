@@ -4951,10 +4951,16 @@ _R5_PREFIX = (
     # platform-accounts / websites feed extensions behind it
     "influencer_labels", "repo_edges", "platform_edges", "professions",
     "membership_edges",
+    # round-5c donation-fixture change (feeds.DONATIONS_SQL keys valid
+    # destinations by the grant's actual admin, so GitcoinGrantDonor
+    # labels real rows): both feed consumers whose output moved
+    "gitcoin_edges", "grant_donor_communities",
     # --- rotating sentinels (previously confirmed, one per family) ---
+    # (pagerank family is covered in-prefix by hits/personalized_pagerank,
+    # LSH by near_dedup, so those two sentinels rotated out this round)
     "mention_wallets", "scored_links",
-    "cc_components", "near_dedup", "lsh_pairs",
-    "bm25", "lang_id", "pagerank", "events_hourly", "sessionization",
+    "cc_components", "near_dedup",
+    "bm25", "lang_id", "events_hourly", "sessionization",
     "asof_join", "holdings_rotation", "merge_upsert",
     "spam_flagging", "wic_labels",
 )

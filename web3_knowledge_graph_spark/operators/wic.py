@@ -547,10 +547,11 @@ GRAPH_WIC_TREE = [
      ("CONTRIBUTOR", "Repository")),
     # publicGoods/analyze.py:10-36 + cyphers.py:8-60. The `> 2` is the
     # reference's hardcoded constant (its computed donation benchmark is
-    # unused, cyphers.py:19-30). At sf0.01 the surviving DONATION edges
-    # (destination-must-be-admin MATCH negatives dominate by design) top
-    # out at 1 grant per donor, so the rule correctly labels nothing
-    # there — oracle agrees 0≡0; the rule-kind hand-trace covers it.
+    # unused, cyphers.py:19-30). Fixture donors span up to 10 distinct
+    # grants (sources/feeds.DONATIONS_SQL keys valid destinations by the
+    # grant's actual admin; 97 donors clear the >2 bar at sf0.01), so
+    # this context labels real rows at oracle scale; the rule-kind
+    # hand-trace covers the threshold boundary.
     ("Grants", "GitcoinGrantDonor", 0.6, "count_gt", ("DONATION", "Grant", 2)),
     ("Grants", "GitcoinGrantAdmin", 0.825, "benchmark",
      ("IS_ADMIN", ("IS_ADMIN", "MEMBER_OF"), "Grant")),

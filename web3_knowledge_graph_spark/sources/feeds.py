@@ -121,17 +121,26 @@ FROM orders
 WHERE o_orderkey < 12
 """
 
+# The valid branch keys the destination by the grant's ACTUAL admin (the
+# o_custkey of the order that minted the grant — same generator as
+# GRANT_ADMINS_SQL), so ~3/4 of donations survive the destination gate and
+# heavy donors span >2 distinct grants: the GitcoinGrantDonor WIC context
+# labels real rows at oracle scale. Negatives stay negatives two ways:
+# event_id % 4 = 0 rows carry a junk destination, and donations to a
+# grant id no order minted (the LEFT JOIN misses) never match an admin.
 DONATIONS_SQL = f"""
 SELECT
   '0x' || md5('don' || CAST(event_id AS STRING)) AS tx_hash,
   {_W_USER} AS donor,
   'grant' || CAST(event_id % 12 AS STRING) AS grant_id,
-  CASE WHEN event_id % 4 = 0
+  CASE WHEN event_id % 4 = 0 OR ga.o_custkey IS NULL
        THEN {wallet_sql(f"(event_id * 17 + 5) % {WALLET_MOD}")}
-       ELSE {wallet_sql(f"((event_id % 12) * 13 + 2) % {WALLET_MOD}")} END
+       ELSE {wallet_sql(f"(ga.o_custkey * 13 + 2) % {WALLET_MOD}")} END
     AS destination,
   CAST(value AS DECIMAL(18,2)) AS amount
 FROM events
+LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 12) ga
+  ON ga.o_orderkey = event_id % 12
 WHERE event_type = 'error'
 """
 
