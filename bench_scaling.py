@@ -180,6 +180,98 @@ def amortization_runs(rounds: int = 3) -> dict:
     }
 
 
+REP_WHOLE = int(os.environ.get("SPARK_GRAFT_REP_WHOLE", str(16 * REP_FULL)))
+
+
+def wholejob_runs(rounds: int = 3) -> dict:
+    """Direct WHOLE-JOB efficiency of the full stage at an amortized corpus
+    size — no marginal/Amdahl argument. The amortization experiment proves
+    the sub-ceiling whole-job ratio at 320k docs is a ~10-13 s per-job
+    constant; this measurement closes the loop by simply running a corpus
+    big enough (pages ×REP_WHOLE = 5.12M docs, 16× the standard size) that
+    the constant is amortized the way a production corpus amortizes it,
+    and reporting the plain wall-clock docs/sec ratio between 1 and 4 real
+    executor processes. Interleaved rounds, matched ratios, median round,
+    calibrated by the same round's process-pool machine ceiling."""
+    n_lo, n_hi = CLUSTER_EXECS
+    rows: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    ceilings = []
+    for _ in range(rounds):
+        c0 = machine_calibration()
+        ceilings.append(c0[LEVELS[1]] / c0[LEVELS[0]])
+        for n in (n_lo, n_hi):
+            r = _run_worker(
+                2 * n, "full", master=_cluster_master(n), trials=1,
+                env={"SPARK_GRAFT_REP_FULL": str(REP_WHOLE)},
+            )
+            rows[n].append(r)
+    sp_rounds = [
+        rows[n_lo][i]["secs"] / rows[n_hi][i]["secs"] for i in range(rounds)
+    ]
+    order = sorted(range(rounds), key=lambda i: sp_rounds[i])
+    mid = order[(rounds - 1) // 2]
+    sp = sp_rounds[mid]
+    return {
+        "rep": REP_WHOLE,
+        "docs": rows[n_lo][0]["docs"],
+        "secs": {str(n): [r["secs"] for r in rows[n]] for n in (n_lo, n_hi)},
+        "docs_per_sec": {
+            str(n): round(rows[n][mid]["docs_per_sec"], 1) for n in (n_lo, n_hi)
+        },
+        "speedup": round(sp, 3),
+        "raw_efficiency": round(sp / (n_hi / n_lo), 3),
+        "calibrated_efficiency": round(sp / ceilings[mid], 3),
+        "per_round_speedups": [round(s, 3) for s in sp_rounds],
+        "ceilings": [round(c, 3) for c in ceilings],
+    }
+
+
+def wholejob_md(wj: dict) -> str:
+    n_lo, n_hi = CLUSTER_EXECS
+    return f"""<!-- wholejob:begin -->
+### Whole-job efficiency at amortized corpus size — direct measurement
+
+The decomposition above says the full stage's whole-job shortfall at
+320k docs is a fixed ~10-13 s per-job constant. Direct check: the SAME
+whole job (setup + plan analysis + JIT + every barrier included, nothing
+subtracted) on a corpus 16× larger (pages ×{wj["rep"]} = {wj["docs"]:,}
+docs), {n_lo} vs {n_hi} real executor processes, {len(wj["ceilings"])}
+interleaved rounds, median matched ratio:
+
+| level | docs | wall (s) per round | median docs/sec |
+|---|---|---|---|
+| {_cluster_master(n_lo)} ({n_lo} exec × 2 cores) | {wj["docs"]:,} | {wj["secs"][str(n_lo)]} | {wj["docs_per_sec"][str(n_lo)]:,.0f} |
+| {_cluster_master(n_hi)} ({n_hi} exec × 2 cores) | {wj["docs"]:,} | {wj["secs"][str(n_hi)]} | {wj["docs_per_sec"][str(n_hi)]:,.0f} |
+
+whole-job matched speedup **{wj["speedup"]:.2f}×** (per round
+{wj["per_round_speedups"]}) → raw efficiency **{wj["raw_efficiency"]}**,
+machine-calibrated **{wj["calibrated_efficiency"]}** (per-round ceilings
+{wj["ceilings"]}). No marginal subtraction, no Amdahl fit — the plain
+wall-clock ratio of the production stage at a corpus size big enough to
+amortize its per-job constant, which is how every real run at the 100 TB
+target operates. Regenerate with `python bench_scaling.py --wholejob`.
+<!-- wholejob:end -->"""
+
+
+# anchor line the wholejob block is inserted above (the cluster-section
+# shuffle table header in _write_bench_md's template)
+_WHOLEJOB_ANCHOR = "Shuffle stage (explode → corpus-proportional exchange):"
+
+
+def patch_wholejob_into_bench_md(wj: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    old = open(path).read()
+    block = wholejob_md(wj)
+    b, e = "<!-- wholejob:begin -->", "<!-- wholejob:end -->"
+    if b in old and e in old:
+        new = old[: old.index(b)] + block + old[old.index(e) + len(e):]
+    else:
+        i = old.index(_WHOLEJOB_ANCHOR)
+        new = old[:i] + block + "\n\n" + old[i:]
+    with open(path, "w") as f:
+        f.write(new)
+
+
 def worker(cores: int, mode: str, master: str | None = None, trials: int = 1) -> None:
     from pyspark.sql import functions as F
 
@@ -229,11 +321,16 @@ def worker(cores: int, mode: str, master: str | None = None, trials: int = 1) ->
         spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
     pages = synthesize_pages(spark, SF_DIR)
+    # partition count grows with the corpus past the amortization sizes so
+    # per-partition volume stays at the ~40k-doc size the measured configs
+    # already use (rep ≤ 256 resolves to the original 16*cores — existing
+    # numbers are unchanged; only the whole-job rep=1024 corpus gets more)
+    n_parts = max(16 * cores, rep * 5000 // 40_000)
     big = (
         pages.crossJoin(spark.range(rep).select(F.col("id").alias("_rep")))
         .withColumn("url", F.concat_ws("#", "url", F.col("_rep").cast("string")))
         .drop("_rep")
-        .repartition(16 * cores)
+        .repartition(n_parts)
         .localCheckpoint()  # materialize input OUTSIDE the timed window
     )
     n_docs = big.count()
@@ -337,6 +434,7 @@ def main() -> None:
         for c in configs:
             runs[c].append(_run_worker(c[1], c[0], master=c[2], trials=1))
     amort = amortization_runs()
+    wj = wholejob_runs()
 
     def _merge(rs: list[dict]) -> dict:
         best = min(rs, key=lambda r: r["secs"])
@@ -395,6 +493,7 @@ def main() -> None:
         "bandwidth_gbps": {k: round(v, 2) for k, v in bw.items()},
         "bandwidth_speedup": round(bw[hi] / bw[lo], 3),
         "amortization": amort,
+        "wholejob": wj,
         "levels": res,
         "cluster_levels": clus,
         "sf_dir": SF_DIR,
@@ -402,6 +501,7 @@ def main() -> None:
     summary["ceilings"] = [round(c, 3) for c in ceilings]
     print(json.dumps(summary))
     _write_bench_md(res, stats, cal, machine_speedup, clus, ceilings, bw, amort)
+    patch_wholejob_into_bench_md(wj)
 
 
 def writeonly(path: str) -> None:
@@ -425,15 +525,18 @@ def writeonly(path: str) -> None:
         else bandwidth_calibration()
     )
     amort = d.get("amortization") or amortization_runs()
+    wj = d.get("wholejob") or wholejob_runs()
     d["bandwidth_gbps"] = {k: round(v, 2) for k, v in bw.items()}
     d["bandwidth_speedup"] = round(bw[LEVELS[1]] / bw[LEVELS[0]], 3)
     d["amortization"] = amort
+    d["wholejob"] = wj
     d["cal"] = {k: round(v, 1) for k, v in cal.items()}
     with open(path, "w") as f:
         json.dump(d, f)
     _write_bench_md(
         res, d["stats"], cal, d["machine_speedup"], clus, d["ceilings"], bw, amort
     )
+    patch_wholejob_into_bench_md(wj)
 
 
 def _write_bench_md(
@@ -682,5 +785,9 @@ if __name__ == "__main__":
         worker(int(sys.argv[2]), sys.argv[3], m, t)
     elif len(sys.argv) > 2 and sys.argv[1] == "--writeonly":
         writeonly(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--wholejob":
+        wj = wholejob_runs()
+        print(json.dumps({"wholejob": wj}))
+        patch_wholejob_into_bench_md(wj)
     else:
         main()
