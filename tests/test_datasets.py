@@ -1058,3 +1058,38 @@ def test_bm25_vs_python(spark):
     # length normalization: the 1-token alpha doc outranks the 6-token doc
     # whose 3 betas saturate under k1
     assert got[4] > got[2]
+
+
+def test_dsir_weights_hand_traced(spark):
+    """Per-bucket add-1 count ratios in exact micro-units, summed over a
+    doc's bigram occurrences; bigram->bucket via the md5-derived hash60."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    # guard the hand trace: the four distinct bigrams must land in four
+    # distinct buckets at B=1024 (computed with the same md5 formula)
+    buckets = {
+        bg: int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % 1024
+        for bg in ("a b", "b a", "c d", "b c")
+    }
+    assert len(set(buckets.values())) == 4
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d"), (2, "a b c d"), (3, "z")],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") == 0)
+    got = {
+        r.doc_id: r
+        for r in CU.dsir_weights(
+            docs, target, n_buckets=1024, threshold_micro=800_000
+        ).collect()
+    }
+    # raw counts: "a b":3, "b a":1, "c d":2, "b c":1; target: "a b":2, "b a":1
+    # lr_micro: a b = 3e6//4 = 750000; b a = 2e6//2 = 1000000;
+    #           c d = 1e6//3 = 333333; b c = 1e6//2 = 500000
+    assert (got[0].n_bigrams, got[0].weight_micro) == (3, 2_500_000)
+    assert (got[1].n_bigrams, got[1].weight_micro) == (1, 333_333)
+    assert (got[2].n_bigrams, got[2].weight_micro) == (3, 1_583_333)
+    assert (got[3].n_bigrams, got[3].weight_micro) == (0, 0)
+    assert got[0].keep and not got[1].keep and not got[2].keep and not got[3].keep
+    assert got[0].mean_weight == 2_500_000 / 3_000_000.0

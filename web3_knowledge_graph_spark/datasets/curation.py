@@ -601,3 +601,124 @@ def overlapping_chunks(
         F.size("c.w").alias("n_tokens"),
         F.concat_ws(" ", "c.w").alias("chunk_text"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    threshold_micro: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): fit hashed-bigram bag distributions on a small
+    ``target`` corpus (the distribution you want more of) and on the raw
+    ``docs`` corpus, then weight every raw document by how target-like
+    its bigrams are — the per-bucket likelihood ratio p_target/p_raw
+    summed over the document's bigram occurrences.
+
+    DIVERGENCES from the paper, on purpose and in the repo's established
+    exact-arithmetic convention (see textstats.lm_surprisal, bm25_scores):
+
+      * per-bucket weight is the add-1-smoothed COUNT ratio in exact
+        integer micro-units — lr_micro = (1e6 * (c_target + 1)) div
+        (c_raw + 1) — not exp(log p - log q). The dropped normalizer
+        (n_raw + B) / (n_target + B) is bucket-independent: it rescales
+        every document's weight by the same positive constant, so any
+        top-k or threshold selection is invariant (rescale the threshold
+        accordingly). Cross-engine ln/exp are not bit-stable; integer
+        div is, so the oracle can value-hash the result.
+      * selection is a deterministic threshold on the mean per-bigram
+        weight (``keep``), not Gumbel-noised resampling — same
+        determinism choice as mixture_sample/hash_split.
+
+    Plan shape at 100 TB: both distributions are n_buckets-bounded
+    partial aggregations (map-side combine; the exchange carries at most
+    B rows per partition). The scoring pass joins the corpus's exploded
+    bigram buckets against an explicitly broadcast B-row dimension and
+    folds with one doc_id-keyed exact long sum — the corpus text itself
+    never shuffles, and the raw-side fit + scoring are two scans of the
+    corpus with no materialization between them. Integer bound: the
+    micro-unit numerator needs c_target < 2^63/1e6 per bucket (~9.2e12
+    bigrams in ONE bucket) — the target is small by construction in DSIR
+    (a trusted subset), so the bound is never near at sane B.
+
+    Returns one row per input doc: (doc_id, n_bigrams, weight_micro,
+    mean_weight, keep); docs with < 2 tokens get zero weight and
+    keep = false.
+    """
+    from .dedup import _hash60
+
+    def bigram_buckets(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        toks = F.col("_toks")
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array())
+        return toked.select(
+            "doc_id",
+            F.explode(grams).alias("bg"),
+        ).select("doc_id", (_hash60(F.col("bg")) % n_buckets).alias("bucket"))
+
+    raw_counts = (
+        bigram_buckets(docs)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_raw"))
+    )
+    tgt_counts = (
+        bigram_buckets(target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    dim = F.broadcast(
+        raw_counts.join(tgt_counts, "bucket", "left").select(
+            "bucket",
+            F.expr(
+                "CAST(1000000 * (coalesce(c_tgt, 0) + 1) AS BIGINT)"
+                " div CAST(c_raw + 1 AS BIGINT)"
+            ).alias("lr_micro"),
+        )
+    )
+    scored = (
+        bigram_buckets(docs)
+        .join(dim, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    keep = (
+        F.lit(False)
+        if threshold_micro is None
+        else (F.col("weight_micro") >= F.lit(threshold_micro) * F.col("n_bigrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("weight_micro") / (F.col("n_bigrams") * F.lit(1_000_000.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_weight"),
+            F.coalesce(
+                keep & (F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0), F.lit(False)
+            ).alias("keep"),
+        )
+    )

@@ -3893,6 +3893,25 @@ FROM documents)
 """
 
 
+DSIR_BUCKETS = 1024
+DSIR_KEEP_MICRO = 1_000_000
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting for data selection (Xie et al. 2023,
+    arXiv:2302.03169): hashed-bigram likelihood ratio of the English
+    subcorpus (the target distribution) vs the whole corpus, per-bucket
+    add-1 count ratios in exact integer micro-units, keep = mean weight
+    >= 1.0 (see curation.dsir_weights for the plan + divergence notes)."""
+    docs = _t(spark, sf_dir, "documents")
+    return CU.dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        n_buckets=DSIR_BUCKETS,
+        threshold_micro=DSIR_KEEP_MICRO,
+    )
+
+
 QUANTILE_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -4866,6 +4885,30 @@ WHERE grp_rank <= target
 
 ORACLE_DATASETS["hash_split"] = _hash_split_oracle()
 
+# Replays curation.dsir_weights: same md5-derived bigram buckets, same
+# exact-integer micro-unit likelihood ratios (bit-stable across engines).
+ORACLE_DATASETS["dsir_weights"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-1, 0)),
+        i -> t[i] || ' ' || t[i+1])) AS bgs FROM toks),
+bk AS (SELECT doc_id, {_H60.format(expr="bgs")} % {DSIR_BUCKETS} AS bucket FROM bg),
+raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw FROM bk GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt
+        FROM bk JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+dim AS (SELECT bucket,
+  CAST(1000000 * (COALESCE(c_tgt, 0) + 1) AS BIGINT) // CAST(c_raw + 1 AS BIGINT) AS lr
+ FROM raw LEFT JOIN tgt USING (bucket)),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(lr) AS BIGINT) AS s
+        FROM bk JOIN dim USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s, 0) AS BIGINT) AS weight_micro,
+  CASE WHEN COALESCE(n, 0) > 0 THEN CAST(s AS DOUBLE) / (n * 1000000.0)
+       ELSE 0.0 END AS mean_weight,
+  COALESCE(s >= {DSIR_KEEP_MICRO} * n AND n > 0, FALSE) AS keep
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
 ORACLE_DATASETS["length_quantiles"] = f"""
 WITH t AS (
   SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -4959,8 +5002,11 @@ _R5_PREFIX = (
     # (pagerank family is covered in-prefix by hits/personalized_pagerank,
     # LSH by near_dedup, so those two sentinels rotated out this round)
     "mention_wallets", "scored_links",
+    # dsir_weights is new in round 5 (never driver-checked) → prefix;
+    # one streaming sentinel (sessionization) retained, events_hourly out
+    "dsir_weights",
     "cc_components", "near_dedup",
-    "bm25", "lang_id", "events_hourly", "sessionization",
+    "bm25", "lang_id", "sessionization",
     "asof_join", "holdings_rotation", "merge_upsert",
     "spam_flagging", "wic_labels",
 )
@@ -5101,6 +5147,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
+        "dsir_weights": q_dsir_weights,
     }
 
 
