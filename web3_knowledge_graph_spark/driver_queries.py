@@ -3323,6 +3323,23 @@ def q_sessionization(spark, sf_dir):
     )
 
 
+def q_trending_topk(spark, sf_dir):
+    """Per-hour trending top-3 event types (count desc, name tie-break) —
+    the batch restatement of streaming/jobs.trending_stream's per-epoch
+    rank; tests/test_streaming.py proves stream ≡ this batch form, this
+    oracle proves the batch form, closing the chain stream ≡ batch ≡ SQL."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     """OLAP sanity (partial-agg shape): TPC-H Q1-style pricing summary."""
     li = _t(spark, sf_dir, "lineitem")
@@ -3381,6 +3398,18 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
   strftime(MIN(ts), '{TS_FMT_DUCK}') AS start_ts,
   strftime(MAX(ts), '{TS_FMT_DUCK}') AS end_ts
 FROM s GROUP BY user_id, session_id
+""",
+    "trending_topk": f"""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+            ORDER BY n DESC, event_type) AS rank
+  FROM c)
+SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -5002,11 +5031,13 @@ _R5_PREFIX = (
     # (pagerank family is covered in-prefix by hits/personalized_pagerank,
     # LSH by near_dedup, so those two sentinels rotated out this round)
     "mention_wallets", "scored_links",
-    # dsir_weights is new in round 5 (never driver-checked) → prefix;
-    # one streaming sentinel (sessionization) retained, events_hourly out
-    "dsir_weights",
+    # dsir_weights and trending_topk are new in round 5 (never
+    # driver-checked) → prefix; trending_topk doubles as the streaming
+    # family's sentinel (stream ≡ batch pinned by tests/test_streaming),
+    # so sessionization rotates out alongside events_hourly
+    "dsir_weights", "trending_topk",
     "cc_components", "near_dedup",
-    "bm25", "lang_id", "sessionization",
+    "bm25", "lang_id",
     "asof_join", "holdings_rotation", "merge_upsert",
     "spam_flagging", "wic_labels",
 )
@@ -5104,6 +5135,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "events_hourly": q_events_hourly,
         "sessionization": q_sessionization,
+        "trending_topk": q_trending_topk,
         "pricing_summary": q_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
