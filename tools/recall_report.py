@@ -68,7 +68,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
     )
 
     # --- banded hyperplane-LSH embedding near-dup (driver params:
-    # threshold 0.35, 3 bits x 4 bands). Truth: exact all-pairs cosine.
+    # threshold 0.35, 3 bits x EMBED_NEARDUP_BANDS bands). Truth: exact
+    # all-pairs cosine.
+    from web3_knowledge_graph_spark.driver_queries import EMBED_NEARDUP_BANDS
+
     t0 = time.time()
     etruth = pairs(
         S.cosine_neardup_pairs(embs, threshold=0.35, n_bits=0), "vec_a", "vec_b"
@@ -76,14 +79,16 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
     t_truth = time.time() - t0
     t0 = time.time()
     egot = pairs(
-        S.cosine_neardup_pairs(embs, threshold=0.35, dim=64, n_bits=3, n_bands=4),
+        S.cosine_neardup_pairs(
+            embs, threshold=0.35, dim=64, n_bits=3, n_bands=EMBED_NEARDUP_BANDS
+        ),
         "vec_a",
         "vec_b",
     )
     t_got = time.time() - t0
     rows.append(
         (
-            "hyperplane-LSH embed near-dup (cos≥0.35, 3 bits × 4 bands)",
+            f"hyperplane-LSH embed near-dup (cos≥0.35, 3 bits × {EMBED_NEARDUP_BANDS} bands)",
             f"{n_vecs} vecs",
             f"{len(egot)} verified",
             len(etruth),

@@ -3465,14 +3465,23 @@ def q_embed_knn(spark, sf_dir):
     return S.cosine_topk(e, e.where(F.col("vec_id") < 8), k=5)
 
 
+# 9 bands × 3 bits: at the query's cos ≥ 0.35 operating point the per-bit
+# collision is p = 1 − θ/π ≈ 0.614, so marginal candidate recall is
+# 1 − (1 − p³)^9 ≈ 0.91 at exactly the threshold (higher above it) — the
+# round-4 measured 0.663 at 4 bands was the textbook band-count shortfall.
+# Measured after the change: see BENCH.md recall table.
+EMBED_NEARDUP_BANDS = 9
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding near-dup via the SCALE path: banded hyperplane-LSH
-    (4 bands × 3 bits, OR over bands) bounds candidate generation to
+    (9 bands × 3 bits, OR over bands) bounds candidate generation to
     bucket-local joins, then exact cosine verifies each deduped candidate.
     The exact all-pairs path (n_bits=0) stays as the pytest recall baseline
     (tests/test_datasets.py::test_embed_neardup_bucketed_subset_of_exact)."""
     return S.cosine_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_bits=3, n_bands=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, dim=64, n_bits=3,
+        n_bands=EMBED_NEARDUP_BANDS,
     )
 
 
@@ -4212,7 +4221,9 @@ WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
 """
 
 
-ORACLE_DATASETS["embed_neardup"] = _embed_neardup_oracle()
+ORACLE_DATASETS["embed_neardup"] = _embed_neardup_oracle(
+    n_bands=EMBED_NEARDUP_BANDS
+)
 
 # Curation oracles: same derived-text SQL, same regex patterns (Java/RE2
 # intersection), replayed verbatim in DuckDB. regexp_replace needs the 'g'
