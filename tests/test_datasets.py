@@ -1093,3 +1093,27 @@ def test_dsir_weights_hand_traced(spark):
     assert (got[3].n_bigrams, got[3].weight_micro) == (0, 0)
     assert got[0].keep and not got[1].keep and not got[2].keep and not got[3].keep
     assert got[0].mean_weight == 2_500_000 / 3_000_000.0
+
+
+def test_semantic_dedup_multiprobe_crosses_cell_boundary(spark):
+    """A near-dup pair straddling a cell boundary is invisible at
+    n_probes=1 (different top-1 cells) and found at n_probes=2 (shared
+    probe cell): vecs 2/3 sit at cos 0.96 to each other but 0.8/0.6 to
+    the two centroids, landing in different cells."""
+    from web3_knowledge_graph_spark.datasets import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.8, 0.6]),   # top-1 cell 0, probe-2 cell 1
+        (3, [0.6, 0.8]),   # top-1 cell 1, probe-2 cell 0
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = {r.vec_id: r for r in SIM.semantic_dedup(
+        vecs, threshold=0.95, n_centroids=2, n_probes=1).collect()}
+    assert all(one[i].keep for i in range(4))  # pair split across cells
+    two = {r.vec_id: r for r in SIM.semantic_dedup(
+        vecs, threshold=0.95, n_centroids=2, n_probes=2).collect()}
+    assert two[2].keep and not two[3].keep and two[3].dup_of == 2
+    # reported cell stays the top-1 assignment under multi-probe
+    assert (two[2].cell, two[3].cell) == (one[2].cell, one[3].cell)

@@ -285,6 +285,7 @@ def semantic_dedup(
     threshold: float = 0.8,
     n_centroids: int = 16,
     cell_cap: int = 100_000,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -294,16 +295,26 @@ def semantic_dedup(
     representative). The paper keeps a random representative per
     epsilon-ball; id order makes the same decision deterministically.
 
+    ``n_probes`` > 1 is the multi-probe recall lever (the IVF-probes idea
+    applied to SemDeDup's cell locality): each vector participates in
+    pairing under its top-``n_probes`` cells, so near-duplicate pairs
+    straddling a cell boundary are still found when ANY probed cell is
+    shared. Reported ``cell`` stays the top-1 assignment; cost grows by
+    at most n_probes^2 in the within-cell join, still never
+    corpus-quadratic.
+
     Plan: the centroid set is the deterministic id-sample ivf_topk uses (a
     trained codebook in production) — broadcast, so assignment is one scan
-    + a per-vector top-1 window. Candidate pairs come from a within-cell
-    self-join only: cost is sum(cell_size^2), bounded by the codebook
-    granularity, never corpus-quadratic; cells larger than ``cell_cap``
-    are excluded from pairing (members all kept — the hot-bucket guard
-    lsh_buckets uses, recall loss documented over silent blowup).
+    + a per-vector rank window. Candidate pairs come from a shared-probe-
+    cell self-join only: cost is sum(cell_size^2) over probe cells,
+    bounded by the codebook granularity, never corpus-quadratic; cells
+    larger than ``cell_cap`` are excluded from pairing (members all kept —
+    the hot-bucket guard lsh_buckets uses, recall loss documented over
+    silent blowup). Pairs sharing two probe cells dedupe BEFORE the
+    cosine verify, so each candidate is scored once.
 
     Returns (vec_id, cell, dup_of, keep) for EVERY input vector;
-    ``dup_of`` is the smallest same-cell id within threshold (-1 for
+    ``dup_of`` is the smallest shared-cell id within threshold (-1 for
     keepers — sentinel, not NULL, for oracle hash stability). NOTE:
     dup_of is NOT necessarily itself a keeper — greedy chains occur
     (A keeps, B dups-to-A, C dups-to-B while outside threshold of A),
@@ -329,38 +340,55 @@ def semantic_dedup(
         (_dot(F.col("_v"), F.col("_pv")) / (F.col("_n") * F.col("_pn"))).alias("_cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_cs").desc(), F.col("cent_id"))
-    cells = (
+    probed = (
         scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "_v", "_n", F.col("cent_id").alias("cell"))
+        .where(F.col("_r") <= n_probes)
+        .select("vec_id", "_v", "_n", F.col("cent_id").alias("cell"), "_r")
         .localCheckpoint()
     )
-    ok = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz")).where(
+    cells = probed.where(F.col("_r") == 1).select("vec_id", "cell")
+    ok = probed.groupBy("cell").agg(F.count(F.lit(1)).alias("_sz")).where(
         F.col("_sz") <= cell_cap
     )
-    pairable = cells.join(F.broadcast(ok.select("cell")), "cell")
+    pairable = probed.select("vec_id", "cell").join(
+        F.broadcast(ok.select("cell")), "cell"
+    )
     a, b = pairable.alias("a"), pairable.alias("b")
-    dup_of = (
+    cand = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("a.vec_id").alias("cand"),
-            (
-                _dot(F.col("a._v"), F.col("b._v"))
-                / (F.col("a._n") * F.col("b._n"))
-            ).alias("_cos"),
+            F.col("a.vec_id").alias("cand"), F.col("b.vec_id").alias("vec_id")
+        )
+        .distinct()  # a pair sharing several probe cells verifies once
+    )
+    vv = probed.where(F.col("_r") == 1).select("vec_id", "_v", "_n")
+    dup_of = (
+        cand.join(
+            vv.select(
+                F.col("vec_id").alias("cand"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "cand",
+        )
+        .join(vv, "vec_id")
+        .select(
+            "vec_id",
+            "cand",
+            (_dot(F.col("_va"), F.col("_v")) / (F.col("_na") * F.col("_n"))).alias(
+                "_cos"
+            ),
         )
         .where(F.col("_cos") >= threshold)
         .groupBy("vec_id")
         .agg(F.min("cand").cast("long").alias("dup_of"))
     )
     return (
-        cells.select("vec_id", "cell")
-        .join(dup_of, "vec_id", "left")
+        cells.join(dup_of, "vec_id", "left")
         .select(
             F.col("vec_id"),
             F.col("cell").cast("long").alias("cell"),

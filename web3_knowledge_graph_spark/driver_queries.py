@@ -3781,14 +3781,19 @@ def q_distinctive_terms(spark, sf_dir):
 SEMDEDUP_THRESHOLD = 0.35
 
 
+SEMDEDUP_PROBES = 2
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table: 16-cell
-    codebook assignment, within-cell lower-id representative wins at
-    cosine >= 0.35."""
+    codebook assignment, lower-id representative wins at cosine >= 0.35
+    among vectors sharing any of each vector's top-2 probe cells (the
+    multi-probe recall lever — see similarity.semantic_dedup)."""
     return S.semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=SEMDEDUP_THRESHOLD,
         n_centroids=16,
+        n_probes=SEMDEDUP_PROBES,
     )
 
 
@@ -4457,18 +4462,21 @@ FROM r WHERE rn <= {TERMS_TOP_K}
 ORACLE_DATASETS["semantic_dedup"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cent_id, v AS pv FROM e ORDER BY vec_id LIMIT 16),
-cassign AS (SELECT vec_id, cent_id AS cell FROM (
-    SELECT e.vec_id, c.cent_id,
+ranked AS (
+    SELECT e.vec_id, c.cent_id AS cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY list_cosine_similarity(e.v, c.pv) DESC, c.cent_id) AS r
-    FROM e, cents c) WHERE r = 1),
-ok AS (SELECT cell FROM cassign GROUP BY cell HAVING COUNT(*) <= 100000),
-p AS (SELECT ca.vec_id, ca.cell FROM cassign ca JOIN ok USING (cell)),
-d AS (SELECT b.vec_id AS vec_id, CAST(MIN(a.vec_id) AS BIGINT) AS dup_of
-      FROM p a JOIN p b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+    FROM e, cents c),
+passign AS (SELECT vec_id, cell, r FROM ranked WHERE r <= {SEMDEDUP_PROBES}),
+cassign AS (SELECT vec_id, cell FROM passign WHERE r = 1),
+ok AS (SELECT cell FROM passign GROUP BY cell HAVING COUNT(*) <= 100000),
+p AS (SELECT pa.vec_id, pa.cell FROM passign pa JOIN ok USING (cell)),
+cand AS (SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+         FROM p a JOIN p b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+d AS (SELECT bi AS vec_id, CAST(MIN(ai) AS BIGINT) AS dup_of
+      FROM cand JOIN e ea ON ai = ea.vec_id JOIN e eb ON bi = eb.vec_id
       WHERE list_cosine_similarity(ea.v, eb.v) >= {SEMDEDUP_THRESHOLD}
-      GROUP BY b.vec_id)
+      GROUP BY bi)
 SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell,
   COALESCE(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS keep
 FROM cassign ca LEFT JOIN d USING (vec_id)
