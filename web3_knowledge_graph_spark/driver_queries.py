@@ -1594,6 +1594,7 @@ _FEED_REL_CACHE_MAX = 4
 # construction (the lazy checkpoint materializes on the first action);
 # entries are label-relation-sized. Same LRU bound as the feed cache.
 _GRAPH_WIC_CACHE: dict = {}
+_WIC_BASE_CACHE: dict = {}
 
 
 def clear_feed_cache() -> None:
@@ -1607,6 +1608,7 @@ def clear_feed_cache() -> None:
                 pass  # entry from an already-stopped SparkSession
         cache.clear()
     _GRAPH_WIC_CACHE.clear()  # lazy-checkpoint blocks free with the refs
+    _WIC_BASE_CACHE.clear()
 
 
 def _feed_rel(spark, sf_dir, on_handle=None):
@@ -2365,6 +2367,25 @@ def _graph_wic_driver_tree() -> list:
     ]
 
 
+def _wic_base(spark, sf_dir, trip=None):
+    """The graph-WIC BASE label relation (the ~35-rule driver tree over
+    the memoized feed triples), lazily localCheckpointed and memoized per
+    (application, sf_dir) so q_graph_wic and q_cosigner_buddies share ONE
+    computation of the expensive tree instead of each paying it (~44 s at
+    sf0.01 before sharing). Evicted alongside the other relation memos."""
+    from .operators.wic import graph_wic_labels
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WIC_BASE_CACHE:
+        if trip is None:
+            trip = ER.as_named_triples(_feed_rel(spark, sf_dir))
+        base = graph_wic_labels(trip, tree=_graph_wic_driver_tree())
+        while len(_WIC_BASE_CACHE) >= _FEED_REL_CACHE_MAX:
+            _WIC_BASE_CACHE.pop(next(iter(_WIC_BASE_CACHE)))
+        _WIC_BASE_CACHE[key] = base.localCheckpoint(eager=False)
+    return _WIC_BASE_CACHE[key]
+
+
 def q_graph_wic(spark, sf_dir):
     """Graph-pattern WIC analyzers — daoContributors, publicGoods (Grants),
     protocolPoliticians, developers (analytics/wic/*/cyphers.py Cypher
@@ -2385,7 +2406,6 @@ def q_graph_wic(spark, sf_dir):
         SC_DEV_DESC_KEYWORDS,
         context_flow_labels,
         cosigner_expansion,
-        graph_wic_labels,
         smart_contract_dev_labels,
     )
     from .sources.feeds import feed
@@ -2399,13 +2419,13 @@ def q_graph_wic(spark, sf_dir):
     # shared with the flagship and the reputation rollup; as_named_triples
     # on top of it is a row-local projection
     trip = ER.as_named_triples(_feed_rel(spark, sf_dir))
-    base = graph_wic_labels(trip, tree=_graph_wic_driver_tree())
     # the base tree (~35 rules with median subqueries) is consumed FOUR
     # times below (union arm, cosigner gate, one contexted-gate per flow
-    # rule) — lazy localCheckpoint computes it once on first action and
-    # reuses the (label-relation-sized, tiny) blocks; lazy so query
-    # CONSTRUCTION stays job-free (the _page_alias_relations advice item)
-    base = base.localCheckpoint(eager=False)
+    # rule) AND by q_cosigner_buddies — the memoized lazy localCheckpoint
+    # computes it once per (app, sf) and reuses the (label-relation-sized,
+    # tiny) blocks; lazy so query CONSTRUCTION stays job-free (the
+    # _page_alias_relations advice item)
+    base = _wic_base(spark, sf_dir, trip)
     # the Winner label dimension (ingestion/propHouse/cyphers.py:180-190
     # add_winner_labels: SET p:Winner from the winners CSV) — read from
     # the proposals feed's winner flag; dimension-sized, broadcast inside
@@ -2789,12 +2809,11 @@ def q_cosigner_buddies(spark, sf_dir):
     """The provenance edges of the farmers cosigner expansion:
     (buddy)-[:_HAS_CONTEXT_BUDDY {_context: FarmerCosigner}]->(farmer)
     per co-signer pair (farmers/cyphers.py:115-137)."""
-    from .operators.wic import cosigner_buddies, graph_wic_labels
+    from .operators.wic import cosigner_buddies
 
     _prep(spark)
     trip = ER.as_named_triples(_feed_rel(spark, sf_dir))
-    base = graph_wic_labels(trip, tree=_graph_wic_driver_tree())
-    return cosigner_buddies(base, trip)
+    return cosigner_buddies(_wic_base(spark, sf_dir, trip), trip)
 
 
 def q_paradigm_cases(spark, sf_dir):
