@@ -157,8 +157,20 @@ def amortization_runs(rounds: int = 3) -> dict:
         marg = {}
         for n in (n_lo, n_hi):
             small, big = rows[(reps[0], n)][rnd], rows[(reps[1], n)][rnd]
-            marg[n] = (big["docs"] - small["docs"]) / (big["secs"] - small["secs"])
-        per_round.append(marg)
+            dt = big["secs"] - small["secs"]
+            if dt <= 0:
+                # noisy host: the 4× run finished no slower than the 1×
+                # run — the marginal for this round carries no signal;
+                # drop the round rather than crash or publish a
+                # negative throughput
+                marg = None
+                break
+            marg[n] = (big["docs"] - small["docs"]) / dt
+        if marg is not None:
+            per_round.append(marg)
+    if not per_round:
+        return {"reps": list(reps), "error": "all rounds had non-positive marginal wall delta"}
+    rounds = len(per_round)
     order = sorted(range(rounds), key=lambda i: per_round[i][n_hi] / per_round[i][n_lo])
     mid = per_round[order[(rounds - 1) // 2]]
     sp = mid[n_hi] / mid[n_lo]

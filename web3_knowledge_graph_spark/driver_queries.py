@@ -2619,7 +2619,11 @@ def _graph_wic_with() -> str:
             )
         elif kind in ("count_paradigm", "subjects_paradigm"):
             pred, child, seeds = params
-            likes = " OR ".join(f"e LIKE '%{s}%'" for s in seeds)
+            # CONTAINS is against the name after the 'Entity:' prefix,
+            # mirroring paradigm_entities (reference: e.name CONTAINS)
+            likes = " OR ".join(
+                f"substring(e, 8) LIKE '%{s}%'" for s in seeds
+            )
             ents = (
                 f"SELECT e FROM (SELECT subj AS e FROM t"
                 f" UNION SELECT obj AS e FROM t)"
@@ -2714,8 +2718,10 @@ def _dao_flow_sql() -> str:
     oracle cannot drift from the Spark rule set. Gates mirror the
     operator exactly: entity-linked wallets (ENTITY_ACCOUNT_LABELS
     account surfaces), any-account wallets, this run's contexted
-    wallets, TRANSFERRED weight >= 5 Wallet→Wallet."""
-    from .operators.wic import DAO_FLOW_TREE, ENTITY_ACCOUNT_LABELS
+    wallets, TRANSFERRED weight >= MIN_NB_TRANSFER Wallet→Wallet."""
+    from .operators.wic import (
+        DAO_FLOW_TREE, ENTITY_ACCOUNT_LABELS, MIN_NB_TRANSFER,
+    )
     from .sources.feeds import ALL_FEEDS
 
     ent_like = " OR ".join(f"obj LIKE '{l}:%'" for l in ENTITY_ACCOUNT_LABELS)
@@ -2749,7 +2755,8 @@ def _dao_flow_sql() -> str:
         " WHERE pred = 'HAS_ACCOUNT'),\n"
         "ctxd AS (SELECT DISTINCT entity_id AS w FROM base),\n"
         "tr5 AS (SELECT DISTINCT subj, obj FROM tw WHERE pred = 'TRANSFERRED'"
-        " AND weight >= 5 AND subj LIKE 'Wallet:%' AND obj LIKE 'Wallet:%'),\n"
+        f" AND weight >= {MIN_NB_TRANSFER}"
+        " AND subj LIKE 'Wallet:%' AND obj LIKE 'Wallet:%'),\n"
         "flowlab AS (SELECT DISTINCT entity_id, condition, context, weight,"
         f" metric FROM ({body}))\n"
     )
@@ -2758,51 +2765,75 @@ def _dao_flow_sql() -> str:
 def _sc_dev_sql() -> str:
     """The developers SmartContractDev oracle arm — the description
     keyword gate generated from the SAME SC_DEV_DESC_KEYWORDS list
-    smart_contract_dev_labels' seed dimension uses, the walk from the
-    same role/wallet predicates."""
-    from .operators.wic import SC_DEV_DESC_KEYWORDS
+    smart_contract_dev_labels' seed dimension uses, the walk and the
+    (condition, context, weight) from the same module constants the
+    operator defaults read (SC_DEV_CONTEXT / SC_DEV_ROLE_PREDS /
+    SC_DEV_WALLET_PRED) — tuning either side moves both."""
+    from .operators.wic import (
+        SC_DEV_CONTEXT, SC_DEV_DESC_KEYWORDS, SC_DEV_ROLE_PREDS,
+        SC_DEV_WALLET_PRED,
+    )
     from .sources.feeds import ALL_FEEDS
 
     likes = " OR ".join(
         f"description LIKE '%{kw}%'" for kw in SC_DEV_DESC_KEYWORDS
     )
+    cond, ctx, w = SC_DEV_CONTEXT
+    roles = ", ".join(f"'{p}'" for p in SC_DEV_ROLE_PREDS)
     return (
         f", repofeed AS ({ALL_FEEDS['repos']}),\n"
         "screpos AS (SELECT DISTINCT 'Repository:' || lower(trim(full_name))"
         f" AS obj FROM repofeed WHERE description IS NOT NULL AND ({likes})),\n"
         "scgh AS (SELECT DISTINCT subj FROM t WHERE pred IN"
-        " ('CONTRIBUTOR', 'OWNER', 'SUBSCRIBER')"
+        f" ({roles})"
         " AND obj IN (SELECT obj FROM screpos)),\n"
         "scdev AS (SELECT DISTINCT t.obj AS entity_id,"
-        " 'Web3Developers' AS condition, 'SmartContractDev' AS context,"
-        " CAST(0.9 AS DOUBLE) AS weight, CAST(1.0 AS DOUBLE) AS metric"
+        f" '{cond}' AS condition, '{ctx}' AS context,"
+        f" CAST({w} AS DOUBLE) AS weight, CAST(1.0 AS DOUBLE) AS metric"
         " FROM t JOIN scgh ON t.subj = scgh.subj"
-        " WHERE t.pred = 'HAS_WALLET')\n"
+        f" WHERE t.pred = '{SC_DEV_WALLET_PRED}')\n"
     )
 
 
-ORACLE_EDGE_RULES["graph_wic"] = (
-    _graph_wic_with()
-    + f", cosig AS (SELECT DISTINCT o.w AS entity_id\n  {_COSIG_WALK})\n"
-    + _dao_flow_sql()
-    + _sc_dev_sql()
-    + "SELECT * FROM base\n"
-    "UNION ALL\n"
-    "SELECT entity_id, 'Cosigners' AS condition,"
-    " 'FarmerCosigner' AS context, CAST(-0.5 AS DOUBLE) AS weight,"
-    " CAST(1.0 AS DOUBLE) AS metric FROM cosig\n"
-    "UNION ALL\n"
-    "SELECT * FROM flowlab\n"
-    "UNION ALL\n"
-    "SELECT * FROM scdev"
-)
+def _graph_wic_full_sql() -> str:
+    """graph_wic = base tree ∪ cosigner expansion ∪ TRANSFERRED-flow ∪
+    SmartContractDev; the cosigner (condition, context, weight) comes
+    from the SAME COSIGNER_CONTEXT constant cosigner_expansion defaults
+    to, so the documented -0.5 tuning point cannot drift."""
+    from .operators.wic import COSIGNER_CONTEXT
 
-ORACLE_EDGE_RULES["cosigner_buddies"] = (
-    _graph_wic_with()
-    + "SELECT DISTINCT o.w AS subj, '_HAS_CONTEXT_BUDDY' AS pred,"
-    " s.w AS obj, 'FarmerCosigner' AS context\n"
-    + _COSIG_WALK
-)
+    cond, ctx, w = COSIGNER_CONTEXT
+    return (
+        _graph_wic_with()
+        + f", cosig AS (SELECT DISTINCT o.w AS entity_id\n  {_COSIG_WALK})\n"
+        + _dao_flow_sql()
+        + _sc_dev_sql()
+        + "SELECT * FROM base\n"
+        "UNION ALL\n"
+        f"SELECT entity_id, '{cond}' AS condition,"
+        f" '{ctx}' AS context, CAST({w} AS DOUBLE) AS weight,"
+        " CAST(1.0 AS DOUBLE) AS metric FROM cosig\n"
+        "UNION ALL\n"
+        "SELECT * FROM flowlab\n"
+        "UNION ALL\n"
+        "SELECT * FROM scdev"
+    )
+
+
+def _cosigner_buddies_sql() -> str:
+    from .operators.wic import COSIGNER_CONTEXT
+
+    return (
+        _graph_wic_with()
+        + "SELECT DISTINCT o.w AS subj, '_HAS_CONTEXT_BUDDY' AS pred,"
+        f" s.w AS obj, '{COSIGNER_CONTEXT[1]}' AS context\n"
+        + _COSIG_WALK
+    )
+
+
+ORACLE_EDGE_RULES["graph_wic"] = _graph_wic_full_sql()
+
+ORACLE_EDGE_RULES["cosigner_buddies"] = _cosigner_buddies_sql()
 
 
 def q_cosigner_buddies(spark, sf_dir):
@@ -2844,7 +2875,10 @@ def q_paradigm_cases(spark, sf_dir):
 def _paradigm_cases_sql() -> str:
     selects = []
     for ctx, seeds in WIC_PARADIGM_SEEDS:
-        likes = " OR ".join(f"e LIKE '%{s}%'" for s in seeds)
+        # name-only CONTAINS, mirroring paradigm_entities
+        likes = " OR ".join(
+            f"substring(e, 8) LIKE '%{s}%'" for s in seeds
+        )
         selects.append(
             f"SELECT '{ctx}' AS context, '_PARADIGM_CASE' AS pred,"
             f" e AS entity_id FROM ents WHERE {likes}"

@@ -305,15 +305,26 @@ def refine_partition_fixed_point(
     would, which keeps the result replayable by the SQL oracle's fixed
     ``sweeps``-deep unroll regardless of where convergence lands.
 
-    Plan: each sweep is the refine_partition single-exchange plan over a
-    localCheckpointed assignment (the assignment is node-dimensional, the
-    checkpoint bounds lineage growth across sweeps); the change probe is
-    a limit-1 join count per sweep."""
+    Plan: the symmetrized edge relation is built and localCheckpointed
+    ONCE before the loop (the edges never change between sweeps — only
+    the assignment moves), so each sweep is the _refine_sweep
+    single-exchange plan over a localCheckpointed assignment (the
+    assignment is node-dimensional, the checkpoint bounds lineage growth
+    across sweeps); the change probe is a limit-1 join count per sweep."""
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    e_all = (
+        half.unionByName(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
     cur = labels.select("id", "community")
     for _ in range(max_sweeps):
-        nxt = refine_partition(
-            edges, cur, src=src, dst=dst, weight=weight
-        ).localCheckpoint()
+        nxt = _refine_sweep(e_all, cur).localCheckpoint()
         changed = (
             nxt.join(
                 cur.select("id", F.col("community").alias("c_prev")), "id"

@@ -344,9 +344,13 @@ def interest_evidence_labels(
     )
     out_cols = ["entity_id", "condition", "context", "weight"]
 
+    # page_hits feeds BOTH the articles and collectors arms below; a lazy
+    # localCheckpoint pins the page-dimensional hit relation (text already
+    # dropped) so the corpus-wide tokenize+explode underneath it executes
+    # once per action, not once per consuming branch.
     page_hits = _kw_hits(
         page_texts, "page_id", kw_df.where(F.col("arm") != "grants")
-    )
+    ).localCheckpoint(eager=False)
     authored = page_hits.where(F.col("arm") == "articles").join(
         page_authors, "page_id"
     )
@@ -660,9 +664,14 @@ def paradigm_entities(triples: DataFrame, seeds: tuple) -> DataFrame:
         .where(F.col("e").startswith("Entity:"))
         .dropDuplicates()
     )
+    # CONTAINS applies to the entity *name* (the key after the 'Entity:'
+    # label prefix), matching the reference's `e.name CONTAINS` exactly —
+    # matching the full prefixed id would let a seed that happens to be a
+    # substring of the literal 'Entity:' match every entity.
+    name = F.expr("substring(e, 8)")
     cond = F.lit(False)
     for s in seeds:
-        cond = cond | F.col("e").contains(s)
+        cond = cond | name.contains(s)
     return ids.where(cond)
 
 
@@ -998,6 +1007,12 @@ FARMER_CONTEXTS = (
     "SpamTokenDeployer",
 )
 
+# (condition, context, weight) of the cosigner-expansion label — the
+# single source for both cosigner_expansion's defaults and the DuckDB
+# oracle (driver_queries replays it), so tuning the documented -0.5
+# choice cannot drift the two apart.
+COSIGNER_CONTEXT = ("Cosigners", "FarmerCosigner", -0.5)
+
 
 def _cosigner_pairs(
     labels: DataFrame, triples: DataFrame, farmer_contexts: tuple
@@ -1038,9 +1053,9 @@ def cosigner_expansion(
     labels: DataFrame,
     triples: DataFrame,
     farmer_contexts: tuple = FARMER_CONTEXTS,
-    condition: str = "Cosigners",
-    context: str = "FarmerCosigner",
-    weight: float = -0.5,
+    condition: str = COSIGNER_CONTEXT[0],
+    context: str = COSIGNER_CONTEXT[1],
+    weight: float = COSIGNER_CONTEXT[2],
 ) -> DataFrame:
     """Copy the farmers subgraph's context to uncontexted co-signers —
     the (otherwallet)-[:_HAS_CONTEXT]->(FarmerCosigner wic) MERGE of
@@ -1094,12 +1109,16 @@ DAO_FLOW_TREE = [
 # the gate cannot drift between Spark plan and SQL
 ENTITY_ACCOUNT_LABELS = ("Dune",)
 
+# TRANSFERRED nb_transfer gate of the daoContributors flow rules
+# (cyphers.py:38-80 `trans.nb_transfer >= 5`) — shared with the oracle.
+MIN_NB_TRANSFER = 5
+
 
 def context_flow_labels(
     labels: DataFrame,
     triples: DataFrame,
     tree: list | None = None,
-    min_nb_transfer: int = 5,
+    min_nb_transfer: int = MIN_NB_TRANSFER,
     entity_account_labels: tuple = ENTITY_ACCOUNT_LABELS,
     winners: DataFrame | None = None,
     winner_context: tuple = ("DaoContributors", "DaoFundingRecipient", 0.9),
@@ -1145,10 +1164,19 @@ def context_flow_labels(
     contexted = F.broadcast(
         labels.select(F.col("entity_id").alias("w")).dropDuplicates()
     )
+    # weight is optional on the triple relation (same contract as
+    # graph_wic_labels): a bare (subj, pred, obj) relation carries no
+    # nb_transfer evidence, so the >= gate passes nothing rather than
+    # failing to resolve the column.
+    nb_gate = (
+        F.col("weight") >= min_nb_transfer
+        if "weight" in triples.columns
+        else F.lit(False)
+    )
     tr = (
         triples.where(
             (F.col("pred") == "TRANSFERRED")
-            & (F.col("weight") >= min_nb_transfer)
+            & nb_gate
             & F.col("subj").startswith("Wallet:")
             & F.col("obj").startswith("Wallet:")
         )
@@ -1205,15 +1233,21 @@ SC_DEV_DESC_KEYWORDS = (
     "smart contract", "truffle", "token contract", ".sol", "solidity"
 )
 
+# (condition, context, weight) + walk predicates of the SmartContractDev
+# rule — shared with the oracle like COSIGNER_CONTEXT above.
+SC_DEV_CONTEXT = ("Web3Developers", "SmartContractDev", 0.9)
+SC_DEV_ROLE_PREDS = ("CONTRIBUTOR", "OWNER", "SUBSCRIBER")
+SC_DEV_WALLET_PRED = "HAS_WALLET"
+
 
 def smart_contract_dev_labels(
     triples: DataFrame,
     sc_repos: DataFrame,
-    condition: str = "Web3Developers",
-    context: str = "SmartContractDev",
-    weight: float = 0.9,
-    role_preds: tuple = ("CONTRIBUTOR", "OWNER", "SUBSCRIBER"),
-    wallet_pred: str = "HAS_WALLET",
+    condition: str = SC_DEV_CONTEXT[0],
+    context: str = SC_DEV_CONTEXT[1],
+    weight: float = SC_DEV_CONTEXT[2],
+    role_preds: tuple = SC_DEV_ROLE_PREDS,
+    wallet_pred: str = SC_DEV_WALLET_PRED,
 ) -> DataFrame:
     """developers/cyphers.py:55-70 is_smart_contract_dev: repositories
     whose description CONTAINS a solidity-stack keyword

@@ -386,6 +386,18 @@ WHERE c_custkey < 70
 # the web3_data_analysts WHERE-gate must drop); bios cycle through
 # phrase templates so every keyword class has positives AND non-matching
 # fillers (12-13 are the influencers' newsletter/podcast bios).
+#
+# follows/bio key off _ACCT_KEY — the SAME per-platform modulus that
+# mints account_id — so both properties ARE functionally determined per
+# (platform, account_id), as the reference's single account node (MERGE
+# last-write) requires; any consumer that dedups account properties per
+# account reads the same value as the per-row engine.
+_ACCT_KEY = (
+    "(CASE WHEN user_id % 9 IN (0, 1, 2) THEN user_id % 61"
+    " WHEN user_id % 9 = 3 THEN user_id % 23"
+    " ELSE user_id % 41 END)"
+)
+
 PLATFORM_ACCOUNTS_SQL = f"""
 SELECT
   {_W_USER} AS address,
@@ -398,19 +410,19 @@ SELECT
        WHEN user_id % 41 = 7 THEN 'the_substack_digest'
        WHEN user_id % 41 = 9 THEN 'podcast_hour'
        ELSE 'user_' || CAST(user_id % 41 AS STRING) END AS account_id,
-  CAST(CASE WHEN user_id % 61 % 2 = 0 THEN 0
-            ELSE 1 + user_id % 61 % 5 END AS BIGINT) AS follows,
-  CASE WHEN user_id % 61 % 14 = 0 THEN 'Co-Founder building onchain'
-       WHEN user_id % 61 % 14 = 1 THEN 'investing in early teams at a venture capital firm'
-       WHEN user_id % 61 % 14 = 2 THEN 'Marketing lead and brand storyteller'
-       WHEN user_id % 61 % 14 = 3 THEN 'VP of Sales driving partnerships'
-       WHEN user_id % 61 % 14 = 4 THEN 'Community Manager for the collective'
-       WHEN user_id % 61 % 14 = 5 THEN 'DevRel / developer relations engineer'
-       WHEN user_id % 61 % 14 = 6 THEN 'pre-seed angel; VC at heart'
-       WHEN user_id % 61 % 14 = 7 THEN 'community lead, governance nerd'
-       WHEN user_id % 61 % 14 = 8 THEN 'onchain data wizard'
-       WHEN user_id % 61 % 14 = 12 THEN 'writes a crypto newsletter on substack'
-       WHEN user_id % 61 % 14 = 13 THEN 'host of the onchain podcast show'
+  CAST(CASE WHEN {_ACCT_KEY} % 2 = 0 THEN 0
+            ELSE 1 + {_ACCT_KEY} % 5 END AS BIGINT) AS follows,
+  CASE WHEN {_ACCT_KEY} % 14 = 0 THEN 'Co-Founder building onchain'
+       WHEN {_ACCT_KEY} % 14 = 1 THEN 'investing in early teams at a venture capital firm'
+       WHEN {_ACCT_KEY} % 14 = 2 THEN 'Marketing lead and brand storyteller'
+       WHEN {_ACCT_KEY} % 14 = 3 THEN 'VP of Sales driving partnerships'
+       WHEN {_ACCT_KEY} % 14 = 4 THEN 'Community Manager for the collective'
+       WHEN {_ACCT_KEY} % 14 = 5 THEN 'DevRel / developer relations engineer'
+       WHEN {_ACCT_KEY} % 14 = 6 THEN 'pre-seed angel; VC at heart'
+       WHEN {_ACCT_KEY} % 14 = 7 THEN 'community lead, governance nerd'
+       WHEN {_ACCT_KEY} % 14 = 8 THEN 'onchain data wizard'
+       WHEN {_ACCT_KEY} % 14 = 12 THEN 'writes a crypto newsletter on substack'
+       WHEN {_ACCT_KEY} % 14 = 13 THEN 'host of the onchain podcast show'
        ELSE 'web3 curious' END AS bio
 FROM events
 WHERE event_type = 'click' AND event_id % 3 = 0
