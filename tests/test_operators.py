@@ -1392,6 +1392,54 @@ def test_context_flow_labels(spark):
     }
 
 
+def test_paradigm_seed_never_matches_label_prefix(spark):
+    """CONTAINS runs against the entity NAME (after 'Entity:'), matching
+    the reference's `e.name CONTAINS` — a seed that is a substring of
+    the literal label prefix ('tity', 'Entity') must match nothing, not
+    every entity; a name-substring seed still matches."""
+    from web3_knowledge_graph_spark.operators.wic import paradigm_entities
+
+    trip = spark.createDataFrame(
+        [("Entity:metacartel dao", "HAS_PROPOSAL", "Proposal:p1"),
+         ("Entity:gitcoin", "HAS_PROPOSAL", "Proposal:p2")],
+        "subj string, pred string, obj string",
+    )
+    assert paradigm_entities(trip, ("tity",)).count() == 0
+    assert paradigm_entities(trip, ("Entity",)).count() == 0
+    got = {r.e for r in paradigm_entities(trip, ("cartel",)).collect()}
+    assert got == {"Entity:metacartel dao"}
+
+
+def test_context_flow_labels_bare_triples(spark):
+    """A bare (subj, pred, obj) triple relation — legal input for every
+    operator in the module — must not raise on the missing weight
+    column: without nb_transfer evidence the >= gate passes no flows,
+    while the weight-independent Winner-author arm still labels."""
+    from web3_knowledge_graph_spark.operators.wic import context_flow_labels
+
+    w_ent = "Wallet:0x" + "a" * 40
+    w_dst = "Wallet:0x" + "b" * 40
+    w_auth = "Wallet:0x" + "c" * 40
+    trip = spark.createDataFrame(
+        [(w_ent, "HAS_ACCOUNT", "Dune:acct1"),
+         (w_dst, "HAS_ACCOUNT", "Twitter:acct2"),
+         (w_ent, "TRANSFERRED", w_dst),
+         (w_auth, "AUTHOR", "Proposal:pwin")],
+        "subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        [(w_dst, "X", "SomeCtx", 1.0, 1.0)],
+        "entity_id string, condition string, context string,"
+        " weight double, metric double",
+    )
+    winners = spark.createDataFrame([("Proposal:pwin",)], "p string")
+    got = {
+        (r.entity_id, r.context)
+        for r in context_flow_labels(labels, trip, winners=winners).collect()
+    }
+    assert got == {(w_auth, "DaoFundingRecipient")}
+
+
 def test_reputation_scores_signed(spark):
     """wicScore/analyze.py:16-30 compute_score, hand-traced. NOTE the
     reference quirk kept deliberately: deg/min for a NEGATIVE degree is a
