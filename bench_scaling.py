@@ -168,13 +168,7 @@ def amortization_runs(rounds: int = 3) -> dict:
             marg[n] = (big["docs"] - small["docs"]) / dt
         if marg is not None:
             per_round.append(marg)
-    if not per_round:
-        return {"reps": list(reps), "error": "all rounds had non-positive marginal wall delta"}
-    rounds = len(per_round)
-    order = sorted(range(rounds), key=lambda i: per_round[i][n_hi] / per_round[i][n_lo])
-    mid = per_round[order[(rounds - 1) // 2]]
-    sp = mid[n_hi] / mid[n_lo]
-    return {
+    out = {
         "reps": list(reps),
         "runs": {
             f"rep{rep}_n{n}": {
@@ -183,13 +177,35 @@ def amortization_runs(rounds: int = 3) -> dict:
             }
             for (rep, n), rs in rows.items()
         },
-        "marginal_docs_per_sec": {str(n): round(mid[n], 1) for n in (n_lo, n_hi)},
-        "marginal_speedup": round(sp, 3),
-        "marginal_raw_efficiency": round(sp / (n_hi / n_lo), 3),
         "per_round_speedups": [
             round(r[n_hi] / r[n_lo], 3) for r in per_round
         ],
     }
+    if not per_round:
+        # no-signal window: keep the FULL result shape (raw runs + nan
+        # marginals) so _write_bench_md/writeonly still render the raw
+        # table instead of crashing after the ~50-minute sweep; the
+        # error field flags the window for a re-run
+        nan = float("nan")
+        out.update(
+            error="all rounds had non-positive marginal wall delta",
+            marginal_docs_per_sec={str(n): nan for n in (n_lo, n_hi)},
+            marginal_speedup=nan,
+            marginal_raw_efficiency=nan,
+        )
+        return out
+    order = sorted(
+        range(len(per_round)),
+        key=lambda i: per_round[i][n_hi] / per_round[i][n_lo],
+    )
+    mid = per_round[order[(len(per_round) - 1) // 2]]
+    sp = mid[n_hi] / mid[n_lo]
+    out.update(
+        marginal_docs_per_sec={str(n): round(mid[n], 1) for n in (n_lo, n_hi)},
+        marginal_speedup=round(sp, 3),
+        marginal_raw_efficiency=round(sp / (n_hi / n_lo), 3),
+    )
+    return out
 
 
 REP_WHOLE = int(os.environ.get("SPARK_GRAFT_REP_WHOLE", str(16 * REP_FULL)))

@@ -647,7 +647,9 @@ def dsir_weights(
 
     Returns one row per input doc: (doc_id, n_bigrams, weight_micro,
     mean_weight, keep); docs with < 2 tokens get zero weight and
-    keep = false.
+    keep = false. With ``threshold_micro=None`` (the default) no
+    selection is applied: keep is true for every doc with at least one
+    bigram — pass a threshold to actually drop documents.
     """
     from .dedup import _hash60
 
@@ -699,8 +701,13 @@ def dsir_weights(
             F.sum("lr_micro").cast("long").alias("weight_micro"),
         )
     )
+    # threshold_micro=None means NO selection was requested: every
+    # scoreable doc keeps (callers read the weights and select
+    # themselves). Only an explicit threshold drops documents — the
+    # previous all-False default was indistinguishable from "every doc
+    # failed the threshold".
     keep = (
-        F.lit(False)
+        F.lit(True)
         if threshold_micro is None
         else (F.col("weight_micro") >= F.lit(threshold_micro) * F.col("n_bigrams"))
     )

@@ -1633,9 +1633,20 @@ def _feed_rel(spark, sf_dir, on_handle=None):
                 pass
         feeds, bases = all_feeds(spark, sf_dir)
         rel = _ER.feed_edge_rules(feeds).persist()
-        if on_handle is not None:
-            on_handle(rel)
-        rel.count()  # eager, like the localCheckpoint it replaces
+        try:
+            if on_handle is not None:
+                on_handle(rel)
+            rel.count()  # eager, like the localCheckpoint it replaces
+        except BaseException:
+            # a failed materialization must not leak the persisted rel
+            # or the three base-table blocks into the block manager —
+            # a retried query call would re-persist fresh copies on top
+            for df in (rel, *bases):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            raise
         for b in bases:  # rel now holds the data; free the base blocks
             b.unpersist()
         _FEED_REL_CACHE[key] = rel

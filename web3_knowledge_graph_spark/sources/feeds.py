@@ -186,7 +186,7 @@ MULTISIG_SIGNERS_SQL = f"""
 SELECT
   {wallet_sql(f"((c_custkey % 15) * 31 + 60) % {WALLET_MOD}")} AS multisig,
   {wallet_sql(f"(c_custkey * 4 + (c_custkey % 3)) % {WALLET_MOD}")} AS owner_address,
-  {wallet_sql(f"(c_custkey * 23 + 11) % {WALLET_MOD}")} AS creator
+  {wallet_sql(f"((c_custkey % 15) * 23 + 11) % {WALLET_MOD}")} AS creator
 FROM customer
 WHERE c_custkey < 45
 """
