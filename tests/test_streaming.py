@@ -160,7 +160,7 @@ def test_extract_mentions_stream_matches_batch(spark, tmp_path):
 
     got = {
         tuple(r)
-        for r in spark.read.parquet(str(tmp_path / "mentions_out"))
+        for r in J.read_run_output(spark, str(tmp_path / "mentions_out"))
         .select("url", "kind", "value", "n")
         .collect()
     }
@@ -283,7 +283,7 @@ def test_trending_stream_matches_batch_topk(spark, tmp_path):
     q.awaitTermination()
     got = {
         (str(r.window_start), r.event_type, r.n, r.rank)
-        for r in spark.read.parquet(out).drop("epoch").collect()
+        for r in J.read_run_output(spark, out).drop("epoch").collect()
     }
 
     batch = (

@@ -4777,7 +4777,8 @@ th AS (SELECT DISTINCT handle, ens
   FROM (SELECT url, handle FROM apg JOIN men_h USING (url)) h
   JOIN men_ens USING (url)),
 tdim AS (SELECT DISTINCT handle FROM
-  (SELECT handle FROM th UNION ALL SELECT handle FROM men_tw)),
+  (SELECT handle FROM th UNION ALL SELECT handle FROM men_tw
+   UNION ALL SELECT handle FROM men_h)),
 hmap(entity_id, handle) AS (VALUES {handle_vals}),
 l_dict AS (SELECT DISTINCT 'Entity:' || entity_id AS subj,
     'Twitter:' || handle AS obj FROM hmap JOIN tdim USING (handle)),

@@ -36,7 +36,7 @@ from ..functions.extraction import with_extracted_text
 from ..functions.mentions import extract_ens_names, extract_handles
 from ..functions.normalize import audit_columns, node_id
 from ..operators import linking
-from ..operators.canon import connected_components
+from ..operators.canon import canonical_ids, connected_components
 from ..operators.holdings import rotate_holdings
 from ..schemas import MENTIONS
 from ..sources.checkpoint import CheckpointLog
@@ -355,9 +355,17 @@ def build_graph(
     entities = alias_dict.select(
         _nid("Entity", F.col("entity_id")).alias("entity_node_id"), F.col("handle")
     )
+    # rule 4 joins against ALL Twitter nodes the graph mints
+    # (accounts/cyphers.py:183-201 matches every :Twitter node), so the
+    # dictionary dimension is the union of every Twitter-node source
+    # above: profile handles, twitter.com link mentions, @-handle
+    # mentions, and bio-mentioned handles — not just the first two
+    # (an @-mention-only handle was previously unlinkable).
     twitter_dim = (
         prof.select(F.col("handle").alias("handle_key"))
         .unionByName(kind("twitter").select(F.col("value").alias("handle_key")))
+        .unionByName(kind("handle").select(F.col("value").alias("handle_key")))
+        .unionByName(t_bio.select(F.col("other").alias("handle_key")))
         .dropDuplicates()
     )
     twitter_nodes = twitter_dim.select(
@@ -365,9 +373,18 @@ def build_graph(
     )
     l_dict = linking.dictionary_links(entities, twitter_nodes)
 
+    # duplicate (src, dst) pairs across rules resolve by the reference's
+    # rule ORDER (accounts/process.py runs rules sequentially with
+    # NOT-already-linked guards): two-hop beats scored beats dictionary.
+    # A bare dropDuplicates kept an arbitrary row, making the edge's
+    # weight/citation flip between otherwise-identical runs.
     links = (
-        l_two_hop.unionByName(l_scored).unionByName(l_dict)
-        .dropDuplicates(["src", "dst"])
+        l_two_hop.withColumn("_prio", F.lit(1))
+        .unionByName(l_scored.withColumn("_prio", F.lit(2)))
+        .unionByName(l_dict.withColumn("_prio", F.lit(3)))
+        .groupBy("src", "dst")
+        .agg(F.min(F.struct("_prio", "rule", "score", "citation")).alias("_m"))
+        .select("src", "dst", "_m.rule", "_m.score", "_m.citation")
     )
     # No anti-join against existing edges here: the old call passed a
     # hardcoded EMPTY relation — a guaranteed no-op that still paid for an
@@ -502,11 +519,7 @@ def build_graph(
         .withColumnRenamed("subj", "src")
         .withColumnRenamed("obj", "dst")
     )
-    assign = connected_components(identity)
-    nodes = (
-        nodes.join(assign, nodes["id"] == assign["id"], "left")
-        .select(nodes["*"], F.coalesce(assign["component"], nodes["id"]).alias("canonical_id"))
-    )
+    nodes = canonical_ids(nodes, identity)
     return nodes, edges
 
 
@@ -584,7 +597,19 @@ def run_pipeline(
         for r in pages.groupBy(F.to_date("warc_ts").alias("d"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*pages.columns).cast("decimal(38,0)")).alias("fp"),
+            # xxhash64 folds NULL args as a no-op, so a value moving
+            # between two nullable columns (html=B,text=NULL →
+            # html=NULL,text=S with S's bytes == B) would hash the same;
+            # the per-column null mask rides along as extra (never-null)
+            # hash inputs to break that — same blind spot the side-table
+            # signature below closes with to_json(struct(*)), done here
+            # without JSON-encoding the corpus html bytes.
+            F.sum(
+                F.xxhash64(
+                    *pages.columns,
+                    *[F.col(c).isNull() for c in pages.columns],
+                ).cast("decimal(38,0)")
+            ).alias("fp"),
         )
         .collect()
     }
@@ -675,9 +700,7 @@ def run_pipeline(
     else:
         # empty corpus (no extract batch ever ran) or every date's latest
         # extraction produced zero mentions
-        mentions = spark.createDataFrame(
-            [], "url string, kind string, value string, n bigint"
-        )
+        mentions = spark.createDataFrame([], MENTIONS)
 
     # rebuild the graph unless a graph mark exists FOR THIS EXACT input
     # state. `todo or no-mark` is not enough: a run that crashes AFTER

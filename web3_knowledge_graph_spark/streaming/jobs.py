@@ -222,12 +222,14 @@ def extract_mentions_stream(
     and a page arrives whole in one file), so foreachBatch replaying the
     exact batch operator per micro-batch IS the streaming semantics —
     stream output ≡ batch extract_stage over the union of all inputs.
-    Exactly-once: each epoch OVERWRITES its own ``epoch=<id>`` subdirectory
-    — a crash-replayed epoch rewrites the same directory with the same
-    rows instead of appending a duplicate copy (a blind append sink would
-    double every row of an epoch whose write succeeded but whose
-    checkpoint commit did not). Readers `spark.read.parquet(out_dir)` and
-    get ``epoch`` as a discovered partition column.
+    Exactly-once: each epoch OVERWRITES its own ``run=<id>/epoch=<id>``
+    subdirectory — a crash-replayed epoch rewrites the same directory with
+    the same rows instead of appending a duplicate copy (a blind append
+    sink would double every row of an epoch whose write succeeded but
+    whose checkpoint commit did not), and the run namespace keeps a
+    fresh-checkpoint restart's epochs apart from a superseded run's.
+    Readers use ``read_run_output`` (latest run; ``epoch`` arrives as a
+    discovered partition column).
 
     The (driver-sized) dictionary is collected ONCE here and closed over —
     not re-collected per micro-batch (a backlog drain runs hundreds of
@@ -250,10 +252,16 @@ def extract_mentions_stream(
         F.explode("aliases").alias("a"), "entity_id", "kind"
     ).collect()
 
+    # run-namespaced like transfer_edges_stream: a restart with a FRESH
+    # checkpoint is a full reprocess whose epoch numbering restarts at 0 —
+    # without the namespace, stale epochs of the superseded run that the
+    # new run never reaches would survive mixed into the output.
+    rid = _pin_run_id(checkpoint_dir, out_dir)
+
     def _batch(df: DataFrame, epoch_id: int) -> None:
         extract_stage(df, alias_dict, alias_rows=alias_rows).write.mode(
             "overwrite"
-        ).parquet(f"{out_dir}/epoch={epoch_id}")
+        ).parquet(f"{out_dir}/run={rid}/epoch={epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(_batch)
@@ -332,9 +340,9 @@ def trending_stream(
     in ONE foreachBatch epoch, and a plain batch rank inside the epoch is
     globally correct. (A streaming rank-over-agg is unsupported for
     exactly this reason; the append-mode watermark contract is what makes
-    the per-epoch rank sound.) Epochs overwrite their own epoch=<id>
-    directory — the idempotent replay sink proven by
-    extract_mentions_stream.
+    the per-epoch rank sound.) Epochs overwrite their own
+    run=<id>/epoch=<id> directory — the idempotent, run-namespaced replay
+    sink proven by extract_mentions_stream.
 
     State stays bounded by the watermark horizon (finalized windows are
     dropped from the agg state); the rank is per-window and window
@@ -348,13 +356,16 @@ def trending_stream(
         read_event_stream(spark, events_dir), window=window, watermark=watermark
     )
 
+    # same run-namespacing as extract_mentions_stream / transfer_edges_stream
+    rid = _pin_run_id(checkpoint_dir, out_dir)
+
     def _batch(df: DataFrame, epoch_id: int) -> None:
         w = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
         (
             df.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .write.mode("overwrite")
-            .parquet(f"{out_dir}/epoch={epoch_id}")
+            .parquet(f"{out_dir}/run={rid}/epoch={epoch_id}")
         )
 
     return (
@@ -463,7 +474,9 @@ def _pin_run_id(checkpoint_dir: str, out_dir: str) -> str:
     marker = os.path.join(checkpoint_dir, "__delta_run_id__")
     if os.path.exists(marker):
         with open(marker) as fh:
-            return fh.read().strip()
+            rid = fh.read().strip()
+        if rid:  # an empty marker (legacy torn write) reallocates below
+            return rid
     existing = _glob.glob(os.path.join(out_dir, "run=*"))
     nxt = max(
         (int(os.path.basename(p).split("=", 1)[1]) for p in existing),
@@ -471,25 +484,44 @@ def _pin_run_id(checkpoint_dir: str, out_dir: str) -> str:
     ) + 1
     run_id = f"{nxt:06d}"
     os.makedirs(checkpoint_dir, exist_ok=True)
-    with open(marker, "w") as fh:
+    # tmp + atomic replace, like CheckpointLog.mark and the warehouse
+    # _CURRENT pointer: a crash mid-write must not leave an empty marker
+    # that a checkpointed restart would trust as run_id ''
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
         fh.write(run_id)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, marker)
     return run_id
+
+
+def _latest_run_dir(out_dir: str) -> str:
+    """The LATEST ``run=*`` namespace of a run-namespaced epoch sink —
+    earlier runs are superseded restarts (fresh checkpoint = full
+    reprocess), so reading them would double-count. Falls back to the
+    bare dir for pre-namespace layouts."""
+    import glob as _glob
+    import os
+
+    runs = sorted(_glob.glob(os.path.join(out_dir, "run=*")))
+    return runs[-1] if runs else out_dir
+
+
+def read_run_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the latest run's epochs of a run-namespaced sink
+    (extract_mentions_stream / trending_stream); ``epoch`` arrives as a
+    discovered partition column."""
+    return spark.read.parquet(_latest_run_dir(out_dir))
 
 
 def read_transfer_edges(spark: SparkSession, out_dir: str) -> DataFrame:
     """Fold the per-epoch deltas of the LATEST run into the current
     TRANSFERRED weights — equivalent to
     operators.edge_rules.transfer_edges' TRANSFERRED family over the union
-    of all streamed files (proven by test). Earlier ``run=*`` namespaces
-    are superseded restarts (fresh checkpoint = full reprocess), so
-    folding them would double-count."""
-    import glob as _glob
-    import os
-
-    runs = sorted(_glob.glob(os.path.join(out_dir, "run=*")))
-    latest = runs[-1] if runs else out_dir
+    of all streamed files (proven by test)."""
     return (
-        spark.read.parquet(latest)
+        spark.read.parquet(_latest_run_dir(out_dir))
         .groupBy("from_address", "to_address")
         .agg(F.sum("nb_delta").cast("double").alias("nb_transfer"))
     )
