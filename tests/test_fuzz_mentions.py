@@ -16,7 +16,11 @@ from web3_knowledge_graph_spark.functions import mentions as M
 
 WALLET_CAND = re.compile(r"0x[a-fA-F0-9]+")
 ENS_TOKEN = re.compile(r"[-a-zA-Z0-9@:%._+~#=]+")
+ENS_TRAIL = re.compile(r"[-@:%._+~#=]+$")
 ENS_FULL = re.compile(r"^[-a-zA-Z0-9@:%._+~#=]{1,256}\.eth$")
+# Python \w is UNICODE — the upstream reference's semantics; the engine's
+# widened [\w\p{L}] candidate classes exist exactly to match this model
+# on non-ASCII-adjacent text (mentions.py module docstring).
 HANDLE_CAND = re.compile(r"@\w+")
 HANDLE_OK = re.compile(r"^[A-Za-z0-9_]{1,15}$")
 URL = re.compile(r"https?://[^\s<>\"']+")
@@ -29,7 +33,8 @@ def ref_wallets(t):
 
 
 def ref_ens(t):
-    return [m.lower() for m in ENS_TOKEN.findall(t) if ENS_FULL.match(m)]
+    toks = [ENS_TRAIL.sub("", m) for m in ENS_TOKEN.findall(t)]
+    return [m.lower() for m in toks if ENS_FULL.match(m)]
 
 
 def ref_handles(t):
@@ -57,7 +62,12 @@ def _gen_text(rng: random.Random) -> str:
         if kind == 0:
             frags.append("0x" + "".join(rng.choice(hexc) for _ in range(rng.choice([39, 40, 41, 42]))))
         elif kind == 1:
-            frags.append(rng.choice(["alice.eth", "a.b.eth", "-x.eth", "fake.ethereum.org", "nope.ether", ".eth", "x" * 260 + ".eth"]))
+            frags.append(rng.choice([
+                "alice.eth", "a.b.eth", "-x.eth", "fake.ethereum.org",
+                "nope.ether", ".eth", "x" * 260 + ".eth",
+                # sentence-final punctuation (trailing-strip recovery)
+                "vitalik.eth.", "bob.eth:", "carol.eth-@", "dave.eth...",
+            ]))
         elif kind == 2:
             frags.append("@" + "".join(rng.choice("abcZ09_") for _ in range(rng.randint(1, 20))))
         elif kind == 3:
@@ -72,7 +82,14 @@ def _gen_text(rng: random.Random) -> str:
         elif kind == 6:
             frags.append(rng.choice(["0x", "0xZZ", "@", "@@@", "https://", "ether.eth.x"]))
         elif kind == 7:
-            frags.append(rng.choice(["héllo wörld", "中文文本", "emoji🙂here"]))
+            frags.append(rng.choice([
+                "héllo wörld", "中文文本", "emoji🙂here",
+                # unicode ADJACENT to handle/twitter tokens: Java's ASCII
+                # \w would truncate these into bogus ASCII mentions the
+                # unicode reference never emits
+                "@josé", "@niño_x", "twitter.com/peña", "twitter.com/日本",
+                "@abc٣x", "twitter.com/x٣",  # unicode DIGIT adjacency
+            ]))
         elif kind == 8:  # glued entities
             frags.append("0x" + "ab" * 20 + "alice.eth@bob")
         elif kind == 9:

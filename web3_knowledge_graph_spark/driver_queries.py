@@ -174,14 +174,15 @@ def q_sanitize(spark, sf_dir):
 
 
 _ENS_L = (
-    "list_transform(list_filter(regexp_extract_all(text,"
+    "list_transform(list_filter(list_transform(regexp_extract_all(text,"
     " '([-a-zA-Z0-9@:%._+~#=]+)', 1),"
+    " x -> regexp_replace(x, '[-@:%._+~#=]+$', '')),"
     " x -> regexp_matches(x, '^[-a-zA-Z0-9@:%._+~#=]{1,256}\\.eth$')),"
     " x -> lower(x))"
 )
 _HANDLE_L = (
     "list_transform(list_filter(list_transform(regexp_extract_all(text,"
-    " '(@\\w+)', 1), x -> substr(x, 2, 16)),"
+    " '(@[\\w\\p{L}\\p{N}\\p{M}\\p{Pc}]+)', 1), x -> substr(x, 2, 16)),"
     " x -> regexp_matches(x, '^[A-Za-z0-9_]{1,15}$')), x -> lower(x))"
 )
 
@@ -220,7 +221,7 @@ GROUP BY url, u
 {PAGES_WITH}
 SELECT url, 'twitter' AS kind, h AS value, COUNT(*) AS n FROM (
   SELECT url, unnest(list_transform(
-      regexp_extract_all(text, 'twitter\\.com/(\\w+)', 1), x -> lower(x))) AS h
+      regexp_extract_all(text, 'twitter\\.com/([\\w\\p{{L}}\\p{{N}}\\p{{M}}\\p{{Pc}}]+)', 1), x -> lower(x))) AS h
   FROM pages)
 GROUP BY url, h
 """,
@@ -4756,7 +4757,7 @@ author AS (
     FROM pages) WHERE len(lst) > 0),
 men_tw AS (SELECT DISTINCT url, h AS handle FROM (
   SELECT url, unnest(list_transform(
-      regexp_extract_all(text, 'twitter\\.com/(\\w+)', 1), x -> lower(x))) AS h
+      regexp_extract_all(text, 'twitter\\.com/([\\w\\p{{L}}\\p{{N}}\\p{{M}}\\p{{Pc}}]+)', 1), x -> lower(x))) AS h
   FROM pages)),
 men_ens AS (SELECT DISTINCT url, e AS ens FROM (
   SELECT url, unnest({_ENS_L}) AS e FROM pages)),

@@ -34,7 +34,7 @@ _SCRIPT_RE = re.compile(
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _BLOCK_RE = re.compile(
     r"</?(?:p|div|li|ul|ol|table|tr|h[1-6]|section|article|header|footer|"
-    r"blockquote|pre|form|title)\b[^>]*>|<br\s*/?>",
+    r"blockquote|pre|form|title)\b[^>]*>|<br\b[^>]*>",
     re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]*>")

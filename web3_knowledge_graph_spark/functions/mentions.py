@@ -18,9 +18,35 @@ Divergences (deliberate, encoded in the fixture goldens):
     over-length runs (a 41-hex-char blob is NOT a wallet; the reference's
     findall would match its 40-char prefix).
   * ENS matches must END at ``.eth`` (``fake.ethereum.org`` is rejected; the
-    reference's findall would extract ``fake.eth``).
+    reference's findall would extract ``fake.eth``). Trailing punctuation
+    from the token class (``vitalik.eth.`` at sentence end) is stripped
+    before the end-anchor test, so only the embedded-domain family
+    diverges — sentence-final names extract exactly as the reference's
+    findall does.
+  * extract_urls' media cut is case-INsensitive (drops ``BANNER.GIF``) —
+    deliberately stricter than the reference's case-sensitive containment
+    (arweave.py:90-96), whose verbatim behavior lives in
+    extract_urls_full; the two URL surfaces differ on upper-case media
+    links by design.
 All regexes below are RE2-safe (no lookarounds) so the DuckDB oracle can run
-the identical patterns.
+the identical patterns. Candidate classes use
+``[\\w\\p{L}\\p{N}\\p{M}\\p{Pc}]`` (not bare ``\\w``): Java's default
+``\\w`` is ASCII-only while the reference's Python ``\\w`` is Unicode
+(letters, digits, marks, connector punctuation), so an ASCII-only
+candidate would TRUNCATE ``@josé`` to a bogus valid handle ``jos`` —
+widening the candidate makes the validity filter see (and reject) the
+same token the reference sees; the ``\\p{...}`` categories parse
+identically in Java and RE2.
+
+Known reference-inherited hazard (NOT fixed, by design): URL_FULL_RE is the
+reference's verbatim mega-regex and its nested quantifier alternation
+backtracks exponentially on adversarial non-matching text (e.g.
+``https://`` + ~40 commas) in any backtracking engine — the reference's
+Python ``re`` hangs on the same inputs. The Spark side (Java regex) shares
+the behavior for byte-parity; the DuckDB oracle's RE2 translation is
+immune (RE2 is linear-time). Corpus-scale callers should bound input with
+``extract_urls`` (linear) unless the mega-regex's bare-domain semantics
+are required.
 """
 
 from __future__ import annotations
@@ -41,7 +67,10 @@ WALLET_CANDIDATE_RE = r"0x[a-fA-F0-9]+"
 WALLET_LEN = 42  # 0x + 40 hex
 ENS_TOKEN_RE = r"[-a-zA-Z0-9@:%._+~#=]+"
 ENS_FULL_RE = r"^[-a-zA-Z0-9@:%._+~#=]{1,256}\.eth$"
-HANDLE_CANDIDATE_RE = r"@\w+"
+# trailing token-class punctuation stripped before the end-anchor test
+# (sentence-final 'vitalik.eth.' — see module docstring)
+ENS_TRAIL_RE = r"[-@:%._+~#=]+$"
+HANDLE_CANDIDATE_RE = r"@[\w\p{L}\p{N}\p{M}\p{Pc}]+"
 # URL body: any char but whitespace/<>/quotes — the complement written as
 # positive ranges (charclass.py: negated classes are ~20x slower on this
 # JVM). DuckDB oracles keep the equivalent [^\s<>"'] spelling.
@@ -49,7 +78,7 @@ URL_BODY_CLASS = positive_complement_class(JAVA_WS + "<>\"'")
 URL_RE = r"https?://" + URL_BODY_CLASS + "+"
 MEDIA_URL_RE = r"\.(gif|jpg|jpeg|png|mp4|mp3)"
 MEDIA_EXTS = (".gif", ".jpg", ".png", ".jpeg", ".mp4", ".mp3")
-TWITTER_MENTION_RE = r"twitter\.com/(\w+)"
+TWITTER_MENTION_RE = r"twitter\.com/([\w\p{L}\p{N}\p{M}\p{Pc}]+)"
 
 # Reference-verbatim full URL pattern (scraping/mirror/helpers/arweave.py:87):
 # scheme'd URLs (https/http/ftp), bare domains with a path (.com/.org/.uk/),
@@ -78,9 +107,15 @@ def extract_wallets(text: Column) -> Column:
 
 
 def extract_ens_names(text: Column) -> Column:
-    """array<string> of lowercased ``*.eth`` names in ``text``."""
+    """array<string> of lowercased ``*.eth`` names in ``text`` (trailing
+    punctuation stripped first — module docstring, ENS divergence)."""
     toks = F.regexp_extract_all(text, F.lit(f"({ENS_TOKEN_RE})"), 1)
-    return F.transform(F.filter(toks, lambda x: x.rlike(ENS_FULL_RE)), F.lower)
+    trimmed = F.transform(
+        toks, lambda x: F.regexp_replace(x, F.lit(ENS_TRAIL_RE), F.lit(""))
+    )
+    return F.transform(
+        F.filter(trimmed, lambda x: x.rlike(ENS_FULL_RE)), F.lower
+    )
 
 
 def extract_handles(text: Column) -> Column:
@@ -108,17 +143,14 @@ def extract_urls_full(text: Column) -> Column:
     domains. Media URLs dropped by case-sensitive substring containment,
     exactly as the reference's list comprehensions (arweave.py:90-95)."""
     urls = F.regexp_extract_all(text, F.lit(URL_FULL_RE), 1)
-    return F.filter(
-        urls,
-        lambda x: ~(
-            x.contains(".gif")
-            | x.contains(".jpg")
-            | x.contains(".png")
-            | x.contains(".jpeg")
-            | x.contains(".mp4")
-            | x.contains(".mp3")
-        ),
-    )
+
+    def _non_media(x):
+        cond = F.lit(False)
+        for ext in MEDIA_EXTS:
+            cond = cond | x.contains(ext)
+        return ~cond
+
+    return F.filter(urls, _non_media)
 
 
 def extract_twitter_handles(text: Column) -> Column:

@@ -196,6 +196,26 @@ def minhash_blocking(
     toks = tok.transform(records.select(F.col(id_col).alias("_id"), text_col))
     toks = toks.where(F.size("_toks") > 0)
     cv = CountVectorizer(inputCol="_toks", outputCol="_vec", binary=True).fit(toks)
+    # CountVectorizer caps its vocabulary at 2^18; past the cap a record
+    # whose tokens are ALL out-of-vocab gets an all-zero vector, which
+    # MinHashLSH rejects with IllegalArgumentException (the F.size guard
+    # above only catches EMPTY token lists). OOV is possible iff the cap
+    # was hit (default minDF keeps every observed token otherwise), so
+    # only then pre-filter to records with ≥1 in-vocab token — a
+    # broadcast semi-join on the exploded token relation (vocab is
+    # driver-sized by construction; never densify the vector).
+    if len(cv.vocabulary) >= (1 << 18):
+        spark = toks.sparkSession
+        vocab_df = F.broadcast(
+            spark.createDataFrame(((w,) for w in cv.vocabulary), "_w string")
+        )
+        keep = (
+            toks.select("_id", F.explode("_toks").alias("_w"))
+            .join(vocab_df, "_w")
+            .select("_id")
+            .dropDuplicates()
+        )
+        toks = toks.join(keep, "_id", "left_semi")
     vecs = cv.transform(toks)
     lsh = MinHashLSH(
         inputCol="_vec", outputCol="_hashes", numHashTables=num_hash_tables, seed=42

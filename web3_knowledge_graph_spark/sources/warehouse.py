@@ -68,20 +68,37 @@ class Table:
         return max(vs, default=0)
 
     def _commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        v = max(self.current_version() or 0, self._max_snapshot_on_disk()) + 1
-        path, tmp = self._snap_path(v), self._snap_path(v) + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        w = df.write
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.mode("overwrite").parquet(tmp)
-        os.rename(tmp, path)
-        ptmp = self.pointer + ".tmp"
-        os.makedirs(self.dir, exist_ok=True)
-        with open(ptmp, "w") as f:
-            f.write(str(v))
-        os.replace(ptmp, self.pointer)  # atomic pointer swap
-        return v
+        # The tmp dir is PER-ATTEMPT unique (pid + random suffix) and the
+        # version is claimed by an atomic os.rename that FAILS if another
+        # writer already committed that number — two concurrent writers
+        # (orchestrator retry racing a live driver) each produce a
+        # self-consistent snapshot instead of interleaving part-files in
+        # a shared tmp dir; the loser retries under the next version and
+        # the last pointer swap wins (Iceberg's optimistic-commit shape).
+        import uuid
+
+        for _ in range(3):
+            v = max(self.current_version() or 0, self._max_snapshot_on_disk()) + 1
+            path = self._snap_path(v)
+            tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            w = df.write
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+                continue
+            ptmp = f"{self.pointer}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            os.makedirs(self.dir, exist_ok=True)
+            with open(ptmp, "w") as f:
+                f.write(str(v))
+            os.replace(ptmp, self.pointer)  # atomic pointer swap
+            return v
+        raise RuntimeError(
+            f"table {self.dir}: lost the commit race 3 times in a row"
+        )
 
     # -- public API -----------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -124,8 +141,21 @@ class Table:
             merged = base.unionByName(updates, allowMissingColumns=True)
         else:
             merged = updates
+        # deterministic tiebreak: update rows from one run commonly share
+        # a single order_col stamp, and a bare (_src_rank, order_col)
+        # ordering would let the shuffle pick the survivor — every
+        # remaining column joins the ordering so re-running the same
+        # merge always keeps the same row (idempotence, and Table.diff
+        # reports no phantom changes between reruns).
+        tie_cols = [
+            c
+            for c in merged.columns
+            if c not in (*keys, order_col, "_src_rank")
+        ]
         w = Window.partitionBy(*keys).orderBy(
-            F.col("_src_rank").desc(), F.col(order_col).desc_nulls_last()
+            F.col("_src_rank").desc(),
+            F.col(order_col).desc_nulls_last(),
+            *[F.col(c).desc_nulls_last() for c in tie_cols],
         )
         merged = merged.withColumn("_rn", F.row_number().over(w))
         if "created_dt" in merged.columns:
