@@ -104,7 +104,11 @@ def c4_line_filter(
     keep_doc) so the decision itself is auditable.
     Returns (doc_id, n_lines, n_kept, keep_doc, kept_text)."""
     text = F.col(text_col)
-    lines = F.split(text, "\n")
+    # \r?\n: CRLF text must not leave \r on each line — Java's $ matches
+    # before a trailing \r while RE2's (the DuckDB oracle) does not, so
+    # a bare \n split would silently break cross-engine parity AND embed
+    # stray \r bytes in kept_text
+    lines = F.split(text, "\r?\n")
     kept = F.filter(
         lines,
         lambda l: l.rlike(C4_TERMINAL_RE)
@@ -180,7 +184,10 @@ def _bucketed_running_total(
         running = 0
         for b, s in sorted(rows):
             offsets.append((*gkey, b, running))
-            running += s
+            # a NULL subtotal (every value_col in the bucket NULL, e.g.
+            # NULL-text docs whose token count is NULL) contributes 0,
+            # mirroring F.sum's null-skip inside the window below
+            running += s or 0
     schema = ", ".join(
         [f"{g} string" for g in gcols] + ["_bucket string", "_offset long"]
     )
@@ -359,7 +366,12 @@ def token_budget_sample(
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        ws_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as 0 tokens: the doc stays in the walk and
+        # consumes no budget (and cannot NULL-poison the bucket
+        # subtotals of the prefix sum)
+        F.coalesce(ws_token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
     )
     return (
@@ -394,10 +406,16 @@ def line_dedup(
     """
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # \r?\n: same CRLF rationale as c4_line_filter
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
     )
+    # blank lines are STRUCTURE (paragraph separators), not boilerplate
+    # content — without the guard any two docs with a blank paragraph
+    # break would strike every blank line corpus-wide and collapse
+    # paragraph structure everywhere
     dups = (
         lines.select("line", "doc_id")
+        .where(F.length("line") > 0)
         .distinct()
         .groupBy("line")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -507,6 +525,12 @@ def curate_corpus(
     from .dedup import exact_dedup
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    # benchmark gets the same renaming — decontaminate reads its text
+    # under the DEFAULT column names, so a caller's custom id_col/text_col
+    # must not leak through to it
+    bench = benchmark.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
     # Every stage output below feeds BOTH the next stage and the final audit
     # join — without a materialization boundary the audit's six-way fan-out
     # would recompute stage i's whole upstream chain once per downstream
@@ -524,7 +548,7 @@ def curate_corpus(
     )
     ld = line_dedup(s2, min_docs=min_docs).localCheckpoint()
     s3 = ld.select("doc_id", F.col("clean_text").alias("text"))
-    dc = decontaminate(s3, benchmark, k=k).localCheckpoint()
+    dc = decontaminate(s3, bench, k=k).localCheckpoint()
     s4 = s3.join(dc.where(~F.col("contaminated")).select("doc_id"), "doc_id")
     tb = token_budget_sample(s4, budget=budget)
     return (

@@ -48,8 +48,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Exact content dedup: fingerprint = md5(lower(text)); canonical doc =
     min(id) per fingerprint. Returns (doc_id, fingerprint, canonical_doc_id,
     is_dup). One hash-partitioned shuffle on the fingerprint."""
+    # NULL text coalesces to '' BEFORE hashing: md5(NULL) is NULL, and a
+    # NULL fingerprint matches nothing in the null-unsafe equi-join below
+    # — the doc would silently vanish from the output instead of landing
+    # in the empty-content group, breaking the one-row-per-input-doc
+    # audit contract every sibling operator upholds.
     fp = docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.lower(F.col(text_col))).alias("fingerprint")
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "fingerprint"
+        ),
     )
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_doc_id"))
     return (

@@ -35,11 +35,6 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|" + _SYMBOL_CLASS
 PUNCT_RE = _SYMBOL_CLASS
 
 
-def stopword_rows() -> list[tuple[str, str]]:
-    """(lang, word) rows of the frozen stopword dictionary — broadcast side."""
-    return [(lang, w) for lang in LANGS for w in STOPWORDS[lang]]
-
-
 def ws_token_count(text: F.Column) -> F.Column:
     """Whitespace token count — the ONE spelling shared by token_counts,
     length_quantiles, curation.sequence_pack and curation.
@@ -104,7 +99,7 @@ def quality_features(
 ) -> DataFrame:
     """Per-doc quality features + a composite score, all closed-form:
 
-      n_chars, n_tokens, mean_token_len, stopword_ratio (any language),
+      n_chars, n_tokens, n_stopwords, stopword_ratio (any language),
       punct_ratio, digit_ratio,
       quality = 0.4·min(n_tokens/100,1) + 0.4·min(stopword_ratio·5,1)
               + 0.2·(1 − min(punct_ratio·10,1))
@@ -371,8 +366,11 @@ def lm_surprisal(
             F.sum("ip_micro").cast("long").alias("surprisal_micro"),
         )
     )
+    # threshold_micro=None means NO selection was requested: every
+    # scoreable doc keeps (same contract as curation.dsir_weights —
+    # an all-False default is indistinguishable from "every doc failed")
     keep = (
-        F.lit(False)
+        F.lit(True)
         if threshold_micro is None
         else (F.col("surprisal_micro") <= F.lit(threshold_micro) * F.col("n_bigrams"))
     )
@@ -427,7 +425,12 @@ def distinctive_terms(
         docs.agg(F.countDistinct(F.col(id_col)).cast("long").alias("n_docs"))
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        # NO broadcast hint on dfreq: it is the full corpus vocabulary —
+        # unbounded at web scale (the long tail of hashes/typos), exactly
+        # what tfidf_similar_pairs refuses to broadcast. The equi-join on
+        # term shuffles tf (already aggregated) instead; AQE still
+        # broadcasts when the vocabulary turns out small.
+        tf.join(dfreq, "term")
         .crossJoin(n)
         .select(
             "doc_id",
@@ -638,6 +641,10 @@ def bm25_scores(
     ties broken by doc_id via the caller's sort.
     """
     terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        # an empty query has no defined ranking; fail loudly instead of
+        # letting `sum(() ) > 0` hand DataFrame.where a Python bool
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     # tokens materialize once per row: the raw tokenizer expression would
     # otherwise re-evaluate for every per-term filter reference
     toked = docs.select(

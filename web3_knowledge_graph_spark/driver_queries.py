@@ -4038,7 +4038,7 @@ _ALL_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _ALL_STOP) + "]"
 
 ORACLE_DATASETS = {
     "dedup_exact": """
-WITH fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents),
+WITH fp AS (SELECT doc_id, md5(lower(COALESCE(text, ''))) AS fingerprint FROM documents),
 canon AS (SELECT fingerprint, MIN(doc_id) AS canonical_doc_id FROM fp GROUP BY fingerprint)
 SELECT doc_id, fp.fingerprint, canonical_doc_id,
   doc_id != canonical_doc_id AS is_dup
@@ -4331,8 +4331,8 @@ _C4_KEEP_DOC = (
 ORACLE_DATASETS["c4_filter"] = f"""
 WITH d AS (SELECT doc_id, {C4_TEXT_SQL} AS text FROM documents),
 k AS (SELECT doc_id, text,
-  regexp_split_to_array(text, chr(10)) AS lines,
-  list_filter(regexp_split_to_array(text, chr(10)), {_C4_KEEP_LINE}) AS kept
+  regexp_split_to_array(text, '\r?' || chr(10)) AS lines,
+  list_filter(regexp_split_to_array(text, '\r?' || chr(10)), {_C4_KEEP_LINE}) AS kept
 FROM d)
 SELECT doc_id,
   CAST(len(lines) AS BIGINT) AS n_lines,
@@ -4355,11 +4355,11 @@ SELECT source, doc_id, CAST(pick AS BIGINT) AS pick FROM r WHERE pick <= {HOST_C
 # are unique per doc); aggregate NULL-skipping matches collect_list.
 ORACLE_DATASETS["line_dedup"] = f"""
 WITH d AS (SELECT doc_id, {C4_TEXT_SQL} AS text FROM documents),
-k AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM d),
+k AS (SELECT doc_id, regexp_split_to_array(text, '\r?' || chr(10)) AS lines FROM d),
 ln AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
         i -> {{'pos': i - 1, 'line': lines[i]}})) AS s FROM k),
 l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln),
-dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2)
+dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2 WHERE len(line) > 0)
         GROUP BY line HAVING COUNT(*) >= {LINE_DEDUP_MIN_DOCS}),
 t AS (SELECT l2.doc_id, l2.pos, l2.line, dup.line IS NOT NULL AS isdup
       FROM l2 LEFT JOIN dup ON l2.line = dup.line)
@@ -4416,22 +4416,22 @@ _SH5 = (
 ORACLE_DATASETS["curated_corpus"] = f"""
 WITH d AS (SELECT doc_id, {CURATE_TEXT_SQL} AS text FROM documents),
 c4 AS (SELECT doc_id, text,
-  regexp_split_to_array(text, chr(10)) AS lines,
-  list_filter(regexp_split_to_array(text, chr(10)), {_C4_KEEP_LINE}) AS kept
+  regexp_split_to_array(text, '\r?' || chr(10)) AS lines,
+  list_filter(regexp_split_to_array(text, '\r?' || chr(10)), {_C4_KEEP_LINE}) AS kept
 FROM d),
 c4d AS (SELECT doc_id, ({_C4_KEEP_DOC}) AS keep_doc,
         array_to_string(kept, chr(10)) AS kept_text FROM c4),
 s1 AS (SELECT doc_id, kept_text AS text FROM c4d WHERE keep_doc),
-fp AS (SELECT doc_id, md5(lower(text)) AS f, text FROM s1),
+fp AS (SELECT doc_id, md5(lower(COALESCE(text, ''))) AS f, text FROM s1),
 cn AS (SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f),
 ex AS (SELECT fp.doc_id, (fp.doc_id = cn.m) AS is_canonical
        FROM fp JOIN cn USING (f)),
 s2 AS (SELECT fp.doc_id, fp.text FROM fp JOIN cn USING (f) WHERE fp.doc_id = cn.m),
-k2 AS (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM s2),
+k2 AS (SELECT doc_id, regexp_split_to_array(text, '\r?' || chr(10)) AS lines FROM s2),
 ln2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
         i -> {{'pos': i - 1, 'line': lines[i]}})) AS s FROM k2),
 l2 AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln2),
-dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2)
+dup AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM l2 WHERE len(line) > 0)
         GROUP BY line HAVING COUNT(*) >= {LINE_DEDUP_MIN_DOCS}),
 t2 AS (SELECT l2.doc_id, l2.pos, l2.line, dup.line IS NOT NULL AS isdup
        FROM l2 LEFT JOIN dup ON l2.line = dup.line),
@@ -4550,7 +4550,7 @@ FROM cassign ca LEFT JOIN d USING (vec_id)
 # The oracle is the single-window spec the two-pass bucket plan must equal.
 ORACLE_DATASETS["token_budget"] = f"""
 WITH t AS (SELECT doc_id,
-  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
   md5(CAST(doc_id AS VARCHAR)) AS key
 FROM documents),
 c AS (SELECT doc_id, n_tokens,
