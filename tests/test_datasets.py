@@ -1095,6 +1095,137 @@ def test_dsir_weights_hand_traced(spark):
     assert got[0].mean_weight == 2_500_000 / 3_000_000.0
 
 
+def test_gopher_rules_hand_traced(spark):
+    """Every Gopher §A1.1 rule at its boundary: integer-exact flags can't
+    be flipped by float rounding, so the boundary cases are decidable."""
+    base_words = ("the quick brown fox runs with grace and even that rhythm "
+                  "of pace they have shown ") * 4  # 64 words, all alpha
+    rows = [
+        (0, base_words),                                # passes everything
+        (1, "tiny doc here"),                           # < 50 words
+        # 10 lines, 9 bullets -> 90 <= 90 keeps; doc 3: 10/10 fails
+        (2, "plain line\n" + "\n".join(["- item"] * 9)),
+        (3, "\n".join(["* item"] * 10)),
+        # 10 lines, 3 ellipsis ends -> 30 <= 30 keeps; doc 5: 4 fails
+        (4, "\n".join(["wait..."] * 3 + ["solid line"] * 7)),
+        (5, "\n".join(["wait…"] * 4 + ["solid line"] * 6)),
+        # 10 words, 1 symbol -> 10*1 <= 10 keeps; doc 7: 2 symbols fail
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa#"),
+        (7, "alpha beta gamma delta epsilon zeta eta theta iota # kappa..."),
+        # 5 words, 4 alphabetic -> 80% keeps; doc 9: 3/5 fails
+        (8, "12 ab cd ef gh"),
+        (9, "12 34 ab cd ef"),
+        # mean word length: 3 exactly keeps, 2 fails
+        (10, "abc def ghi"),
+        (11, "ab cd ef"),
+        (12, None),                                     # NULL text -> ''
+    ]
+    got = {
+        r.doc_id: r
+        for r in TS.gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[0].keep and got[0].n_words == 64 and got[0].n_stop_types >= 2
+    assert not got[1].ok_word_count and not got[1].keep
+    assert got[2].ok_bullet and got[2].n_bullet_lines == 9 and got[2].n_lines == 10
+    assert not got[3].ok_bullet and got[3].bullet_line_ratio == 1.0
+    assert got[4].ok_ellipsis and got[4].n_ellipsis_lines == 3
+    assert not got[5].ok_ellipsis and got[5].n_ellipsis_lines == 4
+    assert got[6].ok_symbol_ratio and got[6].n_symbols == 1
+    assert not got[7].ok_symbol_ratio and got[7].n_symbols == 2
+    assert got[8].ok_alpha and got[8].alpha_word_ratio == 0.8
+    assert not got[9].ok_alpha
+    assert got[10].ok_word_len and got[10].mean_word_len == 3.0
+    assert not got[11].ok_word_len
+    # NULL text: one empty line, zero words, every word-rule fails closed
+    assert got[12].n_words == 0 and got[12].n_lines == 1
+    assert not got[12].ok_word_len and not got[12].ok_alpha and not got[12].keep
+    assert got[12].ok_bullet and got[12].ok_ellipsis  # 0 of 1 line
+
+
+def _py_unimax(totals: dict[str, int], budget: int, epoch_cap: int):
+    """Independent reimplementation of the integer waterfill spec
+    (curation.unimax_budgets docstring) for the tests."""
+    caps = sorted(((epoch_cap * t, g) for g, t in totals.items()))
+    n = len(caps)
+    alloc, prefix, k, csum = {}, 0, 0, 0
+    for idx, (cap, g) in enumerate(caps, start=1):
+        if cap * (n - idx + 1) <= budget - prefix:
+            alloc[g] = cap
+            k, csum = idx, csum + cap
+        prefix += cap
+    m = n - k
+    if m:
+        spill = budget - csum
+        base, extra = divmod(spill, m)
+        for j, (cap, g) in enumerate(caps[k:], start=1):
+            alloc[g] = base + 1 if j <= extra else base
+    return alloc
+
+
+def test_unimax_budgets_vs_python(spark):
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    cases = [
+        # mixed capped/uncapped with a nonzero mod-m remainder
+        ({"de": 100, "fr": 110, "en": 400}, 500, 2),
+        # budget beyond every cap: all capped, shortfall visible
+        ({"a": 10, "b": 20}, 1000, 3),
+        # zero-token group + single big group
+        ({"empty": 0, "en": 50}, 70, 2),
+        ({"only": 33}, 10, 4),
+    ]
+    for totals, budget, epochs in cases:
+        want = _py_unimax(totals, budget, epochs)
+        df = spark.createDataFrame(
+            list(totals.items()), "grp string, total long"
+        )
+        got = {r.grp: r for r in CU.unimax_budgets(df, budget, epochs).collect()}
+        assert {g: r.alloc for g, r in got.items()} == want, (totals, budget)
+        # waterfill invariants: never above cap, total = min(B, sum caps)
+        for g, r in got.items():
+            assert r.alloc <= r.cap == epochs * totals[g]
+        assert sum(want.values()) == min(
+            budget, epochs * sum(totals.values())
+        )
+
+
+def test_unimax_sample_hand_traced(spark):
+    """Full epochs + md5-prefix partial epoch per group, against a
+    sequential replay of the same md5 walk."""
+    from web3_knowledge_graph_spark.datasets import curation as CU
+
+    rows = [
+        (0, "en", "w1 w2 w3 w4"),      # 4 tokens
+        (1, "en", "w1 w2 w3 w4 w5 w6"),  # 6
+        (2, "en", "w1 w2"),            # 2
+        (3, "de", "a b c"),            # 3
+        (4, "de", "d e"),              # 2
+    ]
+    # totals: en=12, de=5. epoch_cap=2 -> caps de=10, en=24; budget 20:
+    # de capped? 10*2 <= 20 -> yes. en: spill 10, m=1 -> alloc 10.
+    # de: f=2, r=0 (every de doc twice, no partial epoch).
+    # en: f=0, r=10 -> md5-order prefix of en docs with cum tokens <= 10.
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: r
+        for r in CU.unimax_sample(docs, budget=20, epoch_cap=2).collect()
+    }
+    assert got[3].n_epochs == 2 and got[4].n_epochs == 2
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i, n)
+        for i, n in ((0, 4), (1, 6), (2, 2))
+    )
+    cum, want = 0, {}
+    for _, i, n in order:
+        cum += n
+        if cum <= 10:
+            want[i] = 1
+    assert {i: r.n_epochs for i, r in got.items() if r.grp == "en"} == want
+    assert sum(r.n_tokens * r.n_epochs for r in got.values()) <= 20
+
+
 def test_semantic_dedup_multiprobe_crosses_cell_boundary(spark):
     """A near-dup pair straddling a cell boundary is invisible at
     n_probes=1 (different top-1 cells) and found at n_probes=2 (shared

@@ -259,6 +259,155 @@ def mixture_sample(
     )
 
 
+def unimax_budgets(
+    group_totals: DataFrame, budget: int, epoch_cap: int
+) -> DataFrame:
+    """UniMax per-language budget allocation (Chung et al. 2023,
+    arXiv:2304.09151 Alg. 1): distribute a total token ``budget`` across
+    languages as uniformly as possible, capping each language at
+    ``epoch_cap`` epochs of its own corpus — the principled alternative to
+    temperature sampling for multilingual pretraining mixes.
+
+    Input ``group_totals(grp, total)`` (total = the group's corpus token
+    count); returns (grp, total, cap, alloc) with cap = epoch_cap·total.
+
+    The paper's sequential loop (ascending corpus size, each language gets
+    min(cap, remaining/left)) is restated as its closed-form waterfill in
+    EXACT INTEGER arithmetic so Spark and the DuckDB oracle agree bit-for-
+    bit: sorted by (cap, grp) ascending with prefix sums, row i (of n) is
+    CAPPED iff cap_i·(n−i+1) ≤ budget − prefix_{i−1} (capped rows form a
+    prefix — standard waterfill monotonicity); the spill
+    S = budget − Σ capped caps divides among the m uncapped rows as
+    S div m, with the S mod m remainder going one token each to the first
+    uncapped rows in the same order. Every uncapped row's cap exceeds
+    base+1 by construction, Σ alloc = min(budget, Σ caps), and an
+    over-generous budget leaves the shortfall VISIBLE (every row capped),
+    never silently rebalanced — the mixture_sample under-fill convention.
+
+    Scale: the window runs over the LANGUAGE DIMENSION (hundreds of rows
+    at internet scale), not the corpus — the single-partition sort is
+    bounded by |languages| regardless of corpus size.
+    """
+    b = F.lit(int(budget)).cast("long")
+    w_all = Window.orderBy("cap", "grp")
+    ranked = (
+        group_totals.select(
+            "grp",
+            F.col("total").cast("long").alias("total"),
+            (F.lit(int(epoch_cap)).cast("long") * F.col("total")).alias("cap"),
+        )
+        .withColumn("_i", F.row_number().over(w_all))
+        .withColumn(
+            "_prefix",
+            F.coalesce(
+                F.sum("cap").over(w_all.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(w_all.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn(
+            "_capped",
+            F.col("cap") * (F.col("_n") - F.col("_i") + 1) <= b - F.col("_prefix"),
+        )
+    )
+    agg = ranked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), 1).cast("long")), F.lit(0).cast("long")
+        ).alias("_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap"))), F.lit(0).cast("long")
+        ).alias("_csum"),
+    )
+    spill = b - F.col("_csum")
+    # when every row is capped m = 0 and no row reaches the div/mod
+    # branches below, but ANSI mode (Spark 4 default) evaluates them —
+    # clamp the divisor to 1 (the clamped value is never selected)
+    m = F.greatest(
+        (F.col("_n") - F.col("_k")).cast("long"), F.lit(1).cast("long")
+    )
+    base = F.expr("_spill div _m")
+    extra = F.col("_spill") % F.col("_m")
+    return (
+        ranked.crossJoin(F.broadcast(agg))
+        .withColumn("_spill", spill)
+        .withColumn("_m", m)
+        .select(
+            "grp",
+            "total",
+            "cap",
+            F.when(F.col("_capped"), F.col("cap"))
+            .when(F.col("_i") - F.col("_k") <= extra, base + 1)
+            .otherwise(base)
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def unimax_sample(
+    docs: DataFrame,
+    budget: int,
+    epoch_cap: int = 2,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax corpus draw: allocate the token ``budget`` across languages
+    with unimax_budgets, then realize each language's allocation as
+    f = alloc div total FULL EPOCHS of every doc plus a PARTIAL epoch —
+    the md5(doc_id)-ordered prefix whose running token total stays within
+    r = alloc mod total (the token_budget_sample walk, per group; the
+    partial epoch exists only when r > 0). A doc's epoch count depends
+    only on its group's totals and its own hash position — deterministic
+    across reruns, retries, and partitionings.
+
+    Plan: one partial-agg exchange for per-language totals (|languages|
+    rows), the language-dimension window of unimax_budgets, then the
+    256-bucket distributed prefix sum per group (no single-reducer sort)
+    and a broadcast join of the |languages|-row budget dimension. The
+    corpus text itself never shuffles.
+
+    Returns (doc_id, grp, n_tokens, n_epochs) for docs with n_epochs ≥ 1.
+    """
+    from .textstats import ws_token_count
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        # NULL text = 0 tokens, the token_budget_sample convention
+        F.coalesce(ws_token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+    )
+    totals = base.groupBy("grp").agg(F.sum("n_tokens").alias("total"))
+    budgets = unimax_budgets(totals, budget, epoch_cap).select(
+        "grp",
+        F.when(F.col("total") > 0, F.expr("alloc div total"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_f"),
+        F.when(F.col("total") > 0, F.col("alloc") % F.col("total"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_r"),
+    )
+    ranked = _bucketed_running_total(base, "n_tokens", group_cols=("grp",))
+    out = ranked.join(F.broadcast(budgets), "grp").withColumn(
+        "n_epochs",
+        (
+            F.col("_f")
+            + F.when(
+                (F.col("_r") > 0) & (F.col("_running") <= F.col("_r")), 1
+            ).otherwise(0)
+        ).cast("long"),
+    )
+    return out.where(F.col("n_epochs") >= 1).select(
+        "doc_id", "grp", "n_tokens", "n_epochs"
+    )
+
+
 def hash_split_cuts(fractions: dict[str, float]) -> tuple[list[str], list[int]]:
     """(sorted split names, cumulative integer cuts over the 2^32 md5
     space), computed with exact decimal arithmetic. Shared by the operator

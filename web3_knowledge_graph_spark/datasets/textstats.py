@@ -251,6 +251,159 @@ def repetition_stats(
     )
 
 
+# Gopher's eight English "stop words" (Rae et al. 2021, §A1.1 last rule) —
+# a doc must contain at least GOPHER_MIN_STOP_TYPES distinct ones.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_TYPES = 2
+# documented line-structure markers: a line "starts with a bullet" when its
+# space-left-trimmed form begins with one of these (the '- '/'* ' forms
+# require the trailing space so '-5 degrees' is not a bullet), and "ends
+# with an ellipsis" when its space-right-trimmed form ends with '...'/'…'.
+GOPHER_BULLET_PREFIXES = ("•", "‣", "▪", "- ", "* ")
+GOPHER_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The COMPLETE Gopher §A1.1 document-quality rule battery (Rae et al.
+    2021, arXiv:2112.11446 Appendix A1.1 — the canonical LLM-corpus filter
+    list; its repetition half lives in repetition_stats). One row per doc
+    with every measured quantity, one boolean per rule, and the composite
+    keep:
+
+      ok_word_count     50 ≤ n_words ≤ 100,000        (whitespace words)
+      ok_word_len       3 ≤ mean word length ≤ 10     (inclusive)
+      ok_symbol_ratio   symbol-to-word ratio ≤ 0.1    ('#' + '...'/'…')
+      ok_bullet         ≤ 90% of lines start with a bullet
+      ok_ellipsis       ≤ 30% of lines end with an ellipsis
+      ok_alpha          ≥ 80% of words contain ≥ 1 [A-Za-z] character
+                        (ASCII alphabetic: Java \\p{L} and RE2 unicode
+                        classes disagree at the edges — documented
+                        divergence from the paper's unstated alphabet)
+      ok_stopwords      ≥ 2 distinct GOPHER_STOPWORDS present
+                        (exact lowercase whitespace-token match)
+
+    Every flag is an EXACT INTEGER comparison (3·n_words ≤ word_chars,
+    10·n_symbols ≤ n_words, …) so no engine's float rounding can flip a
+    boundary doc; the double ratio columns are display-only divisions of
+    the same integers (exactly-rounded IEEE in both engines). NULL text is
+    treated as '' (the curation convention: audit rows never drop).
+
+    Plan: a PURE MAP — one projection, zero exchanges; everything folds
+    row-locally over the materialized word/line arrays, so the operator
+    scales with scan bandwidth alone at any corpus size.
+
+    Returns (doc_id, n_words, n_lines, word_chars, n_symbols,
+    n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_types,
+    mean_word_len, symbol_word_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, ok_* ×7, keep).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # word/line arrays materialize once per row (the HOF-lambda column
+    # contract, dedup.shingle_array_of) — every scalar below folds over
+    # these columns, not over re-evaluated tokenizer expressions.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("_text"),
+        # the ws_token_count spelling, as an array (shared tokenizer
+        # contract — see ws_token_count's docstring)
+        F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0).alias(
+            "_words"
+        ),
+        # \r?\n: the CRLF rationale of curation.c4_line_filter
+        F.split(text, "\r?\n").alias("_lines"),
+    )
+    words, lines = F.col("_words"), F.col("_lines")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = (
+        F.size(F.regexp_extract_all(F.col("_text"), F.lit("(#|\\.\\.\\.|…)"), 1))
+        .cast("long")
+    )
+
+    def _starts_bullet(line: F.Column) -> F.Column:
+        lt = F.ltrim(line)
+        cond = F.lit(False)
+        for p in GOPHER_BULLET_PREFIXES:
+            cond = cond | lt.startswith(p)
+        return cond
+
+    def _ends_ellipsis(line: F.Column) -> F.Column:
+        rt = F.rtrim(line)
+        cond = F.lit(False)
+        for s in GOPHER_ELLIPSIS_SUFFIXES:
+            cond = cond | rt.endswith(s)
+        return cond
+
+    n_bullet = F.size(F.filter(lines, _starts_bullet)).cast("long")
+    n_ellipsis = F.size(F.filter(lines, _ends_ellipsis)).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    low_words = F.transform(words, F.lower)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop_types = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(low_words, s))
+    ).cast("long")
+
+    scalars = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        word_chars.alias("word_chars"),
+        n_symbols.alias("n_symbols"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop_types.alias("n_stop_types"),
+    )
+    nw = F.col("n_words")
+    nl = F.col("n_lines")
+
+    def _ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    ok_word_count = (nw >= 50) & (nw <= 100_000)
+    ok_word_len = (F.col("word_chars") >= 3 * nw) & (
+        F.col("word_chars") <= 10 * nw
+    ) & (nw > 0)
+    ok_symbol_ratio = (10 * F.col("n_symbols") <= nw)
+    ok_bullet = 10 * F.col("n_bullet_lines") <= 9 * nl
+    ok_ellipsis = 10 * F.col("n_ellipsis_lines") <= 3 * nl
+    ok_alpha = (5 * F.col("n_alpha_words") >= 4 * nw) & (nw > 0)
+    ok_stopwords = F.col("n_stop_types") >= GOPHER_MIN_STOP_TYPES
+    return scalars.select(
+        "*",
+        _ratio(F.col("word_chars"), nw).alias("mean_word_len"),
+        _ratio(F.col("n_symbols"), nw).alias("symbol_word_ratio"),
+        _ratio(F.col("n_bullet_lines"), nl).alias("bullet_line_ratio"),
+        _ratio(F.col("n_ellipsis_lines"), nl).alias("ellipsis_line_ratio"),
+        _ratio(F.col("n_alpha_words"), nw).alias("alpha_word_ratio"),
+        ok_word_count.alias("ok_word_count"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbol_ratio.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stopwords.alias("ok_stopwords"),
+        (
+            ok_word_count
+            & ok_word_len
+            & ok_symbol_ratio
+            & ok_bullet
+            & ok_ellipsis
+            & ok_alpha
+            & ok_stopwords
+        ).alias("keep"),
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame,
     k: int = 5,

@@ -4030,6 +4030,45 @@ def q_length_quantiles(spark, sf_dir):
     return TS.length_quantiles(_t(spark, sf_dir, "documents"), qs=QUANTILE_QS)
 
 
+# doc_id-derived structured text for the Gopher rule battery (the C4_TEXT_SQL
+# convention: ONE expression valid in both engines): %13 truncates below the
+# 50-word floor, %4 adds bullet lines, %5 an ellipsis line, %6 hash symbols,
+# %7 the Gopher stopwords, %9 digit-only words (alpha-fraction pressure).
+GOPHER_TEXT_SQL = """CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 30) ELSE text END
+ || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet item ' || CAST(doc_id % 7 AS STRING) || chr(10) || '- second bullet' ELSE '' END
+ || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+ || CASE WHEN doc_id % 6 = 0 THEN ' ### ##' ELSE '' END
+ || CASE WHEN doc_id % 7 = 0 THEN ' the rest goes of and that have with care' ELSE '' END
+ || CASE WHEN doc_id % 9 = 0 THEN ' 12 34 5678 90 11 22' ELSE '' END"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """The complete Gopher §A1.1 quality-rule battery (Rae et al. 2021)
+    over doc_id-derived structured text: per-rule integer-exact flags +
+    composite keep; pure map, zero exchanges (see textstats.gopher_rules;
+    the §A1.1 repetition half is the separate `repetition` query)."""
+    return TS.gopher_rules(_enriched_docs(spark, sf_dir, GOPHER_TEXT_SQL))
+
+
+UNIMAX_BUDGET = 36_000
+UNIMAX_EPOCHS = 2
+
+
+def q_unimax_sample(spark, sf_dir):
+    """UniMax language-balanced corpus draw (Chung et al. 2023): waterfill
+    the token budget across the lang column with a per-language epoch cap,
+    realized as full epochs + an md5-prefix partial epoch per language
+    (see curation.unimax_budgets / unimax_sample). At sf0.01 the
+    allocation exercises every arm: the smallest language is capped at 2
+    epochs, the mod-m remainder lands on the next two, and `en` (3x the
+    rest) takes a partial-epoch prefix only."""
+    return CU.unimax_sample(
+        _t(spark, sf_dir, "documents"),
+        budget=UNIMAX_BUDGET,
+        epoch_cap=UNIMAX_EPOCHS,
+    )
+
+
 _SW_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
 )
@@ -5073,6 +5112,95 @@ FROM deg LEFT JOIN tc USING (node)
 """
 )
 
+# gopher_rules: mirrors textstats.gopher_rules expression-for-expression —
+# the ws-token spelling, the '\r?'||chr(10) line split, space-only
+# ltrim/rtrim, ASCII [A-Za-z] alpha test, exact-integer rule flags.
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+ORACLE_DATASETS["gopher_rules"] = f"""
+WITH d AS (SELECT doc_id, {GOPHER_TEXT_SQL} AS text FROM documents),
+b AS (SELECT doc_id, COALESCE(text, '') AS t,
+  list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> len(x) > 0) AS words,
+  regexp_split_to_array(COALESCE(text, ''), '\\r?' || chr(10)) AS lines
+FROM d),
+s AS (SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS word_chars,
+  CAST(len(regexp_extract_all(t, '(#|\\.\\.\\.|…)', 1)) AS BIGINT) AS n_symbols,
+  CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+    OR starts_with(ltrim(l), '‣') OR starts_with(ltrim(l), '▪')
+    OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+    OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellipsis_lines,
+  CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+  CAST(len(list_filter({_GOPHER_STOP_SQL},
+    sw -> list_contains(list_transform(words, w -> lower(w)), sw))) AS BIGINT) AS n_stop_types
+FROM b)
+SELECT doc_id, n_words, n_lines, word_chars, n_symbols, n_bullet_lines,
+  n_ellipsis_lines, n_alpha_words, n_stop_types,
+  CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+  CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+  CASE WHEN n_lines > 0 THEN CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_ratio,
+  CASE WHEN n_lines > 0 THEN CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_ratio,
+  CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_ratio,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (word_chars >= 3 * n_words AND word_chars <= 10 * n_words AND n_words > 0) AS ok_word_len,
+  (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+  (10 * n_bullet_lines <= 9 * n_lines) AS ok_bullet,
+  (10 * n_ellipsis_lines <= 3 * n_lines) AS ok_ellipsis,
+  (5 * n_alpha_words >= 4 * n_words AND n_words > 0) AS ok_alpha,
+  (n_stop_types >= 2) AS ok_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words AND n_words > 0)
+   AND (10 * n_symbols <= n_words)
+   AND (10 * n_bullet_lines <= 9 * n_lines)
+   AND (10 * n_ellipsis_lines <= 3 * n_lines)
+   AND (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
+   AND (n_stop_types >= 2)) AS keep
+FROM s
+"""
+
+# unimax_sample: the integer waterfill of curation.unimax_budgets restated
+# over window functions, then the per-group single-window prefix sum (the
+# token_budget_sample oracle convention — SUM OVER (ORDER BY md5) is the
+# spec the 256-bucket plan implements).
+ORACLE_DATASETS["unimax_sample"] = f"""
+WITH tok AS (SELECT doc_id, lang AS grp,
+  CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
+  md5(CAST(doc_id AS VARCHAR)) AS k
+FROM documents),
+tot AS (SELECT grp, CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok GROUP BY grp),
+capd AS (SELECT grp, total, CAST({UNIMAX_EPOCHS} AS BIGINT) * total AS cap FROM tot),
+ord AS (SELECT grp, total, cap,
+  CAST(ROW_NUMBER() OVER (ORDER BY cap, grp) AS BIGINT) AS i,
+  CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, grp
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+  CAST(COUNT(*) OVER () AS BIGINT) AS n
+FROM capd),
+fl AS (SELECT *, (cap * (n - i + 1) <= {UNIMAX_BUDGET} - pfx) AS capped FROM ord),
+ag AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 END), 0) AS BIGINT) AS kk,
+              CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS csum,
+              CAST(MAX(n) AS BIGINT) AS n FROM fl),
+al AS (SELECT fl.grp, fl.total,
+  CASE WHEN fl.capped THEN fl.cap
+       WHEN fl.i - ag.kk <= ({UNIMAX_BUDGET} - ag.csum) % GREATEST(ag.n - ag.kk, 1)
+         THEN ({UNIMAX_BUDGET} - ag.csum) // GREATEST(ag.n - ag.kk, 1) + 1
+       ELSE ({UNIMAX_BUDGET} - ag.csum) // GREATEST(ag.n - ag.kk, 1) END AS alloc
+FROM fl, ag),
+eb AS (SELECT grp,
+  CASE WHEN total > 0 THEN alloc // total ELSE 0 END AS f,
+  CASE WHEN total > 0 THEN alloc % total ELSE 0 END AS r
+FROM al),
+run AS (SELECT doc_id, grp, n_tokens,
+  SUM(n_tokens) OVER (PARTITION BY grp ORDER BY k, doc_id
+    ROWS UNBOUNDED PRECEDING) AS running
+FROM tok)
+SELECT run.doc_id, run.grp, run.n_tokens,
+  CAST(eb.f + CASE WHEN eb.r > 0 AND run.running <= eb.r THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+FROM run JOIN eb USING (grp)
+WHERE eb.f + CASE WHEN eb.r > 0 AND run.running <= eb.r THEN 1 ELSE 0 END >= 1
+"""
+
 
 # The driver's correctness artifact truncates at 50 entries, checked in
 # queries() insertion order. Rounds 1-4 accumulated driver-confirmed rows
@@ -5122,7 +5250,11 @@ _R5_PREFIX = (
     # so sessionization rotates out alongside events_hourly
     "dsir_weights", "trending_topk",
     "cc_components", "near_dedup",
-    "bm25", "lang_id",
+    # gopher_rules and unimax_sample are new in round 5 (never
+    # driver-checked) → they take the bm25/lang_id sentinel slots (their
+    # textstats/curation families stay covered by near_dedup +
+    # dsir_weights above)
+    "gopher_rules", "unimax_sample",
     "asof_join", "holdings_rotation", "merge_upsert",
     "spam_flagging", "wic_labels",
 )
@@ -5265,6 +5397,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "hash_split": q_hash_split,
         "dsir_weights": q_dsir_weights,
+        "gopher_rules": q_gopher_rules,
+        "unimax_sample": q_unimax_sample,
     }
 
 
