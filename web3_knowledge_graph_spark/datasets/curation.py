@@ -151,8 +151,26 @@ def host_downsample(
     )
 
 
-def _bucketed_running_total(
+def _bucket_subtotals(
     base: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> list:
+    """The pass-1 (group, md5-prefix-bucket) subtotal rows of
+    _bucketed_running_total, exposed so a caller that ALSO needs per-group
+    totals (unimax_sample) can derive them from the same collect instead
+    of paying a second corpus aggregation scan."""
+    return (
+        base.withColumn("_bucket", F.substring("_key", 1, 2))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.sum(value_col).cast("long").alias("_s"))
+        .collect()
+    )
+
+
+def _bucketed_running_total(
+    base: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    subtotals: list | None = None,
 ) -> DataFrame:
     """Distributed prefix sum of ``value_col`` in (group_cols, md5-key)
     order WITHOUT a single-reducer global sort — the shared machinery of
@@ -169,11 +187,10 @@ def _bucketed_running_total(
     the global per-group order.
     """
     spark = base.sparkSession
+    if subtotals is None:
+        subtotals = _bucket_subtotals(base, value_col, group_cols)
     base = base.withColumn("_bucket", F.substring("_key", 1, 2))
     gcols = list(group_cols)
-    subtotals = base.groupBy(*gcols, "_bucket").agg(
-        F.sum(value_col).cast("long").alias("_s")
-    ).collect()
     by_grp: dict[tuple, list] = {}
     for r in subtotals:
         by_grp.setdefault(tuple(r[g] for g in gcols), []).append(
@@ -290,6 +307,13 @@ def unimax_budgets(
     """
     b = F.lit(int(budget)).cast("long")
     w_all = Window.orderBy("cap", "grp")
+    w_full = w_all.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # ONE window pass over the language dimension: the capped-set scalars
+    # (_k, _csum) come from full-partition window sums on the same sort,
+    # not a separate agg + crossJoin — that shape re-derived the whole
+    # input subtree twice (at scale: two extra corpus scans per consumer).
     ranked = (
         group_totals.select(
             "grp",
@@ -304,44 +328,48 @@ def unimax_budgets(
                 F.lit(0).cast("long"),
             ),
         )
-        .withColumn("_n", F.count(F.lit(1)).over(w_all.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("_n", F.count(F.lit(1)).over(w_full))
         .withColumn(
             "_capped",
             F.col("cap") * (F.col("_n") - F.col("_i") + 1) <= b - F.col("_prefix"),
         )
-    )
-    agg = ranked.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("_capped"), 1).cast("long")), F.lit(0).cast("long")
-        ).alias("_k"),
-        F.coalesce(
-            F.sum(F.when(F.col("_capped"), F.col("cap"))), F.lit(0).cast("long")
-        ).alias("_csum"),
-    )
-    spill = b - F.col("_csum")
-    # when every row is capped m = 0 and no row reaches the div/mod
-    # branches below, but ANSI mode (Spark 4 default) evaluates them —
-    # clamp the divisor to 1 (the clamped value is never selected)
-    m = F.greatest(
-        (F.col("_n") - F.col("_k")).cast("long"), F.lit(1).cast("long")
+        .withColumn(
+            "_k",
+            F.coalesce(
+                F.sum(F.when(F.col("_capped"), 1).cast("long")).over(w_full),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_csum",
+            F.coalesce(
+                F.sum(F.when(F.col("_capped"), F.col("cap"))).over(w_full),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_spill", b - F.col("_csum"))
+        # when every row is capped m = 0 and no row reaches the div/mod
+        # branches below, but ANSI mode (Spark 4 default) evaluates them —
+        # clamp the divisor to 1 (the clamped value is never selected)
+        .withColumn(
+            "_m",
+            F.greatest(
+                (F.col("_n") - F.col("_k")).cast("long"),
+                F.lit(1).cast("long"),
+            ),
+        )
     )
     base = F.expr("_spill div _m")
     extra = F.col("_spill") % F.col("_m")
-    return (
-        ranked.crossJoin(F.broadcast(agg))
-        .withColumn("_spill", spill)
-        .withColumn("_m", m)
-        .select(
-            "grp",
-            "total",
-            "cap",
-            F.when(F.col("_capped"), F.col("cap"))
-            .when(F.col("_i") - F.col("_k") <= extra, base + 1)
-            .otherwise(base)
-            .cast("long")
-            .alias("alloc"),
-        )
+    return ranked.select(
+        "grp",
+        "total",
+        "cap",
+        F.when(F.col("_capped"), F.col("cap"))
+        .when(F.col("_i") - F.col("_k") <= extra, base + 1)
+        .otherwise(base)
+        .cast("long")
+        .alias("alloc"),
     )
 
 
@@ -362,11 +390,14 @@ def unimax_sample(
     only on its group's totals and its own hash position — deterministic
     across reruns, retries, and partitionings.
 
-    Plan: one partial-agg exchange for per-language totals (|languages|
-    rows), the language-dimension window of unimax_budgets, then the
-    256-bucket distributed prefix sum per group (no single-reducer sort)
-    and a broadcast join of the |languages|-row budget dimension. The
-    corpus text itself never shuffles.
+    Plan: the corpus is scanned exactly TWICE — the two-pass
+    _bucketed_running_total contract shared with token_budget_sample.
+    Per-language totals fall out of pass 1's already-collected (group,
+    bucket) subtotals (driver-side sum over ≤ |languages|·256 rows), so
+    the budget dimension costs NO extra corpus scan; the language-
+    dimension window of unimax_budgets runs over a |languages|-row
+    createDataFrame and broadcast-joins back. The corpus text itself
+    never shuffles.
 
     Returns (doc_id, grp, n_tokens, n_epochs) for docs with n_epochs ≥ 1.
     """
@@ -381,7 +412,13 @@ def unimax_sample(
         .alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
     )
-    totals = base.groupBy("grp").agg(F.sum("n_tokens").alias("total"))
+    sub = _bucket_subtotals(base, "n_tokens", ("grp",))
+    per_grp: dict[str, int] = {}
+    for r in sub:
+        per_grp[r["grp"]] = per_grp.get(r["grp"], 0) + (r["_s"] or 0)
+    totals = docs.sparkSession.createDataFrame(
+        sorted(per_grp.items()), "grp string, total long"
+    )
     budgets = unimax_budgets(totals, budget, epoch_cap).select(
         "grp",
         F.when(F.col("total") > 0, F.expr("alloc div total"))
@@ -393,7 +430,9 @@ def unimax_sample(
         .cast("long")
         .alias("_r"),
     )
-    ranked = _bucketed_running_total(base, "n_tokens", group_cols=("grp",))
+    ranked = _bucketed_running_total(
+        base, "n_tokens", group_cols=("grp",), subtotals=sub
+    )
     out = ranked.join(F.broadcast(budgets), "grp").withColumn(
         "n_epochs",
         (
