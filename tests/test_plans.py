@@ -368,3 +368,30 @@ def test_language_id_is_a_pure_map(spark):
     assert "Exchange" not in plan
     # '*(n)' marks whole-stage-codegen spans in the executedPlan string
     assert plan.lstrip().startswith("*(")
+
+
+def test_gopher_rules_is_a_pure_map(spark):
+    """COVERAGE.md: the Gopher rule battery folds every rule over
+    row-local word/line arrays — one corpus scan, zero exchanges."""
+    from web3_knowledge_graph_spark.datasets.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(gopher_rules(docs))
+    assert "Exchange" not in plan
+
+
+def test_unimax_sample_two_scan_broadcast_dim(spark):
+    """curation.unimax_sample docstring: the corpus executes exactly one
+    scan in the final job (pass 2 of the prefix sum; pass 1 is the
+    separate subtotal collect), the |languages|-row budget dimension
+    joins by broadcast, and nothing sort-merge joins."""
+    from web3_knowledge_graph_spark.datasets.curation import unimax_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _final_plan(unimax_sample(docs, budget=10_000, epoch_cap=2))
+    # the executedPlan string prints the final plan first and AQE's
+    # pre-adaptive initial plan after it — count scans in the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
