@@ -1164,6 +1164,52 @@ def _py_unimax(totals: dict[str, int], budget: int, epoch_cap: int):
     return alloc
 
 
+def test_fuzz_unimax_waterfill_invariants():
+    """Seeded fuzz of the integer waterfill spec (pure Python — the Spark
+    op equals _py_unimax by the 4-case test above; here the SPEC itself is
+    checked against waterfill theory on 400 random instances):
+
+      * Σ alloc == min(budget, Σ caps)  (exact budget exhaustion)
+      * 0 ≤ alloc_l ≤ cap_l             (epoch cap never exceeded)
+      * uncapped allocs differ by ≤ 1   (uniformity — the integer
+                                         residue of the paper's equal
+                                         division)
+      * every capped cap ≤ every uncapped alloc  (waterfill level: a
+        language is only capped when its cap sits below the water line)
+      * alloc is monotone in budget (+1 budget never lowers any alloc
+        by more than the shifted remainder — checked as Σ monotone and
+        per-language no-decrease-beyond-1)
+    """
+    import random
+
+    rng = random.Random(0x0417)
+    for _ in range(400):
+        n = rng.randint(1, 8)
+        totals = {
+            f"l{i}": rng.choice([0, rng.randint(1, 50), rng.randint(1, 5000)])
+            for i in range(n)
+        }
+        epochs = rng.randint(1, 4)
+        budget = rng.randint(0, int(2.5 * epochs * max(1, sum(totals.values()))))
+        alloc = _py_unimax(totals, budget, epochs)
+        caps = {g: epochs * t for g, t in totals.items()}
+        assert set(alloc) == set(totals)
+        assert sum(alloc.values()) == min(budget, sum(caps.values()))
+        for g in totals:
+            assert 0 <= alloc[g] <= caps[g]
+        uncapped = [alloc[g] for g in totals if alloc[g] < caps[g]]
+        if uncapped:
+            assert max(uncapped) - min(uncapped) <= 1
+            capped_caps = [caps[g] for g in totals if alloc[g] == caps[g]]
+            if capped_caps:
+                assert max(capped_caps) <= min(uncapped)
+        # budget monotonicity (spot, not every instance: one extra token)
+        alloc2 = _py_unimax(totals, budget + 1, epochs)
+        assert sum(alloc2.values()) >= sum(alloc.values())
+        for g in totals:
+            assert alloc2[g] >= alloc[g] - 1
+
+
 def test_unimax_budgets_vs_python(spark):
     from web3_knowledge_graph_spark.datasets import curation as CU
 
