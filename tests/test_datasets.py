@@ -1248,6 +1248,8 @@ def test_unimax_sample_hand_traced(spark):
         (2, "en", "w1 w2"),            # 2
         (3, "de", "a b c"),            # 3
         (4, "de", "d e"),              # 2
+        # NULL group: excluded up front — consumes no budget, emits no row
+        (5, None, "x y z q r s t u v w"),
     ]
     # totals: en=12, de=5. epoch_cap=2 -> caps de=10, en=24; budget 20:
     # de capped? 10*2 <= 20 -> yes. en: spill 10, m=1 -> alloc 10.
@@ -1270,6 +1272,7 @@ def test_unimax_sample_hand_traced(spark):
             want[i] = 1
     assert {i: r.n_epochs for i, r in got.items() if r.grp == "en"} == want
     assert sum(r.n_tokens * r.n_epochs for r in got.values()) <= 20
+    assert 5 not in got
 
 
 def test_semantic_dedup_multiprobe_crosses_cell_boundary(spark):

@@ -411,6 +411,12 @@ def unimax_sample(
         .cast("long")
         .alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
+    ).where(
+        # a NULL group can never appear in the output (the budget equi-join
+        # drops NULL keys), so it must not consume waterfill budget either —
+        # exclude up front (oracle carries the matching IS NOT NULL), which
+        # also keeps the driver-side per-group sum sortable
+        F.col("grp").isNotNull()
     )
     sub = _bucket_subtotals(base, "n_tokens", ("grp",))
     per_grp: dict[str, int] = {}

@@ -35,15 +35,22 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|" + _SYMBOL_CLASS
 PUNCT_RE = _SYMBOL_CLASS
 
 
+def ws_token_array(text: F.Column) -> F.Column:
+    """The whitespace word ARRAY behind ws_token_count — the ONE tokenizer
+    spelling (see ws_token_count); gopher_rules consumes the array form."""
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
 def ws_token_count(text: F.Column) -> F.Column:
-    """Whitespace token count — the ONE spelling shared by token_counts,
-    length_quantiles, curation.sequence_pack and curation.
-    token_budget_sample, and mirrored by every oracle as
+    """Whitespace token count — the ONE spelling (ws_token_array) shared by
+    token_counts, length_quantiles, gopher_rules, curation.sequence_pack,
+    curation.token_budget_sample and curation.unimax_sample, and mirrored
+    by every oracle as
     len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)).
     A tokenization fix applied anywhere else silently breaks cross-op and
-    Spark/DuckDB consistency; change it HERE only. NULL text → NULL (the
-    callers decide drop-vs-zero)."""
-    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+    Spark/DuckDB consistency; change it HERE (ws_token_array) only. NULL
+    text → NULL (the callers decide drop-vs-zero)."""
+    return F.size(ws_token_array(text))
 
 
 def language_id(
@@ -306,11 +313,8 @@ def gopher_rules(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         text.alias("_text"),
-        # the ws_token_count spelling, as an array (shared tokenizer
-        # contract — see ws_token_count's docstring)
-        F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0).alias(
-            "_words"
-        ),
+        # the shared tokenizer contract (ws_token_count's docstring)
+        ws_token_array(text).alias("_words"),
         # \r?\n: the CRLF rationale of curation.c4_line_filter
         F.split(text, "\r?\n").alias("_lines"),
     )

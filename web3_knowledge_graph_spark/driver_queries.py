@@ -5168,7 +5168,7 @@ ORACLE_DATASETS["unimax_sample"] = f"""
 WITH tok AS (SELECT doc_id, lang AS grp,
   CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0)), 0) AS BIGINT) AS n_tokens,
   md5(CAST(doc_id AS VARCHAR)) AS k
-FROM documents),
+FROM documents WHERE lang IS NOT NULL),
 tot AS (SELECT grp, CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok GROUP BY grp),
 capd AS (SELECT grp, total, CAST({UNIMAX_EPOCHS} AS BIGINT) * total AS cap FROM tot),
 ord AS (SELECT grp, total, cap,
