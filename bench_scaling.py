@@ -119,8 +119,29 @@ def bandwidth_calibration() -> dict[int, float]:
     13-23 GB/s at 2 procs mid-sweep vs a stable 34-37 GB/s idle), which
     had previously manufactured a fake 'bus-bound' ratio."""
     lo, hi = LEVELS
+    # each process allocates 2 × 256 MB of private buffers; on a host
+    # without the headroom (32 procs → ~16 GB) the probe would swap or
+    # OOM and report a DEPRESSED high-parallelism rate — manufacturing
+    # the very bus-bound artifact it exists to refute. Skip levels the
+    # host cannot back (×1.5 safety factor), leaving the hypothesis
+    # honestly unmeasured there rather than distorted.
+    try:
+        with open("/proc/meminfo") as f:
+            avail_mb = next(
+                int(l.split()[1]) // 1024 for l in f if l.startswith("MemAvailable")
+            )
+    except (OSError, StopIteration):
+        avail_mb = 1 << 30  # unknown → don't gate
     out = {}
     for procs in (lo, hi, 32):
+        need_mb = int(procs * 2 * 256 * 1.5)
+        if need_mb > avail_mb:
+            print(
+                f"# bandwidth: skipping {procs}p (needs ~{need_mb} MB, "
+                f"MemAvailable {avail_mb} MB)",
+                file=sys.stderr,
+            )
+            continue
         best = 0.0
         for _ in range(3):
             with mp.Pool(procs) as p:
@@ -519,7 +540,7 @@ def main() -> None:
         "machine_speedup": round(machine_speedup, 3),
         "cal": {k: round(v, 1) for k, v in cal.items()},
         "bandwidth_gbps": {k: round(v, 2) for k, v in bw.items()},
-        "bandwidth_speedup": round(bw[hi] / bw[lo], 3),
+        "bandwidth_speedup": round(bw.get(hi, float("nan")) / bw.get(lo, float("nan")), 3),
         "amortization": amort,
         "wholejob": wj,
         "levels": res,
@@ -555,7 +576,7 @@ def writeonly(path: str) -> None:
     amort = d.get("amortization") or amortization_runs()
     wj = d.get("wholejob") or wholejob_runs()
     d["bandwidth_gbps"] = {k: round(v, 2) for k, v in bw.items()}
-    d["bandwidth_speedup"] = round(bw[LEVELS[1]] / bw[LEVELS[0]], 3)
+    d["bandwidth_speedup"] = round(bw.get(LEVELS[1], float("nan")) / bw.get(LEVELS[0], float("nan")), 3)
     d["amortization"] = amort
     d["wholejob"] = wj
     d["cal"] = {k: round(v, 1) for k, v in cal.items()}
@@ -572,6 +593,10 @@ def _write_bench_md(
 ) -> None:
     lo, hi = LEVELS
     n_lo, n_hi = CLUSTER_EXECS
+    # levels the memory guard skipped render as NaN rather than crashing
+    # the report; the prose stays honest because a skipped level simply
+    # never appears as a measured number
+    bw = {lo: float("nan"), hi: float("nan"), 32: float("nan"), **bw}
     bw_speedup = bw[hi] / bw[lo]
     marg = amort["marginal_docs_per_sec"]
     marg_lo, marg_hi = marg[str(n_lo)], marg[str(n_hi)]

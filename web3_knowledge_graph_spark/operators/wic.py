@@ -92,6 +92,25 @@ COLLECTORS_TREE = [
 ]
 
 
+def _dedup_labels(df: DataFrame) -> DataFrame:
+    """Deterministic (entity_id, context) label dedup: keep the MINIMUM
+    struct of every value column instead of an arbitrary shuffle
+    survivor. Every in-repo tree maps a context to exactly one
+    (condition, weight), so this equals dropDuplicates there — but a
+    caller-supplied tree (or theme_context/collector_threshold argument)
+    may give one context two weights, and dropDuplicates on a key subset
+    would then flip the surviving row between runs (the same
+    nondeterminism class the link-rule _prio min-struct fixes in
+    plans/pipeline.py)."""
+    val_cols = [c for c in df.columns if c not in ("entity_id", "context")]
+    return (
+        df.groupBy("entity_id", "context")
+        .agg(F.min(F.struct(*val_cols)).alias("_m"))
+        .select("entity_id", "context", *[F.col(f"_m.{c}").alias(c) for c in val_cols])
+        .select(*df.columns)
+    )
+
+
 def interest_labels(
     texts: DataFrame, tree: list | None = None
 ) -> DataFrame:
@@ -118,10 +137,9 @@ def interest_labels(
             F.array_distinct(F.split(F.lower("text"), "[^a-z0-9]+"))
         ).alias("kw"),
     ).where(F.length("kw") > 0)
-    return (
+    return _dedup_labels(
         toks.join(F.broadcast(kw_df), "kw")
         .select("entity_id", "condition", "context", "weight")
-        .dropDuplicates(["entity_id", "context"])
     )
 
 
@@ -397,7 +415,7 @@ def interest_evidence_labels(
             )
         )
         out = out.unionByName(prolific)
-    return out.dropDuplicates(["entity_id", "context"])
+    return _dedup_labels(out)
 
 
 # Professionals: bio-keyword fulltext rules (professionals/analyze.py:9-48
@@ -465,12 +483,14 @@ def profession_labels(accounts: DataFrame, tree: list | None = None) -> DataFram
         F.concat(F.lit("Wallet:"), F.lower(F.trim("address"))).alias("entity_id"),
         F.explode(F.array(*structs)).alias("m"),
     ).where(F.col("m").isNotNull())
-    return hits.select(
-        "entity_id",
-        F.col("m.condition").alias("condition"),
-        F.col("m.context").alias("context"),
-        F.col("m.weight").alias("weight"),
-    ).dropDuplicates(["entity_id", "context"])
+    return _dedup_labels(
+        hits.select(
+            "entity_id",
+            F.col("m.condition").alias("condition"),
+            F.col("m.context").alias("context"),
+            F.col("m.weight").alias("weight"),
+        )
+    )
 
 
 # Graph-pattern WIC trees: contexts defined as Cypher MATCHes over the
@@ -984,10 +1004,11 @@ def graph_wic_labels(
         )
     if row_structs:
         parts.append(
-            triples.select(F.explode(F.array(*row_structs)).alias("m"))
-            .where(F.col("m").isNotNull())
-            .select("m.entity_id", "m.condition", "m.context", "m.weight")
-            .dropDuplicates(["entity_id", "context"])
+            _dedup_labels(
+                triples.select(F.explode(F.array(*row_structs)).alias("m"))
+                .where(F.col("m").isNotNull())
+                .select("m.entity_id", "m.condition", "m.context", "m.weight")
+            )
             .select(
                 "entity_id", "condition", "context",
                 F.col("weight").cast("double").alias("weight"),
@@ -1222,7 +1243,7 @@ def context_flow_labels(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["entity_id", "context"])
+    return _dedup_labels(out)
 
 
 # the is_smart_contract_dev description gate (developers/cyphers.py:57-59
@@ -1415,12 +1436,14 @@ def influencer_labels(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
-        "entity_id",
-        F.col("m.condition").alias("condition"),
-        F.col("m.context").alias("context"),
-        F.col("m.weight").alias("weight"),
-    ).dropDuplicates(["entity_id", "context"])
+    return _dedup_labels(
+        out.select(
+            "entity_id",
+            F.col("m.condition").alias("condition"),
+            F.col("m.context").alias("context"),
+            F.col("m.weight").alias("weight"),
+        )
+    )
 
 
 def wic_labels(events: DataFrame) -> DataFrame:

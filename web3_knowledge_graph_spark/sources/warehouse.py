@@ -94,7 +94,25 @@ class Table:
             os.makedirs(self.dir, exist_ok=True)
             with open(ptmp, "w") as f:
                 f.write(str(v))
-            os.replace(ptmp, self.pointer)  # atomic pointer swap
+            # monotone pointer swap under a file lock: a bare os.replace
+            # let a STALLED winner of an older version number move the
+            # pointer BACKWARD over a newer concurrent commit (claim v=5,
+            # stall, another writer commits v=6 and swaps, resume, swap to
+            # 5 — latest-snapshot readers silently regress). The flock +
+            # re-read makes the swap a compare-and-set: only advance.
+            # Single-host stand-in for Iceberg's catalog CAS commit.
+            import fcntl
+
+            lock_path = self.pointer + ".lock"
+            with open(lock_path, "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    if (self.current_version() or 0) < v:
+                        os.replace(ptmp, self.pointer)  # atomic pointer swap
+                    else:
+                        os.remove(ptmp)  # a newer commit already won
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
             return v
         raise RuntimeError(
             f"table {self.dir}: lost the commit race 3 times in a row"
@@ -144,13 +162,33 @@ class Table:
         # deterministic tiebreak: update rows from one run commonly share
         # a single order_col stamp, and a bare (_src_rank, order_col)
         # ordering would let the shuffle pick the survivor — every
-        # remaining column joins the ordering so re-running the same
-        # merge always keeps the same row (idempotence, and Table.diff
-        # reports no phantom changes between reruns).
+        # remaining ORDERABLE column joins the ordering so re-running the
+        # same merge always keeps the same row (idempotence, and
+        # Table.diff reports no phantom changes between reruns). Map
+        # columns (and arrays/structs containing them) are excluded:
+        # Spark rejects them in ORDER BY at plan time, and a merge that
+        # worked before the tiebreak must not start throwing. Rows that
+        # differ ONLY in an unorderable column keep an arbitrary-but-
+        # stable-per-run survivor — the pre-tiebreak behavior, now
+        # confined to that residual case.
+        def _orderable(dt) -> bool:
+            from pyspark.sql import types as T
+
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return _orderable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(_orderable(f.dataType) for f in dt.fields)
+            return True
+
+        orderable = {
+            f.name for f in merged.schema.fields if _orderable(f.dataType)
+        }
         tie_cols = [
             c
             for c in merged.columns
-            if c not in (*keys, order_col, "_src_rank")
+            if c not in (*keys, order_col, "_src_rank") and c in orderable
         ]
         w = Window.partitionBy(*keys).orderBy(
             F.col("_src_rank").desc(),
