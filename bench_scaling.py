@@ -540,7 +540,9 @@ def main() -> None:
         "machine_speedup": round(machine_speedup, 3),
         "cal": {k: round(v, 1) for k, v in cal.items()},
         "bandwidth_gbps": {k: round(v, 2) for k, v in bw.items()},
-        "bandwidth_speedup": round(bw.get(hi, float("nan")) / bw.get(lo, float("nan")), 3),
+        "bandwidth_speedup": (
+            round(bw[hi] / bw[lo], 3) if lo in bw and hi in bw else None
+        ),
         "amortization": amort,
         "wholejob": wj,
         "levels": res,
@@ -570,13 +572,18 @@ def writeonly(path: str) -> None:
     )
     bw = (
         {int(k): v for k, v in d["bandwidth_gbps"].items()}
-        if "bandwidth_gbps" in d and len(d["bandwidth_gbps"]) >= 3
+        if "bandwidth_gbps" in d
+        and {str(l) for l in LEVELS} <= set(map(str, d["bandwidth_gbps"]))
         else bandwidth_calibration()
     )
     amort = d.get("amortization") or amortization_runs()
     wj = d.get("wholejob") or wholejob_runs()
     d["bandwidth_gbps"] = {k: round(v, 2) for k, v in bw.items()}
-    d["bandwidth_speedup"] = round(bw.get(LEVELS[1], float("nan")) / bw.get(LEVELS[0], float("nan")), 3)
+    d["bandwidth_speedup"] = (
+        round(bw[LEVELS[1]] / bw[LEVELS[0]], 3)
+        if LEVELS[0] in bw and LEVELS[1] in bw
+        else None
+    )
     d["amortization"] = amort
     d["wholejob"] = wj
     d["cal"] = {k: round(v, 1) for k, v in cal.items()}
@@ -593,11 +600,34 @@ def _write_bench_md(
 ) -> None:
     lo, hi = LEVELS
     n_lo, n_hi = CLUSTER_EXECS
-    # levels the memory guard skipped render as NaN rather than crashing
-    # the report; the prose stays honest because a skipped level simply
-    # never appears as a measured number
-    bw = {lo: float("nan"), hi: float("nan"), 32: float("nan"), **bw}
-    bw_speedup = bw[hi] / bw[lo]
+    # the memory guard may legitimately skip levels on a small host: the
+    # published section then states which levels were measured and claims
+    # a verdict only when the core lo/hi pair exists — never a NaN number
+    # or an unmeasured "ruled out"
+    bw_measured = lo in bw and hi in bw
+    if bw_measured:
+        bw_speedup = bw[hi] / bw[lo]
+        bw32_clause = (
+            f" → {bw[32]:.1f} GB/s at 32 procs"
+            if 32 in bw
+            else " (32-proc level skipped: insufficient host memory)"
+        )
+        bw_title = "measured, and RULED OUT as the ceiling"
+        bw_body = (
+            f"**{bw[lo]:.1f} GB/s aggregate at {lo} procs → {bw[hi]:.1f} "
+            f"GB/s at {hi} procs ({bw_speedup:.2f}× for 4× processes, "
+            f"efficiency {bw_speedup / 4:.2f}){bw32_clause}**. The host's "
+            "memory system delivers near-linear copy scaling across the "
+            "measured levels — bandwidth is NOT the binding resource "
+            "here, and no stage's residual below is attributed to it."
+        )
+    else:
+        bw_title = "probe skipped (insufficient host memory)"
+        bw_body = (
+            "The probe's per-process 512 MB buffers exceeded this host's "
+            "available memory, so the bus hypothesis is UNMEASURED here — "
+            "no stage residual is attributed to or exonerated from it."
+        )
     marg = amort["marginal_docs_per_sec"]
     marg_lo, marg_hi = marg[str(n_lo)], marg[str(n_hi)]
     rep_s, rep_b = amort["reps"]
@@ -646,18 +676,13 @@ for 4× cores** (best sweep). The host itself delivers at most
 {machine_speedup / 4:.2f} efficiency (turbo droop + shared memory bandwidth
 on a multi-tenant VM) — the ceiling any engine can reach here.
 
-## Memory bandwidth (no engine) — measured, and RULED OUT as the ceiling
+## Memory bandwidth (no engine) — {bw_title}
 
 Hypothesis tested: copy/materialize-heavy stages are bound by the one
-memory bus all co-located processes share. Measured directly on an idle
-window (engine-free: a process pool where each process memcpys its own
-private 256 MB buffer — numpy.copyto, read+write streams, first-touch
-warm-up, zero sharing or locking): **{bw[lo]:.1f} GB/s aggregate at {lo}
-procs → {bw[hi]:.1f} GB/s at {hi} procs ({bw_speedup:.2f}× for 4×
-processes, efficiency {bw_speedup / 4:.2f}) → {bw[32]:.1f} GB/s at 32
-procs**. The host's memory system delivers near-linear copy scaling far
-past the measured levels — bandwidth is NOT the binding resource here,
-and no stage's residual below is attributed to it. (Methodology note:
+memory bus all co-located processes share. Probe: an idle-window,
+engine-free process pool where each process memcpys its own private
+256 MB buffer — numpy.copyto, read+write streams, first-touch
+warm-up, zero sharing or locking. {bw_body} (Methodology note:
 running this probe interleaved with Spark JVM teardown depresses the
 2-proc samples 2-3× and manufactures a fake bus-bound ratio — an earlier
 measurement window made exactly that error; the probe now runs once,

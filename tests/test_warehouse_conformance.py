@@ -266,3 +266,84 @@ def test_warehouse_catalog_namespacing(spark, tmp_path):
     a.overwrite(spark.createDataFrame([(3,)], "id long"))
     assert a.current_version() == 2 and b.current_version() == 1
     assert _rows(b.read(spark)) == {(2,)}
+
+
+def test_pointer_cas_never_regresses(spark, tmp_path):
+    """Iceberg catalog commits are compare-and-set: a stalled writer
+    holding an OLDER claimed version must not move the current pointer
+    backward over a newer concurrent commit. _swap_pointer is that CAS."""
+    t = Table(str(tmp_path), "t")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert t.current_version() == 2
+    # the stalled writer resumes with its older claim: refused, no regress
+    assert t._swap_pointer(1) is False
+    assert t.current_version() == 2
+    # a genuinely newer claim still advances
+    assert t._swap_pointer(5) is True
+    assert t.current_version() == 5
+
+
+def test_commit_conflict_surfaces_not_silent_success(spark, tmp_path):
+    """Iceberg rejects an optimistic commit whose base is stale; returning
+    success while the pointer points elsewhere would silently drop the
+    writer's rows from the current table. merge_upsert must re-derive
+    from the NEW current state when its commit loses the pointer CAS."""
+    from web3_knowledge_graph_spark.sources.warehouse import CommitConflict
+
+    t = Table(str(tmp_path), "t")
+    t.overwrite(
+        spark.createDataFrame([(1, "a", 1)], "id long, v string, ts long")
+    )
+
+    # simulate one lost pointer race: the first swap attempt is refused
+    real_swap = t._swap_pointer
+    fails = {"left": 1}
+
+    def flaky_swap(v):
+        if fails["left"]:
+            fails["left"] -= 1
+            return False
+        return real_swap(v)
+
+    t._swap_pointer = flaky_swap
+    v = t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "b", 2)], "id long, v string, ts long"),
+        keys=["id"],
+        order_col="ts",
+    )
+    assert _rows(t.read(spark)) == {(1, "a", 1), (2, "b", 2)}
+    assert t.current_version() == v
+
+    # a swap that NEVER succeeds surfaces as CommitConflict, not success
+    t._swap_pointer = lambda v: False
+    with pytest.raises(CommitConflict):
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(3, "c", 3)], "id long, v string, ts long"),
+            keys=["id"],
+            order_col="ts",
+        )
+
+
+def test_merge_tiebreak_skips_unorderable_columns(spark, tmp_path):
+    """A map-typed column must not join the deterministic tiebreak ORDER
+    BY (Spark rejects map types in ordering at plan time) — the merge
+    succeeds and the tiebreak still runs over the orderable columns."""
+    t = Table(str(tmp_path), "t")
+    df = spark.createDataFrame(
+        [(1, "a", {"k": "v"}, 10)],
+        "id long, v string, props map<string,string>, ts long",
+    )
+    t.overwrite(df)
+    up = spark.createDataFrame(
+        # two update rows share (id, ts): the orderable tiebreak column v
+        # decides the survivor deterministically ('z' > 'y' descending)
+        [(1, "z", {"k": "w"}, 20), (1, "y", {"k": "x"}, 20)],
+        "id long, v string, props map<string,string>, ts long",
+    )
+    for _ in range(2):  # deterministic across replays
+        t.merge_upsert(spark, up, keys=["id"], order_col="ts")
+        got = t.read(spark).collect()
+        assert len(got) == 1 and got[0].v == "z" and got[0].ts == 20

@@ -38,7 +38,15 @@ def apply_rules(rules: dict[str, Rule]) -> DataFrame:
         )
         out = labeled if out is None else out.unionByName(labeled)
     assert out is not None, "no rules given"
-    return out.dropDuplicates(["entity_id", "context"])
+    # deterministic survivor: a rule may emit two weights for one
+    # (entity_id, context) pair, and dropDuplicates on the key subset
+    # would flip the kept row between shuffles (the wic._dedup_labels
+    # rationale) — keep the minimum weight
+    return (
+        out.groupBy("entity_id", "context")
+        .agg(F.min("weight").alias("weight"))
+        .select("entity_id", "context", "weight")
+    )
 
 
 def reputation_scores(labels: DataFrame, normalize: str = "max") -> DataFrame:

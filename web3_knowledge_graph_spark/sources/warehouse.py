@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed a newer version between this commit's
+    base read and its pointer swap — the optimistic-commit conflict
+    Iceberg's catalog CAS rejects. Callers whose content derives from the
+    table's prior state must re-read and re-derive (append/merge_upsert do
+    this automatically, bounded)."""
+
+
 class Table:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -67,14 +75,57 @@ class Table:
             return 0
         return max(vs, default=0)
 
-    def _commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def _swap_pointer(self, v: int) -> bool:
+        """Monotone compare-and-set pointer swap under a file lock.
+
+        A bare os.replace let a STALLED winner of an older version number
+        move the pointer BACKWARD over a newer concurrent commit (claim
+        v=5, stall, another writer commits v=6 and swaps, resume, swap to
+        5 — latest-snapshot readers silently regress). The flock + re-read
+        only ever ADVANCES the pointer; returns False when a newer version
+        is already current. Single-host stand-in for Iceberg's catalog CAS
+        commit."""
+        import fcntl
+        import uuid
+
+        ptmp = f"{self.pointer}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        os.makedirs(self.dir, exist_ok=True)
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        with open(self.pointer + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if (self.current_version() or 0) < v:
+                    os.replace(ptmp, self.pointer)  # atomic pointer swap
+                    return True
+                os.remove(ptmp)  # a newer commit already won
+                return False
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def _commit(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        base_independent: bool = False,
+    ) -> int:
         # The tmp dir is PER-ATTEMPT unique (pid + random suffix) and the
         # version is claimed by an atomic os.rename that FAILS if another
         # writer already committed that number — two concurrent writers
         # (orchestrator retry racing a live driver) each produce a
         # self-consistent snapshot instead of interleaving part-files in
-        # a shared tmp dir; the loser retries under the next version and
-        # the last pointer swap wins (Iceberg's optimistic-commit shape).
+        # a shared tmp dir; the loser retries under the next version
+        # (Iceberg's optimistic-commit shape).
+        #
+        # Losing the POINTER CAS after winning the snapshot claim means a
+        # newer version became current between this commit's base read and
+        # its swap. ``base_independent=True`` (overwrite: the content does
+        # not derive from the table's prior state) simply re-claims the
+        # next version; otherwise CommitConflict propagates so the caller
+        # re-reads the new current state and re-derives — returning the
+        # claimed version as a success would silently drop this commit's
+        # rows from the current table (the never-current snapshot stays on
+        # disk as an orphan, like Iceberg's orphan files, until pruned).
         import uuid
 
         for _ in range(3):
@@ -90,30 +141,14 @@ class Table:
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
                 continue
-            ptmp = f"{self.pointer}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-            os.makedirs(self.dir, exist_ok=True)
-            with open(ptmp, "w") as f:
-                f.write(str(v))
-            # monotone pointer swap under a file lock: a bare os.replace
-            # let a STALLED winner of an older version number move the
-            # pointer BACKWARD over a newer concurrent commit (claim v=5,
-            # stall, another writer commits v=6 and swaps, resume, swap to
-            # 5 — latest-snapshot readers silently regress). The flock +
-            # re-read makes the swap a compare-and-set: only advance.
-            # Single-host stand-in for Iceberg's catalog CAS commit.
-            import fcntl
-
-            lock_path = self.pointer + ".lock"
-            with open(lock_path, "w") as lk:
-                fcntl.flock(lk, fcntl.LOCK_EX)
-                try:
-                    if (self.current_version() or 0) < v:
-                        os.replace(ptmp, self.pointer)  # atomic pointer swap
-                    else:
-                        os.remove(ptmp)  # a newer commit already won
-                finally:
-                    fcntl.flock(lk, fcntl.LOCK_UN)
-            return v
+            if self._swap_pointer(v):
+                return v
+            if not base_independent:
+                raise CommitConflict(
+                    f"table {self.dir}: version {v} was claimed but a newer "
+                    "version became current before the pointer swap; "
+                    "re-derive from the new current state and retry"
+                )
         raise RuntimeError(
             f"table {self.dir}: lost the commit race 3 times in a row"
         )
@@ -126,12 +161,24 @@ class Table:
         return spark.read.parquet(self._snap_path(v))
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        return self._commit(df, partition_by)
+        return self._commit(df, partition_by, base_independent=True)
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
-        if self.exists():
-            df = self.read(spark).unionByName(df, allowMissingColumns=True)
-        return self._commit(df)
+    def append(self, spark: SparkSession, df: DataFrame, retries: int = 3) -> int:
+        # optimistic-commit retry: on conflict, re-read the NEW current
+        # snapshot and re-derive (the stale union must not be committed)
+        for _ in range(retries):
+            try:
+                base = df
+                if self.exists():
+                    base = self.read(spark).unionByName(
+                        df, allowMissingColumns=True
+                    )
+                return self._commit(base)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"table {self.dir}: append lost {retries} optimistic-commit races"
+        )
 
     def merge_upsert(
         self,
@@ -152,7 +199,27 @@ class Table:
         while last_update_dt/ingested_by come from the winning (newest)
         row — so re-ingesting an unchanged entity bumps last_update_dt but
         never rewrites created_dt.
+
+        Optimistic-commit retry: a CommitConflict (another writer swapped
+        the pointer between this merge's base read and its commit) re-runs
+        the whole read+merge against the NEW current snapshot, bounded.
         """
+        for _ in range(3):
+            try:
+                return self._merge_once(spark, updates, keys, order_col)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"table {self.dir}: merge_upsert lost 3 optimistic-commit races"
+        )
+
+    def _merge_once(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        order_col: str,
+    ) -> int:
         updates = updates.withColumn("_src_rank", F.lit(1))
         if self.exists():
             base = self.read(spark).withColumn("_src_rank", F.lit(0))
